@@ -1,0 +1,62 @@
+"""Catalog: declared-schema loading of the fixture star schema.
+
+The reference has no catalog — every job re-parses raw text and re-asserts
+arity/type constraints per line (SURVEY.md §2.2, e.g. reference
+``Codes/etherTransactionsAnalysis/etherTransactionsAnalysis.py:19-28``).
+Here tables are columnar parquet with schemas declared once; readers get
+column pruning + filter pushdown for free.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES: tuple[str, ...] = (
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings",
+)
+
+
+def table_path(sf_dir: str, name: str) -> str:
+    return os.path.join(sf_dir, f"{name}.parquet")
+
+
+# Columns written as parquet TIMESTAMP(NANOS): Spark reads them as long
+# (spark.sql.legacy.parquet.nanosAsLong) and the catalog restores
+# TimestampType at microsecond precision — matching how DuckDB/pyarrow
+# surface the same files.
+_NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one fixture table. Plain ``spark.read.parquet`` — schema comes
+    from the parquet footer; Catalyst prunes columns and pushes filters
+    into the vectorized reader."""
+    if name in _NANO_TS_COLS:
+        # ensure nanos-typed parquet is readable regardless of how the
+        # caller's session was built (the driver harness uses a plain one)
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(table_path(sf_dir, name))
+    for c in _NANO_TS_COLS.get(name, ()):
+        if dict(df.dtypes).get(c) == "bigint":
+            # integer `div` (not `/`): float division would round-trip the
+            # nano count through double and lose sub-microsecond precision
+            df = df.withColumn(c, F.timestamp_micros(F.expr(f"`{c}` div 1000")))
+    return df
+
+
+def load_tables(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    return {name: load_table(spark, sf_dir, name) for name in TABLES
+            if os.path.exists(table_path(sf_dir, name))}
+
+
+def register_views(spark: SparkSession, sf_dir: str) -> dict[str, DataFrame]:
+    """Register every fixture table as a temp view (for the spark.sql
+    surface). Mirrors the DuckDB oracle's pre-registered views."""
+    dfs = load_tables(spark, sf_dir)
+    for name, df in dfs.items():
+        df.createOrReplaceTempView(name)
+    return dfs

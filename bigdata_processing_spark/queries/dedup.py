@@ -1,0 +1,335 @@
+"""Deduplication operators over ``documents``: exact (fingerprint),
+MinHash+LSH banding, n-gram Jaccard verification, SimHash.
+
+North-star LLM-pipeline surface (SURVEY.md §2.12). Design notes for
+100TB scale:
+
+- Exact dedup is a hash-groupBy on a 128-bit fingerprint — one shuffle of
+  (fingerprint, doc_id), never the document bodies.
+- Near-dup is the classic two-stage MinHash pipeline: per-doc signatures
+  (one pass, map-side), LSH band-bucket self-join to generate CANDIDATE
+  pairs (shuffle is proportional to collisions, not n²), then exact
+  n-gram Jaccard verification only on candidates. No all-pairs product
+  ever materializes.
+- Hashes are md5-derived (functions/text.py::hash64) so every stage is
+  reproducible AND expressible in ANSI SQL → DuckDB-oracle-checkable.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.queries import register
+
+N_HASHES = 8          # minhash signature length
+N_BANDS = 4           # LSH bands (rows per band = 2)
+JACCARD_THRESHOLD = 0.8
+
+# Shared SQL fragments for the DuckDB oracles -------------------------------
+
+_SQL_SHINGLES = """
+        toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents
+        ),
+        shset AS (
+            SELECT doc_id,
+                   list_distinct(list_transform(range(1, greatest(len(tk) - 1, 0) + 1),
+                                                i -> tk[i] || '_' || tk[i + 1])) AS sh
+            FROM toks
+        ),
+        shex AS (
+            SELECT doc_id, unnest(sh) AS s FROM shset
+        )
+"""
+
+def _sql_minhash(seed: int) -> str:
+    return f"min(('0x' || substr(md5('{seed}|' || s), 1, 8))::BIGINT) AS h{seed}"
+
+_SQL_SIG = (
+    "sig AS (SELECT doc_id, "
+    + ", ".join(_sql_minhash(s) for s in range(N_HASHES))
+    + " FROM shex GROUP BY doc_id)"
+)
+
+
+def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", T.word_shingles(F.col("text"), 2).alias("sh"))
+
+
+def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """doc_id → minhash signature columns h0..h{k-1} (one shuffle)."""
+    shex = _shingle_df(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
+    aggs = [F.min(T.hash64(F.col("s"), i)).alias(f"h{i}") for i in range(N_HASHES)]
+    return shex.groupBy("doc_id").agg(*aggs)
+
+
+# ---------------------------------------------------------------------------
+# Exact dedup summary: corpus → fingerprint groups (keep-first policy is
+# min(doc_id) per group; summary counts are the dedup report).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_exact_summary",
+    oracle="""
+        SELECT count(*) AS n_docs,
+               count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   AS n_unique,
+               count(*) - count(DISTINCT md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')))
+                   AS n_removed
+        FROM documents
+    """,
+)
+def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    fp = T.fingerprint(F.col("text"))
+    return docs.select(fp.alias("fp")).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("fp").alias("n_unique"),
+        (F.count("*") - F.countDistinct("fp")).alias("n_removed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash signatures (sample): the per-doc signature stage in isolation,
+# checkable value-by-value against the oracle.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_signatures_sample",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}
+        SELECT doc_id, {', '.join(f'h{i}' for i in range(N_HASHES))}
+        FROM sig
+        WHERE doc_id < 25
+        ORDER BY doc_id
+    """,
+)
+def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signature_df(spark, sf_dir)
+    return sig.filter(F.col("doc_id") < 25).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Full near-dup pipeline: MinHash → LSH banding → candidate pairs →
+# exact bigram-Jaccard verification ≥ 0.8. At scale the only joins are
+# (a) the band-bucket self-join (collision-bounded) and (b) candidate
+# pairs back to shingle sets.
+# ---------------------------------------------------------------------------
+_SQL_BANDS = (
+    "bands AS (SELECT doc_id, unnest(["
+    + ", ".join(
+        f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
+    )
+    + "]) AS bk FROM sig)"
+)
+
+@register(
+    "minhash_lsh_dup_pairs",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        )
+        SELECT c.d1, c.d2,
+               len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                   / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                   AS jaccard
+        FROM cand c
+        JOIN shset s1 ON c.d1 = s1.doc_id
+        JOIN shset s2 ON c.d2 = s2.doc_id
+        WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                  / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+              >= {JACCARD_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    sig = _signature_df(spark, sf_dir)
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    b2 = bands.select(F.col("doc_id").alias("d2"), F.col("bk").alias("bk2"))
+    cand = (
+        bands.join(b2, (bands.bk == b2.bk2) & (bands.doc_id < b2.d2))
+        .select(F.col("doc_id").alias("d1"), "d2")
+        .distinct()
+    )
+    shset = _shingle_df(spark, sf_dir)
+    s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    return (
+        cand.join(s1, "d1").join(s2, "d2")
+        .select("d1", "d2", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Brute-force n-gram Jaccard for a bounded query set: exact top-3 most
+# similar docs for each query doc. The bounded-query-broadcast pattern —
+# the query side stays small and broadcast, so the fact side streams once.
+# ---------------------------------------------------------------------------
+@register(
+    "ngram_jaccard_topk",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        q AS (SELECT doc_id AS qid, sh AS qsh FROM shset WHERE doc_id < 5),
+        s AS (
+            SELECT qid, doc_id AS cid,
+                   len(list_intersect(qsh, sh))::DOUBLE
+                       / (len(qsh) + len(sh) - len(list_intersect(qsh, sh))) AS jaccard
+            FROM q JOIN shset ON doc_id <> qid
+        )
+        SELECT qid, cid, jaccard, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY jaccard DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 3
+        ORDER BY qid, rn
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    shset = _shingle_df(spark, sf_dir)
+    q = shset.filter(F.col("doc_id") < 5).select(
+        F.col("doc_id").alias("qid"), F.col("sh").alias("qsh")
+    )
+    joined = shset.join(F.broadcast(q), F.col("doc_id") != F.col("qid"))
+    inter = F.size(F.array_intersect("qsh", "sh"))
+    jaccard = inter.cast("double") / (F.size("qsh") + F.size("sh") - inter)
+    w = Window.partitionBy("qid").orderBy(F.col("jaccard").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("doc_id").alias("cid"), jaccard.alias("jaccard"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash: 16-bit signature from per-token hash bits (bit-majority vote).
+# Near-identical docs land in the same bucket; output is every bucket
+# holding >1 doc plus its members.
+# ---------------------------------------------------------------------------
+_SIM_BITS = 16
+
+_SQL_SIMHASH = f"""
+        tokex AS (
+            SELECT DISTINCT doc_id, unnest(list_filter(string_split(text, ' '), t -> t <> ''))
+                AS tok
+            FROM documents
+        ),
+        th AS (
+            SELECT doc_id, ('0x' || substr(md5('0|' || tok), 1, 8))::BIGINT AS h
+            FROM tokex
+        ),
+        bits AS (
+            SELECT doc_id,
+                   {', '.join(
+                       f"sum(CASE WHEN (h >> {j}) & 1 = 1 THEN 1 ELSE -1 END) AS b{j}"
+                       for j in range(_SIM_BITS)
+                   )}
+            FROM th GROUP BY doc_id
+        ),
+        sh16 AS (
+            SELECT doc_id,
+                   ({' + '.join(
+                       f"(CASE WHEN b{j} > 0 THEN 1 ELSE 0 END << {j})"
+                       for j in range(_SIM_BITS)
+                   )})::BIGINT AS simhash
+            FROM bits
+        )
+"""
+
+
+@register(
+    "simhash_buckets",
+    oracle=f"""
+        WITH {_SQL_SIMHASH}
+        SELECT simhash, count(*) AS n_docs, min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM sh16
+        GROUP BY simhash
+        HAVING count(*) > 1
+        ORDER BY simhash
+    """,
+)
+def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    tokex = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    th = tokex.select("doc_id", T.hash64(F.col("tok"), 0).alias("h"))
+    bit_aggs = [
+        F.sum(
+            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{j}")
+        for j in range(_SIM_BITS)
+    ]
+    bits = th.groupBy("doc_id").agg(*bit_aggs)
+    simhash = None
+    for j in range(_SIM_BITS):
+        term = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j)
+        simhash = term if simhash is None else simhash + term
+    return (
+        bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+        .groupBy("simhash")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").alias("first_doc"),
+            F.max("doc_id").alias("last_doc"),
+        )
+        .filter(F.col("n_docs") > 1)
+        .orderBy("simhash")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Embedding-cosine near-dup: candidate pairs bounded to the same label
+# partition (IVF-style candidate pruning — at 100TB you never do the
+# unpartitioned n² product), cosine ≥ 0.4.
+# ---------------------------------------------------------------------------
+@register(
+    "embedding_neardup_pairs",
+    oracle="""
+        SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
+               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+                   AS cos_sim
+        FROM embeddings a
+        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
+              >= 0.4
+        ORDER BY v1, v2
+    """,
+)
+def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.functions import vectors as V
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    a = emb.select(
+        F.col("vec_id").alias("v1"), F.col("label"), F.col("embedding").alias("e1")
+    )
+    b = emb.select(
+        F.col("vec_id").alias("v2"), F.col("label").alias("label2"), F.col("embedding").alias("e2")
+    )
+    pairs = a.join(b, (a.label == b.label2) & (a.v1 < b.v2))
+    return (
+        pairs.select("v1", "v2", "label", V.cosine(F.col("e1"), F.col("e2")).alias("cos_sim"))
+        .filter(F.col("cos_sim") >= 0.4)
+        .orderBy("v1", "v2")
+    )

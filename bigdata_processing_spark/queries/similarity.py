@@ -1,0 +1,137 @@
+"""Similarity search over the ``embeddings`` table (array<float>, 64-dim).
+
+North-star LLM-pipeline surface (SURVEY.md §2.12). Two tiers:
+
+- ``knn_bruteforce``: exact cosine top-k for a bounded query set. The
+  query side is broadcast; the candidate table streams once — the right
+  brute-force shape at scale (never a full n×n product).
+- ``knn_ivf_label``: IVF-style search — candidates pruned to the query's
+  coarse partition (the ``label`` column stands in for a cluster
+  assignment). This is the 100TB path: partition the index by cell,
+  probe only matching cells.
+
+All vector math is JVM-side fold expressions (functions/vectors.py);
+elements are cast to double pre-arithmetic so DuckDB oracles agree
+bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions import vectors as V
+from bigdata_processing_spark.queries import register
+
+_COS = """list_dot_product(qe, ce)
+                   / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"""
+
+
+@register(
+    "knn_bruteforce",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id AS cid, embedding::DOUBLE[] AS ce FROM embeddings),
+        s AS (
+            SELECT qid, cid, {_COS} AS cos_sim
+            FROM q JOIN c ON cid <> qid
+        )
+        SELECT qid, cid, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 5
+        ORDER BY qid, rn
+    """,
+)
+def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
+    )
+    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", "cid", V.cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "knn_ivf_label",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id AS cid, label AS clabel, embedding::DOUBLE[] AS ce FROM embeddings),
+        s AS (
+            SELECT qid, cid, {_COS} AS cos_sim
+            FROM q JOIN c ON clabel = qlabel AND cid <> qid
+        )
+        SELECT qid, cid, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 5
+        ORDER BY qid, rn
+    """,
+)
+def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("embedding").alias("qe"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("embedding").alias("ce"),
+    )
+    joined = c.join(
+        F.broadcast(q), (F.col("clabel") == F.col("qlabel")) & (F.col("cid") != F.col("qid"))
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", "cid", V.cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "embedding_norm_stats",
+    oracle="""
+        SELECT label,
+               count(*) AS n_vecs,
+               avg(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS avg_norm,
+               min(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS min_norm,
+               max(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))) AS max_norm
+        FROM embeddings
+        GROUP BY label
+        ORDER BY label
+    """,
+)
+def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-partition vector sanity stats (norm distribution by IVF cell)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return (
+        emb.select("label", V.norm(F.col("embedding")).alias("nrm"))
+        .groupBy("label")
+        .agg(
+            F.count("*").alias("n_vecs"),
+            F.avg("nrm").alias("avg_norm"),
+            F.min("nrm").alias("min_norm"),
+            F.max("nrm").alias("max_norm"),
+        )
+        .orderBy("label")
+    )
