@@ -83,6 +83,29 @@ def hash64(col, seed: int | str = 0) -> Column:
     return F.conv(F.substring(F.md5(salted), 1, 8), 16, 10).cast("bigint")
 
 
+def minhash_hashes(col, k: int = 8) -> list[Column]:
+    """k independent 32-bit hash values per input, derived 4-per-md5
+    (md5 yields 128 bits = four 32-bit chunks) — 4x fewer digest
+    computations than one salted md5 per hash function.
+
+    Hash i = chunk (i mod 4) of md5('{i div 4}|' || col).
+    DuckDB twin per i: ('0x' || substr(md5('{i//4}|' || col),
+    {1 + 8*(i%4)}, 8))::BIGINT.
+    """
+    out: list[Column] = []
+    for i in range(k):
+        seed, chunk = divmod(i, 4)
+        m = F.md5(F.concat(F.lit(f"{seed}|"), col))
+        out.append(F.conv(F.substring(m, 1 + 8 * chunk, 8), 16, 10).cast("bigint"))
+    return out
+
+
+def minhash_hash_sql(expr: str, i: int) -> str:
+    """The DuckDB twin of minhash_hashes()[i] over SQL expression ``expr``."""
+    seed, chunk = divmod(i, 4)
+    return f"('0x' || substr(md5('{seed}|' || {expr}), {1 + 8 * chunk}, 8))::BIGINT"
+
+
 def word_shingles(col, n: int = 2) -> Column:
     """Distinct word n-gram shingles of a document (array<string>).
 

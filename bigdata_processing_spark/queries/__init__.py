@@ -62,5 +62,6 @@ def _load_all() -> None:
         text_analysis,
         dedup,
         similarity,
+        multimodal,
     )
     _LOADED = True

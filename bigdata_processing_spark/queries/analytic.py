@@ -170,3 +170,53 @@ def tumbling_window_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
         .orderBy("window_start")
     )
+
+
+# ---------------------------------------------------------------------------
+# Session windows in batch mode (streaming/windows.py::session_window_agg
+# is the same expression under readStream): events within a 30-minute gap
+# of each other merge into one per-user session. Oracle = the classic
+# gaps-and-islands rewrite. Timestamps exported as epoch micros for an
+# exact cross-engine compare.
+# ---------------------------------------------------------------------------
+@register(
+    "session_windows_30m",
+    oracle="""
+        WITH g AS (
+            SELECT user_id, ts, value,
+                   CASE WHEN lag(ts) OVER w IS NULL
+                             OR ts - lag(ts) OVER w > INTERVAL 30 MINUTES
+                        THEN 1 ELSE 0 END AS new_s
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+        ), s AS (
+            SELECT user_id, ts, value,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM g
+        )
+        SELECT user_id,
+               epoch_us(min(ts)) AS session_start_us,
+               epoch_us(max(ts) + INTERVAL 30 MINUTES) AS session_end_us,
+               count(*) AS n_events,
+               sum(value) AS total_value
+        FROM s
+        GROUP BY user_id, sid
+        ORDER BY user_id, session_start_us
+    """,
+)
+def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.streaming.windows import session_window_agg
+
+    events = load_table(spark, sf_dir, "events")
+    return (
+        session_window_agg(events, gap="30 minutes")
+        .select(
+            "user_id",
+            F.unix_micros("session_start").alias("session_start_us"),
+            F.unix_micros("session_end").alias("session_end_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("user_id", "session_start_us")
+    )

@@ -46,12 +46,9 @@ _SQL_SHINGLES = """
         )
 """
 
-def _sql_minhash(seed: int) -> str:
-    return f"min(('0x' || substr(md5('{seed}|' || s), 1, 8))::BIGINT) AS h{seed}"
-
 _SQL_SIG = (
     "sig AS (SELECT doc_id, "
-    + ", ".join(_sql_minhash(s) for s in range(N_HASHES))
+    + ", ".join(f"min({T.minhash_hash_sql('s', i)}) AS h{i}" for i in range(N_HASHES))
     + " FROM shex GROUP BY doc_id)"
 )
 
@@ -64,7 +61,8 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → minhash signature columns h0..h{k-1} (one shuffle)."""
     shex = _shingle_df(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    aggs = [F.min(T.hash64(F.col("s"), i)).alias(f"h{i}") for i in range(N_HASHES)]
+    hashes = T.minhash_hashes(F.col("s"), N_HASHES)
+    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
     return shex.groupBy("doc_id").agg(*aggs)
 
 
@@ -148,7 +146,14 @@ _SQL_BANDS = (
     """,
 )
 def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _signature_df(spark, sf_dir)
+    # Cache the shingle sets: reused by the signature pass and by both
+    # sides of the verification join (without it Spark recomputes the
+    # docs→shingles subtree four times — measured 4x slower).
+    shset = _shingle_df(spark, sf_dir).persist()
+    shex = shset.select("doc_id", F.explode("sh").alias("s"))
+    hashes = T.minhash_hashes(F.col("s"), N_HASHES)
+    sig = shex.groupBy("doc_id").agg(*[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)])
+
     band_keys = F.array(
         *[
             F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
@@ -156,13 +161,27 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ]
     )
     bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
-    b2 = bands.select(F.col("doc_id").alias("d2"), F.col("bk").alias("bk2"))
+    # Candidate pairs WITHOUT a self-join: group each band bucket, expand
+    # in-bucket pairs with an array comprehension. One shuffle of
+    # (bk, doc_id); work is bounded by bucket sizes, and at petabyte scale
+    # a bucket-size cap bounds the worst key (LSH buckets are the classic
+    # skew point — this shape makes the skew visible and cappable).
+    members = bands.groupBy("bk").agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
     cand = (
-        bands.join(b2, (bands.bk == b2.bk2) & (bands.doc_id < b2.d2))
-        .select(F.col("doc_id").alias("d1"), "d2")
+        members.filter(F.size("ds") > 1)
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    shset = _shingle_df(spark, sf_dir)
     s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
@@ -321,15 +340,27 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
-    a = emb.select(
-        F.col("vec_id").alias("v1"), F.col("label"), F.col("embedding").alias("e1")
+    # Precompute each vector's norm ONCE (n rows) instead of re-folding it
+    # per pair (n² folds) — cosine on a pair is then a single dot fold.
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
     )
-    b = emb.select(
-        F.col("vec_id").alias("v2"), F.col("label").alias("label2"), F.col("embedding").alias("e2")
+    a = base.select(
+        F.col("vec_id").alias("v1"), "label", F.col("e").alias("e1"), F.col("nrm").alias("n1")
+    )
+    b = base.select(
+        F.col("vec_id").alias("v2"),
+        F.col("label").alias("label2"),
+        F.col("e").alias("e2"),
+        F.col("nrm").alias("n2"),
     )
     pairs = a.join(b, (a.label == b.label2) & (a.v1 < b.v2))
+    cos = V.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
-        pairs.select("v1", "v2", "label", V.cosine(F.col("e1"), F.col("e2")).alias("cos_sim"))
+        pairs.select("v1", "v2", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("v1", "v2")
     )

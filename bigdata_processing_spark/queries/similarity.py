@@ -28,6 +28,20 @@ _COS = """list_dot_product(qe, ce)
                    / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"""
 
 
+def _with_norm(emb: DataFrame, id_alias: str, e_alias: str, n_alias: str,
+               extra: dict[str, str] | None = None) -> DataFrame:
+    """Project (id, embedding-as-double, precomputed norm [, extras]) —
+    norms are computed once per vector, never per pair."""
+    cols = [
+        F.col("vec_id").alias(id_alias),
+        F.col("embedding").cast("array<double>").alias(e_alias),
+        V.norm(F.col("embedding")).alias(n_alias),
+    ]
+    for src, alias in (extra or {}).items():
+        cols.append(F.col(src).alias(alias))
+    return emb.select(*cols)
+
+
 @register(
     "knn_bruteforce",
     oracle=f"""
@@ -50,14 +64,13 @@ _COS = """list_dot_product(qe, ce)
 )
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"), F.col("embedding").alias("qe")
-    )
-    c = emb.select(F.col("vec_id").alias("cid"), F.col("embedding").alias("ce"))
+    q = _with_norm(emb.filter(F.col("vec_id") % 100 == 0), "qid", "qe", "qn")
+    c = _with_norm(emb, "cid", "ce", "cn")
     joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
-        joined.select("qid", "cid", V.cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+        joined.select("qid", "cid", cos.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
@@ -86,22 +99,17 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("embedding").alias("qe"),
+    q = _with_norm(
+        emb.filter(F.col("vec_id") % 100 == 0), "qid", "qe", "qn", {"label": "qlabel"}
     )
-    c = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("label").alias("clabel"),
-        F.col("embedding").alias("ce"),
-    )
+    c = _with_norm(emb, "cid", "ce", "cn", {"label": "clabel"})
     joined = c.join(
         F.broadcast(q), (F.col("clabel") == F.col("qlabel")) & (F.col("cid") != F.col("qid"))
     )
+    cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
-        joined.select("qid", "cid", V.cosine(F.col("qe"), F.col("ce")).alias("cos_sim"))
+        joined.select("qid", "cid", cos.alias("cos_sim"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")

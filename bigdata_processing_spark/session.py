@@ -33,6 +33,7 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.sql.files.maxPartitionBytes": str(128 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
+    "spark.ui.showConsoleProgress": "false",
     "spark.sql.parquet.filterPushdown": "true",
     # Fixture events.parquet carries TIMESTAMP(NANOS) which the vectorized
     # reader rejects; read as long and convert in the catalog (see

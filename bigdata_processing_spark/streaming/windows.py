@@ -1,0 +1,114 @@
+"""Windowed streaming aggregations over the events stream.
+
+Design: every aggregation here is written against a plain DataFrame, so
+the SAME function body serves batch (``spark.read``) and streaming
+(``spark.readStream``) inputs — batch-stream parity is a test invariant
+(tests/test_streaming.py), mirroring how the batch month-bucketing
+queries (SURVEY.md §2.3 P3) are the time-window analog.
+
+Scale notes: watermarks bound state store size (without one, windowed
+state grows forever at 100TB/day ingest); session windows use Spark's
+native ``session_window`` merge rather than any custom state op.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import table_path
+
+# events.parquet carries TIMESTAMP(NANOS); the file-stream reader needs
+# the same legacy conf as the batch catalog (catalog._NANO_TS_COLS).
+_EVENTS_SCHEMA_HINT = (
+    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "value double, props string"
+)
+
+
+def read_events_stream(spark: SparkSession, sf_dir: str,
+                       max_files_per_trigger: int | None = None) -> DataFrame:
+    """events as a file-source stream. The FileStreamSource watches a
+    DIRECTORY for arriving files, so the single-file fixture is staged
+    (symlinked) into a scratch dir — in production this is the landing
+    directory files arrive in. Returns the same shape as
+    catalog.load_table(..., 'events')."""
+    import os
+    import tempfile
+
+    src = table_path(sf_dir, "events")
+    stage = os.path.join(tempfile.gettempdir(), "bdps_stream", sf_dir.strip("/").replace("/", "_"))
+    os.makedirs(stage, exist_ok=True)
+    link = os.path.join(stage, "events.parquet")
+    if not os.path.exists(link):
+        os.symlink(src, link)
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    reader = spark.readStream.schema(_EVENTS_SCHEMA_HINT)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(stage)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_window_agg(events: DataFrame, width: str = "6 hours",
+                        watermark: str = "1 hour") -> DataFrame:
+    """Tumbling windows + watermark. Late rows beyond the watermark are
+    dropped in streaming mode; in batch mode the watermark is a no-op —
+    the parity invariant the tests assert."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
+    )
+
+
+def sliding_window_agg(events: DataFrame, width: str = "6 hours",
+                       slide: str = "3 hours", watermark: str = "1 hour") -> DataFrame:
+    """Sliding windows (each row lands in width/slide windows)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width, slide).alias("w"), F.col("event_type"))
+        .agg(F.count("*").alias("n_events"), F.avg("value").alias("avg_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes",
+                       watermark: str = "1 hour") -> DataFrame:
+    """Per-user session windows: events within ``gap`` of each other
+    merge into one session (native session_window state merge)."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "total_value",
+        )
+    )
+
+
+def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str,
+                         output_mode: str = "complete") -> DataFrame:
+    """Drive a streaming aggregation to completion with availableNow
+    (process-everything-then-stop) into an in-memory sink; returns the
+    result table. Test/verification helper."""
+    q = (
+        agg.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(name)

@@ -1,0 +1,75 @@
+"""Unit tests for the Column-expression function library."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.functions import vectors as V
+
+
+def _one(spark, col):
+    return spark.range(1).select(col.alias("v")).collect()[0]["v"]
+
+
+def test_token_count(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("",), ("  ",), ("single",)], ["t"]
+    )
+    out = [r["n"] for r in df.select(T.token_count(F.col("t")).alias("n")).collect()]
+    assert out == [3, 0, 0, 1]
+
+
+def test_word_shingles_bigram(spark):
+    df = spark.createDataFrame([("a b c d",), ("a",), ("",)], ["t"])
+    out = [r["s"] for r in df.select(T.word_shingles(F.col("t"), 2).alias("s")).collect()]
+    assert out[0] == ["a_b", "b_c", "c_d"]
+    assert out[1] == []  # shorter than n → empty, not a broken sequence
+    assert out[2] == []
+
+
+def test_word_shingles_dedupe(spark):
+    df = spark.createDataFrame([("x y x y",)], ["t"])
+    out = df.select(T.word_shingles(F.col("t"), 2).alias("s")).collect()[0]["s"]
+    assert sorted(out) == ["x_y", "y_x"]  # distinct shingle set
+
+
+def test_fingerprint_normalization(spark):
+    df = spark.createDataFrame(
+        [("Hello  World",), ("  hello world ",), ("HELLO\tWORLD",)], ["t"]
+    )
+    fps = [r["f"] for r in df.select(T.fingerprint(F.col("t")).alias("f")).collect()]
+    assert fps[0] == fps[1] == fps[2]
+
+
+def test_hash64_matches_duckdb(spark):
+    import duckdb
+
+    got = _one(spark, T.hash64(F.lit("shingle"), 3))
+    want = duckdb.execute(
+        "SELECT ('0x' || substr(md5('3|' || 'shingle'), 1, 8))::BIGINT"
+    ).fetchone()[0]
+    assert got == want
+
+
+def test_minhash_hashes_match_duckdb(spark):
+    import duckdb
+
+    cols = T.minhash_hashes(F.lit("sh"), 8)
+    got = spark.range(1).select(*[c.alias(f"h{i}") for i, c in enumerate(cols)]).collect()[0]
+    for i in range(8):
+        want = duckdb.execute(f"SELECT {T.minhash_hash_sql(chr(39) + 'sh' + chr(39), i)}").fetchone()[0]
+        assert got[f"h{i}"] == want, f"hash {i}"
+
+
+def test_cosine_identity(spark):
+    df = spark.createDataFrame([([1.0, 2.0, 3.0],)], "v: array<double>")
+    cos = df.select(V.cosine(F.col("v"), F.col("v")).alias("c")).collect()[0]["c"]
+    assert math.isclose(cos, 1.0, rel_tol=1e-12)
+
+
+def test_dot_orthogonal(spark):
+    df = spark.createDataFrame([([1.0, 0.0], [0.0, 1.0])], "a: array<double>, b: array<double>")
+    assert df.select(V.dot(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"] == 0.0

@@ -1,0 +1,75 @@
+"""Scale-property regression tests: assert the physical plans we designed
+for, not just the answers. A wrong plan at sf0.001 is a melted cluster
+at 100TB."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.plans import (
+    has_broadcast_join,
+    has_pushed_filters,
+    shuffle_count,
+    wholestage_codegen_spans,
+)
+from bigdata_processing_spark.queries.joins import (
+    revenue_by_region,
+    top_customers_by_revenue,
+)
+from bigdata_processing_spark.queries.relational import (
+    filter_prefix_predicate,
+    monthly_orders,
+    pricing_summary,
+)
+
+
+def test_dimension_joins_broadcast(spark):
+    """Fact⋈dim joins must broadcast the dimension — never shuffle the
+    fact table to meet a 25-row nation table (reference J1's RDD join
+    shuffled both sides unconditionally)."""
+    assert has_broadcast_join(top_customers_by_revenue(spark, SF_SMALL))
+    assert has_broadcast_join(revenue_by_region(spark, SF_SMALL))
+
+
+def test_multi_hop_join_single_shuffle(spark):
+    """region→nation→customer→orders: all hops broadcast; the only
+    shuffle is the final groupBy (+ its sort exchange)."""
+    df = revenue_by_region(spark, SF_SMALL)
+    assert shuffle_count(df) <= 2
+
+
+def test_filters_pushed_to_parquet(spark):
+    assert has_pushed_filters(filter_prefix_predicate(spark, SF_SMALL))
+    li = load_table(spark, SF_SMALL, "lineitem").filter(F.col("l_quantity") > 10)
+    assert has_pushed_filters(li)
+
+
+def test_aggregation_stays_in_codegen(spark):
+    assert wholestage_codegen_spans(monthly_orders(spark, SF_SMALL)) >= 1
+    assert wholestage_codegen_spans(pricing_summary(spark, SF_SMALL)) >= 1
+
+
+def test_column_pruning(spark):
+    """A 2-column projection must not scan all 11 lineitem columns."""
+    from bigdata_processing_spark.plans import explain_str
+
+    li = load_table(spark, SF_SMALL, "lineitem").select("l_suppkey", "l_quantity")
+    plan = explain_str(li)
+    assert "l_extendedprice" not in plan.split("ReadSchema")[1][:400]
+
+
+def test_groupby_sum_invariant_under_repartition(spark):
+    """Property check: keyed sums are partitioning-invariant."""
+    li = load_table(spark, SF_SMALL, "lineitem")
+    a = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("s"))
+    b = (
+        li.repartition(13, "l_orderkey")
+        .groupBy("l_suppkey")
+        .agg(F.sum("l_quantity").alias("s"))
+    )
+    ra = {r.l_suppkey: round(r.s, 6) for r in a.collect()}
+    rb = {r.l_suppkey: round(r.s, 6) for r in b.collect()}
+    assert ra == rb

@@ -1,0 +1,116 @@
+"""Sources/sinks: validator-parity CSV/JSON readers, distributed writers.
+
+Mirrors the reference's drop-bad-lines semantics (SURVEY.md §2.2):
+arity/type failures drop the row; the header dies the same way; prefix
+and non-empty constraints filter like the hand-written validators.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from bigdata_processing_spark.sources import (
+    read_csv,
+    read_json,
+    write_csv,
+    write_json,
+    write_parquet,
+)
+from bigdata_processing_spark.sources.readers import hex_prefixed, non_empty, parsed_ok
+
+SCHEMA = StructType(
+    [
+        StructField("addr", StringType()),
+        StructField("value", DoubleType()),
+        StructField("block", LongType()),
+    ]
+)
+
+
+def _write(tmp_path, name, lines):
+    p = os.path.join(str(tmp_path), name)
+    with open(p, "w") as f:
+        f.write("\n".join(lines) + "\n")
+    return p
+
+
+def test_csv_drops_malformed_and_header(spark, tmp_path):
+    # header + 2 good rows + bad-float row + bad-arity row
+    path = _write(
+        tmp_path,
+        "txns.csv",
+        [
+            "addr,value,block",
+            "0xabc,1.5,100",
+            "0xdef,2.5,101",
+            "0xbad,notafloat,102",
+            "toofewfields",
+        ],
+    )
+    df = read_csv(spark, path, SCHEMA, header=True,
+                  constraints=[parsed_ok("value", "block")])
+    rows = sorted((r.addr, r.value) for r in df.collect())
+    assert rows == [("0xabc", 1.5), ("0xdef", 2.5)]
+
+
+def test_csv_prefix_constraint(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "c.csv",
+        ["addr,value,block", "0xok,1.0,1", "nothex,2.0,2", ",3.0,3"],
+    )
+    df = read_csv(spark, path, SCHEMA, constraints=[hex_prefixed("addr"), non_empty("addr")])
+    assert [r.addr for r in df.collect()] == ["0xok"]
+
+
+def test_json_reader_with_schema(spark, tmp_path):
+    path = _write(
+        tmp_path,
+        "d.json",
+        ['{"addr": "0x1", "value": 5.0, "block": 7}', "{bad json", '{"addr": "0x2"}'],
+    )
+    df = read_json(spark, path, SCHEMA)
+    rows = {r.addr: (r.value, r.block) for r in df.collect()}
+    assert rows["0x1"] == (5.0, 7)
+    assert rows["0x2"] == (None, None)  # missing fields → null, row kept
+    assert len(rows) == 2  # malformed line dropped
+
+
+def test_write_json_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    out = os.path.join(str(tmp_path), "out_json")
+    write_json(df, out, single_file=True)
+    back = spark.read.json(out)
+    assert sorted((r.k, r.v) for r in back.collect()) == [("a", 1), ("b", 2)]
+    # single_file=True → exactly one part file (the reference's blob shape)
+    parts = [f for f in os.listdir(out) if f.startswith("part-")]
+    assert len(parts) == 1
+
+
+def test_write_csv_roundtrip(spark, tmp_path):
+    df = spark.createDataFrame([("a", 1.5)], ["k", "v"])
+    out = os.path.join(str(tmp_path), "out_csv")
+    write_csv(df, out, single_file=True)
+    back = spark.read.option("header", "true").csv(out)
+    r = back.collect()[0]
+    assert (r.k, float(r.v)) == ("a", 1.5)
+
+
+def test_write_parquet_partitioned(spark, tmp_path):
+    df = spark.createDataFrame([("x", 1), ("y", 2), ("x", 3)], ["part", "v"])
+    out = os.path.join(str(tmp_path), "out_pq")
+    write_parquet(df, out, partition_by=("part",))
+    assert os.path.isdir(os.path.join(out, "part=x"))
+    back = spark.read.parquet(out)
+    # partition pruning: scanning part=x must not read part=y files
+    pruned = back.filter(F.col("part") == "x")
+    assert pruned.count() == 2
