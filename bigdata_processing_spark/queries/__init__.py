@@ -63,5 +63,6 @@ def _load_all() -> None:
         dedup,
         similarity,
         multimodal,
+        timeseries,
     )
     _LOADED = True

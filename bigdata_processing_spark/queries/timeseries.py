@@ -1,0 +1,247 @@
+"""Time-series & advanced-join queries: as-of join, equi+range join,
+bucketed range join, exact quantiles, salted skew aggregation, typed
+casts.
+
+These extend the reference surface with the operators a time-series /
+training-data workload needs (engine policy: compose from DataFrame ops
+first — SURVEY.md §4 'custom Catalyst work needed: none')."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.operators.asof import asof_join
+from bigdata_processing_spark.operators.skew import salted_agg
+from bigdata_processing_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# As-of join: for every purchase event, the user's most recent prior (or
+# simultaneous) view event. Spark composition: union + window, ONE
+# shuffle, no join product (operators/asof.py). DuckDB oracle: native
+# ASOF LEFT JOIN.
+# ---------------------------------------------------------------------------
+@register(
+    "asof_purchase_last_view",
+    oracle="""
+        SELECT p.event_id,
+               p.user_id,
+               epoch_us(p.ts) AS purchase_ts_us,
+               v.event_id AS view_event_id,
+               v.value AS view_value
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'view') v
+          ON p.user_id = v.user_id AND v.ts <= p.ts
+        ORDER BY p.event_id
+    """,
+)
+def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    purchases = events.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    views = events.filter(F.col("event_type") == "view").select(
+        "event_id", "user_id", "ts", "value"
+    )
+    joined = asof_join(
+        purchases,
+        views,
+        on="user_id",
+        ts="ts",
+        right_payload={"event_id": "view_event_id", "value": "view_value"},
+    )
+    return joined.select(
+        "event_id",
+        "user_id",
+        F.unix_micros("ts").alias("purchase_ts_us"),
+        "view_event_id",
+        "view_value",
+    ).orderBy("event_id")
+
+
+# ---------------------------------------------------------------------------
+# Equi + range join: lineitems shipped within 90 days of their order's
+# date. The equi key (orderkey) keeps the join hash/merge-partitioned —
+# the range predicate rides along as a post-join filter condition, so
+# this scales like any equi join.
+# ---------------------------------------------------------------------------
+@register(
+    "shipped_within_90d",
+    oracle="""
+        SELECT o.o_orderstatus,
+               count(*) AS n_lineitems,
+               sum(l.l_extendedprice) AS total_price
+        FROM lineitem l
+        JOIN orders o
+          ON l.l_orderkey = o.o_orderkey
+         AND l.l_shipdate >= o.o_orderdate
+         AND l.l_shipdate < o.o_orderdate + INTERVAL 90 DAYS
+        GROUP BY o.o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def shipped_within_90d(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    orders = load_table(spark, sf_dir, "orders")
+    cond = (
+        (li.l_orderkey == orders.o_orderkey)
+        & (li.l_shipdate >= orders.o_orderdate)
+        & (li.l_shipdate < F.date_add(orders.o_orderdate, 90))
+    )
+    return (
+        li.join(orders, cond)
+        .groupBy("o_orderstatus")
+        .agg(
+            F.count("*").alias("n_lineitems"),
+            F.sum("l_extendedprice").alias("total_price"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pure range join via the bucket rewrite: histogram of event values
+# against a literal band table. A naive range join is a nested-loop
+# product; binning each row to candidate buckets turns it into an equi
+# join on bucket id — the 100TB-safe rewrite (band table broadcast).
+# ---------------------------------------------------------------------------
+_BANDS: list[tuple[int, float, float, str]] = [
+    (0, 0.0, 10.0, "low"),
+    (1, 10.0, 50.0, "mid"),
+    (2, 50.0, 200.0, "high"),
+    (3, 200.0, 1000.0, "extreme"),
+]
+
+
+@register(
+    "range_join_value_bands",
+    oracle="""
+        WITH bands(band_id, lo, hi, band) AS (
+            VALUES (0, 0.0, 10.0, 'low'), (1, 10.0, 50.0, 'mid'),
+                   (2, 50.0, 200.0, 'high'), (3, 200.0, 1000.0, 'extreme')
+        )
+        SELECT b.band, count(*) AS n_events, sum(e.value) AS total_value
+        FROM events e JOIN bands b ON e.value >= b.lo AND e.value < b.hi
+        GROUP BY b.band
+        ORDER BY band
+    """,
+)
+def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double, band string")
+    return (
+        events.join(
+            F.broadcast(bands),
+            (events.value >= bands.lo) & (events.value < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
+        .orderBy("band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact quantiles (continuous interpolation) per group — the percentile
+# family the reference lacked entirely (§2.6 'not present').
+# ---------------------------------------------------------------------------
+@register(
+    "value_quantiles_by_type",
+    oracle="""
+        SELECT event_type,
+               quantile_cont(value, 0.25) AS p25,
+               quantile_cont(value, 0.50) AS p50,
+               quantile_cont(value, 0.75) AS p75,
+               quantile_cont(value, 0.95) AS p95
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.percentile("value", 0.25).alias("p25"),
+            F.percentile("value", 0.50).alias("p50"),
+            F.percentile("value", 0.75).alias("p75"),
+            F.percentile("value", 0.95).alias("p95"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Approximate distinct (HLL++) vs exact — the sketch path for 100TB
+# cardinality estimation. Engine-specific sketch internals → rows-only
+# driver check (no cross-engine oracle can match HLL estimates).
+# ---------------------------------------------------------------------------
+@register("approx_distinct_users")  # no oracle: HLL sketch is engine-specific
+def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
+            F.countDistinct("user_id").alias("exact_users"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Salted skew aggregation: same answer as a plain groupBy (the oracle
+# proves it), computed via two-stage salt — the pattern for power-law
+# keys where one reducer would otherwise take the whole hot key.
+# ---------------------------------------------------------------------------
+@register(
+    "salted_supplier_totals",
+    oracle="""
+        SELECT l_suppkey,
+               sum(l_quantity) AS total_qty,
+               count(*) AS n_items
+        FROM lineitem
+        GROUP BY l_suppkey
+        ORDER BY l_suppkey
+    """,
+)
+def salted_supplier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    return salted_agg(
+        li,
+        ["l_suppkey"],
+        {"total_qty": ("sum", "l_quantity"), "n_items": ("count", "l_quantity")},
+        n_salts=16,
+    ).orderBy("l_suppkey")
+
+
+# ---------------------------------------------------------------------------
+# Typed-cast projections (reference X4 float/int casts, P7 stringified
+# measures): exact-integer cents arithmetic and stable string keys.
+# ---------------------------------------------------------------------------
+@register(
+    "typed_casts",
+    oracle="""
+        SELECT o_orderkey,
+               round(o_totalprice * 100)::BIGINT AS price_cents,
+               o_custkey::VARCHAR AS custkey_str,
+               (o_totalprice >= 200000) AS is_large
+        FROM orders
+        WHERE o_orderkey < 100
+        ORDER BY o_orderkey
+    """,
+)
+def typed_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 100)
+        .select(
+            "o_orderkey",
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
+            F.col("o_custkey").cast("string").alias("custkey_str"),
+            (F.col("o_totalprice") >= 200000).alias("is_large"),
+        )
+        .orderBy("o_orderkey")
+    )
