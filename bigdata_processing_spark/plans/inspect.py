@@ -24,9 +24,11 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def shuffle_count(df: DataFrame) -> int:
-    """Number of exchange (shuffle) operators in the physical plan."""
-    plan = explain_str(df)
-    return len(re.findall(r"\bExchange hashpartitioning|\bExchange rangepartitioning", plan))
+    """Number of exchange (shuffle) operators in the physical plan.
+    ('simple' mode keeps Exchange and its partitioning on one line;
+    'formatted' mode splits them.)"""
+    plan = explain_str(df, "simple")
+    return len(re.findall(r"\bExchange (?:hash|range)partitioning", plan))
 
 
 def has_pushed_filters(df: DataFrame) -> bool:

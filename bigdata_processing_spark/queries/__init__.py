@@ -64,5 +64,6 @@ def _load_all() -> None:
         similarity,
         multimodal,
         timeseries,
+        extended,
     )
     _LOADED = True

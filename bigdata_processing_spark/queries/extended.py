@@ -1,0 +1,344 @@
+"""Extended relational coverage: scalar-function families, null
+handling, statistical aggregates, cube, sorted list aggregation,
+unpivot, deterministic sampling, rollup reuse.
+
+Rounds out SURVEY.md §2.6/§2.8's "engine exposes via built-ins" items
+and adds the sampling/splitting operators a training-data pipeline needs
+(deterministic hash sampling — reproducible across engines and runs,
+unlike seeded RNG sampling which is engine-specific)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# String-function family (X1-X3 generalized): one pass exercising the
+# common scalar string ops with identical semantics in both engines.
+# ---------------------------------------------------------------------------
+@register(
+    "string_functions",
+    oracle="""
+        SELECT c_custkey,
+               upper(c_mktsegment) AS seg_upper,
+               lower(c_name) AS name_lower,
+               lpad(c_custkey::VARCHAR, 10, '0') AS key_padded,
+               substr(c_name, 10, 5) AS name_mid,
+               replace(c_name, 'Customer', 'C') AS name_short,
+               left(c_mktsegment, 3) AS seg3,
+               reverse(c_mktsegment) AS seg_rev,
+               length(c_name) AS name_len,
+               instr(c_name, '#') AS hash_pos,
+               concat(c_mktsegment, '/', c_custkey::VARCHAR) AS seg_key
+        FROM customer
+        WHERE c_custkey < 50
+        ORDER BY c_custkey
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return (
+        cust.filter(F.col("c_custkey") < 50)
+        .select(
+            "c_custkey",
+            F.upper("c_mktsegment").alias("seg_upper"),
+            F.lower("c_name").alias("name_lower"),
+            F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+            F.substring("c_name", 10, 5).alias("name_mid"),
+            F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
+            F.left(F.col("c_mktsegment"), F.lit(3)).alias("seg3"),
+            F.reverse("c_mktsegment").alias("seg_rev"),
+            F.length("c_name").alias("name_len"),
+            F.instr(F.col("c_name"), "#").alias("hash_pos"),
+            F.concat_ws("/", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
+        )
+        .orderBy("c_custkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Null-handling family: coalesce / nullif / null-aware aggregation.
+# ---------------------------------------------------------------------------
+@register(
+    "null_handling",
+    oracle="""
+        WITH x AS (
+            SELECT c_custkey,
+                   nullif(c_mktsegment, 'MACHINERY') AS seg_or_null,
+                   CASE WHEN c_acctbal < 0 THEN NULL ELSE c_acctbal END AS bal_pos
+            FROM customer
+        )
+        SELECT coalesce(seg_or_null, '(machinery)') AS segment,
+               count(*) AS n_total,
+               count(bal_pos) AS n_pos,
+               sum(coalesce(bal_pos, 0)) AS total_pos_bal
+        FROM x
+        GROUP BY 1
+        ORDER BY segment
+    """,
+)
+def null_handling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    x = cust.select(
+        F.nullif(F.col("c_mktsegment"), F.lit("MACHINERY")).alias("seg_or_null"),
+        F.when(F.col("c_acctbal") < 0, None).otherwise(F.col("c_acctbal")).alias("bal_pos"),
+    )
+    return (
+        x.groupBy(F.coalesce("seg_or_null", F.lit("(machinery)")).alias("segment"))
+        .agg(
+            F.count("*").alias("n_total"),
+            F.count("bal_pos").alias("n_pos"),
+            F.sum(F.coalesce("bal_pos", F.lit(0.0))).alias("total_pos_bal"),
+        )
+        .orderBy("segment")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Statistical aggregates (§2.6 "not present; engine exposes"):
+# stddev/variance (sample + population).
+# ---------------------------------------------------------------------------
+@register(
+    "value_statistics",
+    oracle="""
+        SELECT event_type,
+               stddev_samp(value) AS sd_samp,
+               stddev_pop(value) AS sd_pop,
+               var_samp(value) AS var_s,
+               min(value) AS v_min,
+               max(value) AS v_max
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def value_statistics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.stddev_samp("value").alias("sd_samp"),
+            F.stddev_pop("value").alias("sd_pop"),
+            F.var_samp("value").alias("var_s"),
+            F.min("value").alias("v_min"),
+            F.max("value").alias("v_max"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cube (full grouping-sets lattice; rollup already covered).
+# ---------------------------------------------------------------------------
+@register(
+    "cube_status_priority",
+    oracle="""
+        SELECT o_orderstatus, o_orderpriority,
+               count(*) AS n_orders, sum(o_totalprice) AS total_price
+        FROM orders
+        GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(F.count("*").alias("n_orders"), F.sum("o_totalprice").alias("total_price"))
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorted list aggregation (collect_list/set made deterministic via
+# array_sort — unordered collect is not a well-defined query result).
+# ---------------------------------------------------------------------------
+@register(
+    "collect_sorted_lists",
+    oracle="""
+        SELECT n_regionkey,
+               list_sort(list(n_name)) AS nations,
+               len(list(n_name)) AS n_nations
+        FROM nation
+        GROUP BY n_regionkey
+        ORDER BY n_regionkey
+    """,
+)
+def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = load_table(spark, sf_dir, "nation")
+    return (
+        nation.groupBy("n_regionkey")
+        .agg(
+            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.count("n_name").alias("n_nations"),
+        )
+        .orderBy("n_regionkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Unpivot / melt (inverse of R2's pivot — SURVEY.md §2.9).
+# ---------------------------------------------------------------------------
+@register(
+    "unpivot_segment_metrics",
+    oracle="""
+        SELECT * FROM (
+            SELECT c_mktsegment,
+                   avg(c_acctbal) AS avg_bal,
+                   max(c_acctbal) AS max_bal,
+                   min(c_acctbal) AS min_bal
+            FROM customer GROUP BY 1
+        ) UNPIVOT (v FOR metric IN (avg_bal, max_bal, min_bal))
+        ORDER BY c_mktsegment, metric
+    """,
+)
+def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    wide = cust.groupBy("c_mktsegment").agg(
+        F.avg("c_acctbal").alias("avg_bal"),
+        F.max("c_acctbal").alias("max_bal"),
+        F.min("c_acctbal").alias("min_bal"),
+    )
+    return wide.unpivot(
+        ["c_mktsegment"], ["avg_bal", "max_bal", "min_bal"], "metric", "v"
+    ).orderBy("c_mktsegment", "metric")
+
+
+# ---------------------------------------------------------------------------
+# Deterministic hash sampling — the training-data split primitive.
+# Seeded RNG sampling is engine-specific; hashing a stable id is
+# reproducible everywhere, composable (disjoint buckets = disjoint
+# splits) and cluster-order-independent.
+# ---------------------------------------------------------------------------
+@register(
+    "hash_sample_10pct",
+    oracle="""
+        SELECT count(*) AS n_sampled,
+               sum(value) AS total_value,
+               count(DISTINCT user_id) AS n_users
+        FROM events
+        WHERE ('0x' || substr(md5('s|' || event_id), 1, 8))::BIGINT % 100 < 10
+    """,
+)
+def hash_sample_10pct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    bucket = T.hash64(F.col("event_id").cast("string"), "s") % 100
+    return events.filter(bucket < 10).agg(
+        F.count("*").alias("n_sampled"),
+        F.sum("value").alias("total_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic train/test split summary over documents (90/10 by
+# fingerprint hash — splitting on CONTENT hash keeps exact dups in the
+# same split, the correct train/test hygiene).
+# ---------------------------------------------------------------------------
+@register(
+    "train_test_split",
+    oracle="""
+        WITH tagged AS (
+            SELECT lang,
+                   CASE WHEN ('0x' || substr(md5('split|' ||
+                            md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))), 1, 8))::BIGINT
+                            % 10 < 9
+                        THEN 'train' ELSE 'test' END AS split
+            FROM documents
+        )
+        SELECT lang, split, count(*) AS n_docs
+        FROM tagged
+        GROUP BY lang, split
+        ORDER BY lang, split
+    """,
+)
+def train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    bucket = T.hash64(T.fingerprint(F.col("text")), "split") % 10
+    return (
+        docs.select(
+            "lang",
+            F.when(bucket < 9, F.lit("train")).otherwise(F.lit("test")).alias("split"),
+        )
+        .groupBy("lang", "split")
+        .agg(F.count("*").alias("n_docs"))
+        .orderBy("lang", "split")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Stratified sampling: exactly k rows per group, deterministic order —
+# window row_number over a hash-ordered partition.
+# ---------------------------------------------------------------------------
+@register(
+    "stratified_sample_5_per_type",
+    oracle="""
+        SELECT event_type, event_id, rn FROM (
+            SELECT event_type, event_id,
+                   row_number() OVER (
+                       PARTITION BY event_type
+                       ORDER BY ('0x' || substr(md5('strat|' || event_id), 1, 8))::BIGINT,
+                                event_id
+                   ) AS rn
+            FROM events
+        )
+        WHERE rn <= 5
+        ORDER BY event_type, rn
+    """,
+)
+def stratified_sample_5_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    h = T.hash64(F.col("event_id").cast("string"), "strat")
+    w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
+    return (
+        events.select("event_type", "event_id")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("event_type", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rollup reuse (hypertable-style continuous aggregate): the monthly
+# series is computed FROM the daily rollup, not from raw events —
+# aggregate-of-aggregate correctness is the invariant the oracle checks.
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_from_daily_rollup",
+    oracle="""
+        WITH daily AS (
+            SELECT strftime(ts, '%Y-%m-%d') AS d,
+                   count(*) AS n, sum(value) AS v
+            FROM events GROUP BY 1
+        )
+        SELECT substr(d, 1, 7) AS event_month,
+               sum(n) AS n_events,
+               sum(v) AS total_value,
+               sum(v) / sum(n) AS avg_value
+        FROM daily
+        GROUP BY 1
+        ORDER BY event_month
+    """,
+)
+def monthly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    daily = events.groupBy(F.date_format("ts", "yyyy-MM-dd").alias("d")).agg(
+        F.count("*").alias("n"), F.sum("value").alias("v")
+    )
+    return (
+        daily.groupBy(F.substring("d", 1, 7).alias("event_month"))
+        .agg(
+            F.sum("n").alias("n_events"),
+            F.sum("v").alias("total_value"),
+            (F.sum("v") / F.sum("n")).alias("avg_value"),
+        )
+        .orderBy("event_month")
+    )

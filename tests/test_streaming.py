@@ -58,3 +58,76 @@ def test_stream_schema_matches_batch(spark):
     batch = load_table(spark, SF_SMALL, "events")
     stream = read_events_stream(spark, SF_SMALL)
     assert dict(stream.dtypes) == dict(batch.dtypes)
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Two micro-batches: batch 1 advances the watermark; batch 2's
+    too-late row must be dropped from its (already-closed) window,
+    while its on-time row lands. Append mode only emits closed windows."""
+    import datetime as dt
+    import os
+
+    from pyspark.sql import functions as F
+
+    def ev(eid, hhmm):
+        h, m = divmod(hhmm, 100)
+        return (eid, dt.datetime(2024, 1, 1, h, m), 1, "click", 1.0, "{}")
+
+    schema = "event_id bigint, ts timestamp, user_id bigint, event_type string, value double, props string"
+    stage = os.path.join(str(tmp_path), "late_stream")
+    os.makedirs(stage)
+
+    def land(name, rows, mtime):
+        """Write a single parquet FILE into the landing dir (the file
+        stream source does not recurse into subdirectories)."""
+        import shutil
+
+        scratch = os.path.join(str(tmp_path), f"__{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(stage, name)
+        shutil.copyfile(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    now = 1_700_000_000
+    # batch 0: window [10:00,11:00) gets 2 rows; the 13:00 row advances
+    # event time so the watermark becomes 12:50 (10-minute delay).
+    land("f1.parquet", [ev(1, 1005), ev(2, 1010), ev(3, 1300)], now)
+    # batch 1: on-time row; the 12:50 watermark takes effect after this
+    # batch (watermark application lags one batch behind registration).
+    land("f2.parquet", [ev(9, 1310)], now + 100)
+    # batch 2: 10:30 is beyond-late (watermark 12:50 >> window end 11:00)
+    # → dropped; 13:30 is on time.
+    land("f3.parquet", [ev(4, 1030), ev(5, 1330)], now + 200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    agg = (
+        stream.withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("t_late")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = {r.ws.hour: r.n for r in spark.table("t_late").collect()}
+    # the 10:00 window emitted with ONLY the two on-time rows — the late
+    # 10:30 arrival (batch 2) was dropped by the watermark
+    assert got.get(10) == 2, got
+    dropped = sum(
+        (p["stateOperators"][0].get("numRowsDroppedByWatermark", 0)
+         if p["stateOperators"] else 0)
+        for p in q.recentProgress
+    )
+    assert dropped == 1
