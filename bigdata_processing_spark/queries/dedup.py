@@ -358,7 +358,8 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nrm").alias("n2"),
     )
     pairs = a.join(b, (a.label == b.label2) & (a.v1 < b.v2))
-    cos = V.dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    # vectorized kernel: this is the one all-pairs-scale dot workload
+    cos = V.dot_vectorized(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         pairs.select("v1", "v2", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= 0.4)

@@ -116,6 +116,20 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("kmeans_clusters")  # no oracle: iterative algorithm (driver loops
+# over k centroids only; all data-sized work is distributed per iteration)
+def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.operators.clustering import kmeans_fit
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assignments, _ = kmeans_fit(emb, k=8, n_iter=2)
+    return (
+        assignments.groupBy("cluster")
+        .agg(F.count("*").alias("n_vecs"))
+        .orderBy("cluster")
+    )
+
+
 @register(
     "embedding_norm_stats",
     oracle="""
