@@ -124,28 +124,10 @@ _SQL_BANDS = (
     + "]) AS bk FROM sig)"
 )
 
-@register(
-    "minhash_lsh_dup_pairs",
-    oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        )
-        SELECT c.d1, c.d2,
-               len(list_intersect(s1.sh, s2.sh))::DOUBLE
-                   / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
-                   AS jaccard
-        FROM cand c
-        JOIN shset s1 ON c.d1 = s1.doc_id
-        JOIN shset s2 ON c.d2 = s2.doc_id
-        WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
-                  / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
-              >= {JACCARD_THRESHOLD}
-        ORDER BY d1, d2
-    """,
-)
-def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full MinHash→LSH→verify pipeline, returning (d1, d2, jaccard)
+    for pairs above JACCARD_THRESHOLD. Shared by minhash_lsh_dup_pairs
+    and the connected-components clustering."""
     # Cache the shingle sets: reused by the signature pass and by both
     # sides of the verification join (without it Spark recomputes the
     # docs→shingles subtree four times — measured 4x slower).
@@ -190,7 +172,133 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         cand.join(s1, "d1").join(s2, "d2")
         .select("d1", "d2", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
-        .orderBy("d1", "d2")
+    )
+
+
+@register(
+    "minhash_lsh_dup_pairs",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        )
+        SELECT c.d1, c.d2,
+               len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                   / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                   AS jaccard
+        FROM cand c
+        JOIN shset s1 ON c.d1 = s1.doc_id
+        JOIN shset s2 ON c.d2 = s2.doc_id
+        WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                  / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+              >= {JACCARD_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _verified_dup_pairs(spark, sf_dir).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Near-dup CLUSTERS: connected components over the verified dup-pair
+# graph via iterative min-label propagation. Data-sized work (the pair
+# pipeline) is distributed; the iteration operates on the pair graph
+# (≪ corpus) and converges in O(cluster diameter) rounds. Oracle:
+# recursive-CTE transitive closure in DuckDB.
+# ---------------------------------------------------------------------------
+_SQL_PAIRS = f"""
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        pairs AS (
+            SELECT c.d1, c.d2
+            FROM cand c
+            JOIN shset s1 ON c.d1 = s1.doc_id
+            JOIN shset s2 ON c.d2 = s2.doc_id
+            WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                  >= {JACCARD_THRESHOLD}
+        )
+"""
+
+
+@register(
+    "dup_clusters",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION SELECT d2, d1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+        )
+        SELECT node AS doc_id, min(r) AS cluster_id
+        FROM reach
+        GROUP BY node
+        ORDER BY doc_id
+    """,
+)
+def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2").persist()
+    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst").persist()
+    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
+        "lbl", F.col("node")
+    )
+    # min-label propagation to fixpoint (dup clusters are near-cliques,
+    # so this converges in 2-3 rounds; bounded for safety)
+    for _ in range(20):
+        neighbor_min = (
+            labels.join(edges, labels.node == edges.src)
+            .groupBy("dst")
+            .agg(F.min("lbl").alias("nlbl"))
+        )
+        new_labels = (
+            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
+            .select(
+                "node",
+                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
+            )
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.lbl") != F.col("o.lbl"))
+            .count()
+        )
+        labels = new_labels.persist()
+        if changed == 0:
+            break
+    return labels.select("node", "lbl").toDF("doc_id", "cluster_id").orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Dedup keep-first materialization: one surviving doc per fingerprint
+# group (policy: min doc_id), with the group size it represents.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_keep_first",
+    oracle="""
+        SELECT min(doc_id) AS kept_doc,
+               count(*) AS group_size,
+               md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp
+        FROM documents
+        GROUP BY fp
+        ORDER BY kept_doc
+    """,
+)
+def dedup_keep_first(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("kept_doc"), F.count("*").alias("group_size"))
+        .select("kept_doc", "group_size", "fp")
+        .orderBy("kept_doc")
     )
 
 

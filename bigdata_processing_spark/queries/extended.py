@@ -213,6 +213,78 @@ def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# JSON serialization sink shape (reference X8 — json.dumps before the
+# boto3 put, etherTransactionsAnalysis.py:63): to_json over a struct,
+# JVM-side. Integer/string fields keep cross-engine rendering exact.
+# ---------------------------------------------------------------------------
+@register(
+    "json_serialize",
+    oracle="""
+        SELECT event_type,
+               to_json({'type': event_type,
+                        'n': count(*),
+                        'total_cents': round(sum(value) * 100)::BIGINT})::VARCHAR AS payload
+        FROM events
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def json_serialize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    return (
+        events.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.round(F.sum("value") * 100).cast("bigint").alias("total_cents"),
+        )
+        .select(
+            "event_type",
+            F.to_json(
+                F.struct(
+                    F.col("event_type").alias("type"),
+                    F.col("n"),
+                    F.col("total_cents"),
+                )
+            ).alias("payload"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Ordered first/last + boolean aggregates (§2.6 family completeness).
+# ---------------------------------------------------------------------------
+@register(
+    "first_last_bool_aggs",
+    oracle="""
+        SELECT o_orderstatus,
+               first(o_orderkey ORDER BY o_orderdate, o_orderkey) AS first_key,
+               last(o_orderkey ORDER BY o_orderdate, o_orderkey) AS last_key,
+               bool_or(o_totalprice > 400000) AS any_large,
+               bool_and(o_totalprice > 0) AS all_positive
+        FROM orders
+        GROUP BY o_orderstatus
+        ORDER BY o_orderstatus
+    """,
+)
+def first_last_bool_aggs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    # Spark's first()/last() are order-undefined within a group; the
+    # deterministic equivalents are min_by/max_by over the sort key.
+    sort_key = F.struct("o_orderdate", "o_orderkey")
+    return (
+        orders.groupBy("o_orderstatus")
+        .agg(
+            F.min_by("o_orderkey", sort_key).alias("first_key"),
+            F.max_by("o_orderkey", sort_key).alias("last_key"),
+            F.bool_or(F.col("o_totalprice") > 400000).alias("any_large"),
+            F.bool_and(F.col("o_totalprice") > 0).alias("all_positive"),
+        )
+        .orderBy("o_orderstatus")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Deterministic hash sampling — the training-data split primitive.
 # Seeded RNG sampling is engine-specific; hashing a stable id is
 # reproducible everywhere, composable (disjoint buckets = disjoint
