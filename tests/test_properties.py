@@ -1,0 +1,76 @@
+"""Property-based tests (hypothesis): engine function semantics hold on
+arbitrary inputs, checked against plain-Python models."""
+
+from __future__ import annotations
+
+import math
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.functions import vectors as V
+
+# one executor round-trip per example is expensive — keep example counts
+# small but meaningful
+_SETTINGS = dict(
+    max_examples=12,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+texts = st.text(
+    alphabet=st.characters(whitelist_categories=("Ll", "Lu", "Nd", "Zs", "Po")),
+    max_size=80,
+)
+
+
+@given(ts=st.lists(texts, min_size=1, max_size=8))
+@settings(**_SETTINGS)
+def test_token_count_model(spark, ts):
+    df = spark.createDataFrame([(t,) for t in ts], "t string")
+    got = [r.n for r in df.select(T.token_count(F.col("t")).alias("n")).collect()]
+    want = [len([w for w in t.split(" ") if w != ""]) for t in ts]
+    assert got == want
+
+
+@given(t=texts, n=st.integers(min_value=1, max_value=4))
+@settings(**_SETTINGS)
+def test_shingles_model(spark, t, n):
+    df = spark.createDataFrame([(t,)], "t string")
+    got = df.select(T.word_shingles(F.col("t"), n).alias("s")).collect()[0]["s"]
+    toks = [w for w in t.split(" ") if w != ""]
+    if n == 1:
+        want = list(dict.fromkeys(toks))
+    else:
+        want = list(
+            dict.fromkeys(
+                "_".join(toks[i : i + n]) for i in range(max(len(toks) - n + 1, 0))
+            )
+        )
+    assert got == want
+
+
+@given(
+    v=st.lists(
+        st.floats(min_value=-100, max_value=100, allow_nan=False), min_size=1, max_size=16
+    )
+)
+@settings(**_SETTINGS)
+def test_dot_model(spark, v):
+    df = spark.createDataFrame([(v, v)], "a: array<double>, b: array<double>")
+    got = df.select(V.dot(F.col("a"), F.col("b")).alias("d")).collect()[0]["d"]
+    want = math.fsum(x * x for x in v)
+    assert math.isclose(got, want, rel_tol=1e-9, abs_tol=1e-9)
+
+
+@given(t=texts)
+@settings(**_SETTINGS)
+def test_fingerprint_is_whitespace_invariant(spark, t):
+    variants = [t, f"  {t} ", t.replace(" ", "  ")]
+    df = spark.createDataFrame([(v,) for v in variants], "t string")
+    fps = {r.f for r in df.select(T.fingerprint(F.col("t")).alias("f")).collect()}
+    assert len(fps) == 1
