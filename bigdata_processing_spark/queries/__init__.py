@@ -65,5 +65,6 @@ def _load_all() -> None:
         multimodal,
         timeseries,
         extended,
+        temporal_ext,
     )
     _LOADED = True

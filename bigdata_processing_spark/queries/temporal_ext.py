@@ -1,0 +1,148 @@
+"""Temporal & frame extensions: rolling time-range windows, the
+date-function family, pagination, array-function family.
+
+The rolling RANGE-frame window is the time-series staple the reference
+approximated with month buckets (P3) — a true sliding aggregate over an
+interval, computed in one pass."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.queries import register
+
+
+# ---------------------------------------------------------------------------
+# Rolling 1-hour average per event (RANGE frame over event time).
+# Spark: range frame over unix-micros ordering — identical inclusive
+# bounds to DuckDB's RANGE BETWEEN INTERVAL 1 HOUR PRECEDING.
+# ---------------------------------------------------------------------------
+@register(
+    "rolling_1h_stats",
+    oracle="""
+        SELECT event_id,
+               round(avg(value) OVER w, 6) AS avg_1h,
+               count(*) OVER w AS n_1h
+        FROM events
+        WINDOW w AS (ORDER BY ts RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                     AND CURRENT ROW)
+        ORDER BY event_id
+        LIMIT 500
+    """,
+)
+def rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = (
+        Window.orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, 0)
+    )
+    return (
+        events.select(
+            "event_id",
+            F.round(F.avg("value").over(w), 6).alias("avg_1h"),
+            F.count("*").over(w).alias("n_1h"),
+        )
+        .orderBy("event_id")
+        .limit(500)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Date-function family (X5 generalized): parts, truncation, arithmetic.
+# dayofweek dialects differ (Spark Sun=1; DuckDB Sun=0) — normalized to
+# ISO weekday (Mon=0) on both sides.
+# ---------------------------------------------------------------------------
+@register(
+    "date_functions",
+    oracle="""
+        SELECT o_orderkey,
+               year(o_orderdate) AS y,
+               quarter(o_orderdate) AS q,
+               month(o_orderdate) AS m,
+               day(o_orderdate) AS d,
+               isodow(o_orderdate) - 1 AS iso_weekday,
+               strftime(date_trunc('month', o_orderdate), '%Y-%m-%d') AS month_start,
+               strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+               datediff('day', o_orderdate, TIMESTAMP '2001-09-01') AS days_to_ref
+        FROM orders
+        WHERE o_orderkey < 200
+        ORDER BY o_orderkey
+    """,
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.filter(F.col("o_orderkey") < 200)
+        .select(
+            "o_orderkey",
+            F.year("o_orderdate").alias("y"),
+            F.quarter("o_orderdate").alias("q"),
+            F.month("o_orderdate").alias("m"),
+            F.dayofmonth("o_orderdate").alias("d"),
+            F.weekday("o_orderdate").alias("iso_weekday"),
+            F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
+            F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
+            F.datediff(F.lit("2001-09-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_ref"),
+        )
+        .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Pagination: deterministic ORDER BY + LIMIT/OFFSET (page 3 of 25).
+# ---------------------------------------------------------------------------
+@register(
+    "pagination_page3",
+    oracle="""
+        SELECT c_custkey, c_name
+        FROM customer
+        ORDER BY c_custkey
+        LIMIT 25 OFFSET 50
+    """,
+)
+def pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    return cust.select("c_custkey", "c_name").orderBy("c_custkey").offset(50).limit(25)
+
+
+# ---------------------------------------------------------------------------
+# Array-function family over tokenized documents: contains, concat,
+# flatten, zip_with, slice (engine's array-algebra surface).
+# ---------------------------------------------------------------------------
+@register(
+    "array_functions",
+    oracle="""
+        WITH t AS (
+            SELECT doc_id, string_split(text, ' ')[1:6] AS toks
+            FROM documents WHERE doc_id < 30
+        )
+        SELECT doc_id,
+               len(toks) AS n,
+               list_contains(toks, 'data') AS has_data,
+               toks[1:2] || toks[-2:] AS ends,
+               list_transform(toks, t -> length(t)) AS tok_lens,
+               list_sum(list_transform(toks, t -> length(t))) AS total_len
+        FROM t
+        ORDER BY doc_id
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.slice(F.split("text", " "), 1, 6)
+    tok_lens = F.transform(toks, lambda t: F.length(t))
+    return (
+        docs.filter(F.col("doc_id") < 30)
+        .select(
+            "doc_id",
+            F.size(toks).alias("n"),
+            F.array_contains(toks, "data").alias("has_data"),
+            F.concat(
+                F.slice(toks, 1, 2), F.slice(toks, -2, 2)
+            ).alias("ends"),
+            tok_lens.alias("tok_lens"),
+            F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).alias("total_len"),
+        )
+        .orderBy("doc_id")
+    )
