@@ -58,12 +58,31 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.word_shingles(F.col("text"), 2).alias("sh"))
 
 
+def _sig_from_shex(shex: DataFrame) -> DataFrame:
+    """(doc_id, shingle) → minhash signature h0..h{k-1}.
+
+    Dictionary-encoded hashing: digests are computed once per DISTINCT
+    shingle and joined back (n-gram vocabularies are far smaller than
+    occurrence counts — 931 vs 256k at sf0.1; 2x on the full pipeline
+    WITH the explicit broadcast hint — AQE does not convert this join on
+    its own). At corpus scales where the vocabulary outgrows a
+    broadcast, drop the hint: it degrades to a shuffle join keyed by
+    shingle, still one digest per distinct shingle."""
+    vocab = shex.select("s").distinct().select(
+        "s",
+        *[h.alias(f"v{i}") for i, h in enumerate(T.minhash_hashes(F.col("s"), N_HASHES))],
+    )
+    return (
+        shex.join(F.broadcast(vocab), "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(N_HASHES)])
+    )
+
+
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → minhash signature columns h0..h{k-1} (one shuffle)."""
     shex = _shingle_df(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    hashes = T.minhash_hashes(F.col("s"), N_HASHES)
-    aggs = [F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)]
-    return shex.groupBy("doc_id").agg(*aggs)
+    return _sig_from_shex(shex)
 
 
 # ---------------------------------------------------------------------------
@@ -133,8 +152,7 @@ def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs→shingles subtree four times — measured 4x slower).
     shset = _shingle_df(spark, sf_dir).persist()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
-    hashes = T.minhash_hashes(F.col("s"), N_HASHES)
-    sig = shex.groupBy("doc_id").agg(*[F.min(h).alias(f"h{i}") for i, h in enumerate(hashes)])
+    sig = _sig_from_shex(shex)
 
     band_keys = F.array(
         *[
