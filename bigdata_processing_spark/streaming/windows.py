@@ -98,6 +98,46 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def interval_stream_join(left: DataFrame, right: DataFrame,
+                         key: str = "user_id",
+                         left_watermark: str = "1 hour",
+                         right_watermark: str = "1 hour",
+                         within: str = "30 minutes") -> DataFrame:
+    """Stream-stream inner join: left rows match right rows with the
+    same key whose timestamp falls in [left.ts - within, left.ts].
+
+    Both sides carry watermarks + the time-range predicate so Spark can
+    bound join state (without them, stream-stream join state grows
+    forever). Works identically on batch inputs (parity-tested).
+    """
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+    )
+    if left.isStreaming:
+        l = l.withWatermark("l_ts", left_watermark)
+    if right.isStreaming:
+        r = r.withWatermark("r_ts", right_watermark)
+    cond = (
+        (l.l_key == r.r_key)
+        & (r.r_ts <= l.l_ts)
+        & (r.r_ts >= l.l_ts - F.expr(f"INTERVAL {within}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_event_id"),
+        F.col("r_event_id"),
+        F.col("l_key").alias(key),
+        F.col("l_value"),
+    )
+
+
 def run_stream_to_memory(spark: SparkSession, agg: DataFrame, name: str,
                          output_mode: str = "complete") -> DataFrame:
     """Drive a streaming aggregation to completion with availableNow

@@ -60,6 +60,71 @@ def test_stream_schema_matches_batch(spark):
     assert dict(stream.dtypes) == dict(batch.dtypes)
 
 
+def test_stream_stream_join_parity(spark):
+    """Stream-stream interval join (purchases ⋈ recent views) equals the
+    same join on static inputs."""
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.streaming.windows import interval_stream_join
+
+    batch = load_table(spark, SF_SMALL, "events")
+    b_out = interval_stream_join(
+        batch.filter(F.col("event_type") == "purchase"),
+        batch.filter(F.col("event_type") == "view"),
+    )
+    stream = read_events_stream(spark, SF_SMALL)
+    s_agg = interval_stream_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "view"),
+    )
+    q = (
+        s_agg.writeStream.format("memory")
+        .queryName("t_ssj")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    cols = ["l_event_id", "r_event_id", "user_id", "l_value"]
+    b = sorted(tuple(r) for r in b_out.select(*cols).collect())
+    s = sorted(tuple(r) for r in spark.table("t_ssj").select(*cols).collect())
+    assert len(b) > 0
+    assert b == s
+
+
+def test_foreach_batch_sink(spark, tmp_path):
+    """foreachBatch: arbitrary batch sink logic per micro-batch (the
+    engine's upsert/merge escape hatch)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    out_dir = os.path.join(str(tmp_path), "fb_out")
+    seen_batches = []
+
+    def sink(batch_df, batch_id):
+        seen_batches.append(batch_id)
+        batch_df.write.mode("append").parquet(out_dir)
+
+    stream = read_events_stream(spark, SF_SMALL)
+    agg = stream.groupBy("event_type").agg(F.count("*").alias("n"))
+    q = (
+        agg.writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    assert seen_batches
+    back = spark.read.parquet(out_dir)
+    batch = load_table(spark, SF_SMALL, "events").groupBy("event_type").agg(
+        F.count("*").alias("n")
+    )
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in batch.collect()
+    )
+
+
 def test_watermark_drops_late_data(spark, tmp_path):
     """Two micro-batches: batch 1 advances the watermark; batch 2's
     too-late row must be dropped from its (already-closed) window,
