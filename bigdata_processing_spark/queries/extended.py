@@ -213,6 +213,35 @@ def unpivot_segment_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Structured extraction via regexp groups: pull the numeric id out of
+# the formatted customer name and validate it against the key column —
+# the schema-repair / field-extraction pattern over messy text.
+# ---------------------------------------------------------------------------
+@register(
+    "regexp_extract_ids",
+    oracle="""
+        SELECT (regexp_extract(c_name, '#(0*)([1-9][0-9]*)', 2) = c_custkey::VARCHAR
+                OR (c_custkey = 0 AND c_name LIKE '%#000000000')) AS id_matches,
+               count(*) AS n
+        FROM customer
+        GROUP BY 1
+        ORDER BY id_matches
+    """,
+)
+def regexp_extract_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    extracted = F.regexp_extract(F.col("c_name"), "#(0*)([1-9][0-9]*)", 2)
+    matches = (extracted == F.col("c_custkey").cast("string")) | (
+        (F.col("c_custkey") == 0) & F.col("c_name").endswith("#000000000")
+    )
+    return (
+        cust.groupBy(matches.alias("id_matches"))
+        .agg(F.count("*").alias("n"))
+        .orderBy("id_matches")
+    )
+
+
+# ---------------------------------------------------------------------------
 # JSON serialization sink shape (reference X8 — json.dumps before the
 # boto3 put, etherTransactionsAnalysis.py:63): to_json over a struct,
 # JVM-side. Integer/string fields keep cross-engine rendering exact.

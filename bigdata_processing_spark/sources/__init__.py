@@ -7,7 +7,9 @@ scan, boto3 JSON sink, pandas CSV sink, derived-table re-ingest).
 
 from bigdata_processing_spark.sources.readers import read_csv, read_json  # noqa: F401
 from bigdata_processing_spark.sources.writers import (  # noqa: F401
+    write_avro,
     write_csv,
     write_json,
+    write_orc,
     write_parquet,
 )

@@ -36,3 +36,24 @@ def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
     if partition_by:
         w = w.partitionBy(*partition_by)
     w.parquet(path)
+
+
+def write_orc(df: DataFrame, path: str, *, mode: str = "overwrite",
+              partition_by: tuple[str, ...] = ()) -> None:
+    """ORC sink (columnar alternative; same pushdown/pruning story as
+    parquet in Spark's vectorized reader)."""
+    w = df.write.mode(mode)
+    if partition_by:
+        w = w.partitionBy(*partition_by)
+    w.orc(path)
+
+
+def write_avro(df: DataFrame, path: str, *, mode: str = "overwrite") -> None:
+    """Avro sink — requires the external spark-avro module (not bundled
+    in this environment); raises a clear error when absent."""
+    try:
+        df.write.mode(mode).format("avro").save(path)
+    except Exception as e:  # pragma: no cover - environment-dependent
+        raise NotImplementedError(
+            "avro support requires the spark-avro package on the classpath"
+        ) from e

@@ -105,6 +105,28 @@ def test_write_csv_roundtrip(spark, tmp_path):
     assert (r.k, float(r.v)) == ("a", 1.5)
 
 
+def test_orc_roundtrip(spark, tmp_path):
+    from bigdata_processing_spark.sources import write_orc
+
+    df = spark.createDataFrame([("a", 1), ("b", 2)], ["k", "v"])
+    out = os.path.join(str(tmp_path), "out_orc")
+    write_orc(df, out)
+    back = spark.read.orc(out)
+    assert sorted((r.k, r.v) for r in back.collect()) == [("a", 1), ("b", 2)]
+
+
+def test_avro_gated(spark, tmp_path):
+    """spark-avro isn't on this classpath — the writer must fail with a
+    clear NotImplementedError, not a raw classpath stack."""
+    import pytest
+
+    from bigdata_processing_spark.sources import write_avro
+
+    df = spark.createDataFrame([("a", 1)], ["k", "v"])
+    with pytest.raises(NotImplementedError, match="spark-avro"):
+        write_avro(df, os.path.join(str(tmp_path), "out_avro"))
+
+
 def test_write_parquet_partitioned(spark, tmp_path):
     df = spark.createDataFrame([("x", 1), ("y", 2), ("x", 3)], ["part", "v"])
     out = os.path.join(str(tmp_path), "out_pq")
