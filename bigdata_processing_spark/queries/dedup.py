@@ -274,6 +274,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     # min-label propagation to fixpoint (dup clusters are near-cliques,
     # so this converges in 2-3 rounds; bounded for safety)
+    labels = labels.persist()
     for _ in range(20):
         neighbor_min = (
             labels.join(edges, labels.node == edges.src)
@@ -286,6 +287,7 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
             )
+            .persist()
         )
         changed = (
             new_labels.alias("n")
@@ -293,7 +295,8 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("n.lbl") != F.col("o.lbl"))
             .count()
         )
-        labels = new_labels.persist()
+        labels.unpersist()  # release the superseded iteration's cache
+        labels = new_labels
         if changed == 0:
             break
     return labels.select("node", "lbl").toDF("doc_id", "cluster_id").orderBy("doc_id")

@@ -1,0 +1,77 @@
+"""Empty-input and degenerate-input behavior of the composed operators —
+the failure mode batch pipelines actually hit in production (an empty
+landing partition must flow through, not crash)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.operators.asof import asof_join
+from bigdata_processing_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    extract_features,
+)
+from bigdata_processing_spark.operators.skew import salted_agg
+
+
+def _empty_like(spark, schema):
+    return spark.createDataFrame([], schema)
+
+
+def test_asof_empty_right(spark):
+    import datetime as dt
+
+    left = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), "a")], "k int, ts timestamp, name string"
+    )
+    right = _empty_like(spark, "k int, ts timestamp, v double")
+    out = asof_join(left, right, on="k", ts="ts", right_payload={"v": "last_v"}).collect()
+    assert len(out) == 1 and out[0].last_v is None
+
+
+def test_asof_empty_left(spark):
+    import datetime as dt
+
+    left = _empty_like(spark, "k int, ts timestamp, name string")
+    right = spark.createDataFrame(
+        [(1, dt.datetime(2024, 1, 1, 10), 5.0)], "k int, ts timestamp, v double"
+    )
+    assert asof_join(left, right, on="k", ts="ts", right_payload={"v": "v2"}).count() == 0
+
+
+def test_salted_agg_empty(spark):
+    df = _empty_like(spark, "k int, v double")
+    assert salted_agg(df, ["k"], {"s": ("sum", "v")}).count() == 0
+
+
+def test_shingles_empty_and_whitespace_only(spark):
+    df = spark.createDataFrame([("",), ("   ",), ("one",)], "t string")
+    out = [r.s for r in df.select(T.word_shingles(F.col("t"), 2).alias("s")).collect()]
+    assert out == [[], [], []]
+
+
+def test_multimodal_empty_corpus(spark):
+    docs = _empty_like(
+        spark, "doc_id bigint, text string, lang string, source string, n_chars bigint"
+    )
+    media = attach_media(docs)
+    assert decode_media(media).count() == 0
+    assert extract_features(media).count() == 0
+
+
+def test_dedup_pipeline_no_dups(spark):
+    """A corpus with no similar docs → zero pairs, not an error."""
+    from bigdata_processing_spark.queries.dedup import _verified_dup_pairs
+    import os
+    import tempfile
+
+    docs = spark.createDataFrame(
+        [(i, f"totally unique document number {i} with id {i*7919}", "en", "s", 10)
+         for i in range(20)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    )
+    d = tempfile.mkdtemp()
+    docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    assert _verified_dup_pairs(spark, d).count() == 0
