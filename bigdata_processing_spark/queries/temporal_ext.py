@@ -91,6 +91,83 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Math-function family (X6 generalized): rounding, powers, logs, sign.
+# ---------------------------------------------------------------------------
+@register(
+    "math_functions",
+    oracle="""
+        SELECT event_id,
+               round(value, 1) AS v_round,
+               ceil(value) AS v_ceil,
+               floor(value) AS v_floor,
+               abs(value - 50) AS v_absdiff,
+               round(sqrt(value), 6) AS v_sqrt,
+               round(ln(value + 1), 6) AS v_ln,
+               round(pow(value, 2), 6) AS v_sq,
+               sign(value - 50) AS v_sign,
+               greatest(value, 10.0) AS v_hi,
+               least(value, 10.0) AS v_lo
+        FROM events
+        WHERE event_id < 300
+        ORDER BY event_id
+    """,
+)
+def math_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    v = F.col("value")
+    return (
+        events.filter(F.col("event_id") < 300)
+        .select(
+            "event_id",
+            F.round(v, 1).alias("v_round"),
+            F.ceil(v).alias("v_ceil"),
+            F.floor(v).alias("v_floor"),
+            F.abs(v - 50).alias("v_absdiff"),
+            F.round(F.sqrt(v), 6).alias("v_sqrt"),
+            F.round(F.log(v + 1), 6).alias("v_ln"),
+            F.round(F.pow(v, 2), 6).alias("v_sq"),
+            F.signum(v - 50).alias("v_sign"),
+            F.greatest(v, F.lit(10.0)).alias("v_hi"),
+            F.least(v, F.lit(10.0)).alias("v_lo"),
+        )
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Distribution window functions: percent_rank / cume_dist over grouped
+# aggregates (completes the rank family from supplier_quantity_ranks).
+# ---------------------------------------------------------------------------
+@register(
+    "distribution_ranks",
+    oracle="""
+        WITH s AS (
+            SELECT l_suppkey, sum(l_extendedprice) AS total_price
+            FROM lineitem GROUP BY l_suppkey
+        )
+        SELECT l_suppkey, total_price,
+               round(percent_rank() OVER (ORDER BY total_price, l_suppkey), 9) AS pr,
+               round(cume_dist() OVER (ORDER BY total_price, l_suppkey), 9) AS cd
+        FROM s
+        ORDER BY l_suppkey
+    """,
+)
+def distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    s = li.groupBy("l_suppkey").agg(F.sum("l_extendedprice").alias("total_price"))
+    w = Window.orderBy(F.col("total_price").asc(), F.col("l_suppkey").asc())
+    return (
+        s.select(
+            "l_suppkey",
+            "total_price",
+            F.round(F.percent_rank().over(w), 9).alias("pr"),
+            F.round(F.cume_dist().over(w), 9).alias("cd"),
+        )
+        .orderBy("l_suppkey")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pagination: deterministic ORDER BY + LIMIT/OFFSET (page 3 of 25).
 # ---------------------------------------------------------------------------
 @register(
