@@ -66,5 +66,6 @@ def _load_all() -> None:
         timeseries,
         extended,
         temporal_ext,
+        nlp,
     )
     _LOADED = True

@@ -125,8 +125,16 @@ def dedup_exact_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def minhash_signatures_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    sig = _signature_df(spark, sf_dir)
-    return sig.filter(F.col("doc_id") < 25).orderBy("doc_id")
+    # A doc's signature depends only on its own shingles, so the sample
+    # filter pushes below the whole pipeline — signatures are computed
+    # for 25 docs, not the corpus (the oracle filters after aggregation;
+    # results are identical by independence).
+    shex = (
+        _shingle_df(spark, sf_dir)
+        .filter(F.col("doc_id") < 25)
+        .select("doc_id", F.explode("sh").alias("s"))
+    )
+    return _sig_from_shex(shex).orderBy("doc_id")
 
 
 # ---------------------------------------------------------------------------
