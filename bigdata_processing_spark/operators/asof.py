@@ -28,14 +28,20 @@ def asof_join(
     right_payload: dict[str, str],
     *,
     strict: bool = False,
+    direction: str = "backward",
 ) -> DataFrame:
-    """For each left row, attach the most recent right row with the same
-    ``on`` key and right.ts <= left.ts (``strict=True``: < left.ts).
+    """For each left row, attach the nearest right row with the same
+    ``on`` key: ``direction='backward'`` (default) takes the most recent
+    right row with right.ts <= left.ts; ``direction='forward'`` takes
+    the earliest right row with right.ts >= left.ts. ``strict=True``
+    excludes the simultaneous (equal-ts) match in either direction.
 
     ``right_payload`` maps right column → output alias. Left columns pass
-    through unchanged. Rows with no prior right match keep nulls
-    (left-join semantics).
+    through unchanged. Rows with no match keep nulls (left-join
+    semantics).
     """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
     lcols = [c for c in left.columns]
     tagged_left = left.select(
         F.col(on).alias("__k"),
@@ -54,18 +60,30 @@ def asof_join(
     )
     unioned = tagged_left.unionByName(tagged_right)
 
-    # Right rows sort before left rows at equal ts (side 0 < 1) so ties
-    # match inclusively; strict mode flips the tie order instead.
-    side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
-    w = (
-        Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), side_order)
-        .rowsBetween(Window.unboundedPreceding, -1 if strict else Window.currentRow)
-    )
+    # Tie handling via sort order of the side tag: the simultaneous
+    # right row lands inside the frame for inclusive mode, outside for
+    # strict. Backward scans the preceding frame with last(); forward
+    # scans the following frame with first().
+    if direction == "backward":
+        side_order = F.col("__side").asc() if not strict else F.col("__side").desc()
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), side_order)
+            .rowsBetween(Window.unboundedPreceding, -1 if strict else Window.currentRow)
+        )
+        pick = F.last
+    else:
+        side_order = F.col("__side").desc() if not strict else F.col("__side").asc()
+        w = (
+            Window.partitionBy("__k")
+            .orderBy(F.col("__ts").asc(), side_order)
+            .rowsBetween(1 if strict else Window.currentRow, Window.unboundedFollowing)
+        )
+        pick = F.first
     carried = unioned.select(
         "*",
         *[
-            F.last(f"__r_{alias}", ignorenulls=True).over(w).alias(alias)
+            pick(f"__r_{alias}", ignorenulls=True).over(w).alias(alias)
             for alias in right_payload.values()
         ],
     )

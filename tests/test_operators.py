@@ -66,6 +66,33 @@ def test_asof_left_row_count_preserved(spark):
     assert joined.count() == left.count()
 
 
+def test_asof_forward(spark):
+    left, right = _mk(spark)
+    out = {
+        r.name: r.next_v
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_payload={"v": "next_v"},
+            direction="forward",
+        ).collect()
+    }
+    assert out["t1"] == 20.0   # earliest right at-or-after 10:00 is 11:00
+    assert out["t2"] == 30.0   # simultaneous 12:00 row matches inclusively
+    assert out["t3"] == 40.0   # 09:00 → next right at 09:30
+    assert out["t4"] is None   # key absent from right side
+
+
+def test_asof_forward_strict(spark):
+    left, right = _mk(spark)
+    out = {
+        r.name: r.next_v
+        for r in asof_join(
+            left, right, on="k", ts="ts", right_payload={"v": "next_v"},
+            direction="forward", strict=True,
+        ).collect()
+    }
+    assert out["t2"] is None   # 12:00 is the last right row; strict skips it
+
+
 def test_salted_agg_matches_plain(spark):
     df = spark.range(0, 10000).select(
         (F.col("id") % 7).alias("k"), (F.col("id") * 2).cast("double").alias("v")

@@ -60,6 +60,104 @@ def test_stream_schema_matches_batch(spark):
     assert dict(stream.dtypes) == dict(batch.dtypes)
 
 
+def test_streaming_dedup_across_batches(spark, tmp_path):
+    """dropDuplicates with watermark over a stream: re-delivered event
+    ids in a later micro-batch are suppressed — the exactly-once-ish
+    ingest dedup pattern for training pipelines."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id bigint, ts timestamp, value double"
+    stage = os.path.join(str(tmp_path), "dedup_stream")
+    os.makedirs(stage)
+
+    def land(name, rows, mtime):
+        scratch = os.path.join(str(tmp_path), f"__{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(stage, name)
+        shutil.copyfile(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    now = 1_700_000_000
+    land("f1.parquet", [(1, t0, 1.0), (2, t0, 2.0)], now)
+    # batch 2 re-delivers event 2 and adds event 3
+    land("f2.parquet", [(2, t0, 2.0), (3, t0, 3.0)], now + 100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    deduped = stream.withWatermark("ts", "1 hour").dropDuplicates(["event_id"])
+    q = (
+        deduped.writeStream.format("memory")
+        .queryName("t_dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.table("t_dedup_stream").collect())
+    assert got == [1, 2, 3]  # the duplicate delivery of 2 was suppressed
+
+
+def test_checkpoint_resume_processes_only_new_files(spark, tmp_path):
+    """Restarting a checkpointed stream ingests only files that arrived
+    since the last run — the recovery contract production ingest relies
+    on."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    schema = "event_id bigint, ts timestamp, value double"
+    stage = os.path.join(str(tmp_path), "ckpt_stream")
+    ckpt = os.path.join(str(tmp_path), "ckpt")
+    out = os.path.join(str(tmp_path), "ckpt_out")
+    os.makedirs(stage)
+
+    def land(name, rows, mtime):
+        scratch = os.path.join(str(tmp_path), f"__{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(stage, name)
+        shutil.copyfile(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def run_once():
+        stream = spark.readStream.schema(schema).parquet(stage)
+        q = (
+            stream.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0)
+    now = 1_700_000_000
+    land("f1.parquet", [(1, t0, 1.0), (2, t0, 2.0)], now)
+    run_once()
+    assert spark.read.parquet(out).count() == 2
+
+    land("f2.parquet", [(3, t0, 3.0)], now + 100)
+    run_once()  # resume from checkpoint: must append ONLY event 3
+    got = sorted(r.event_id for r in spark.read.parquet(out).collect())
+    assert got == [1, 2, 3]
+
+
 def test_stream_stream_join_parity(spark):
     """Stream-stream interval join (purchases ⋈ recent views) equals the
     same join on static inputs."""
