@@ -116,6 +116,54 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "quantized_knn_sample",
+    oracle="""
+        WITH q8 AS (
+            SELECT vec_id,
+                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+                   list_transform(embedding::DOUBLE[],
+                       x -> floor(x / (list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0)
+                                  + 0.5)::INT) AS qvec
+            FROM embeddings
+        ),
+        qs AS (SELECT vec_id AS qid, scale AS qscale, qvec AS qq FROM q8 WHERE vec_id % 100 = 0),
+        s AS (
+            SELECT qid, c.vec_id AS cid,
+                   list_dot_product(qq::DOUBLE[], c.qvec::DOUBLE[]) * qscale * c.scale AS qdot
+            FROM qs JOIN q8 c ON c.vec_id <> qid
+        )
+        SELECT qid, cid, round(qdot, 9) AS qdot, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY qdot DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 5
+        ORDER BY qid, rn
+    """,
+)
+def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """kNN over int8-quantized embeddings (operators/quantization.py):
+    the 4x-memory-reduction index path; integer dot + rescale."""
+    from bigdata_processing_spark.operators.quantization import quantize, quantized_dot
+
+    emb = quantize(load_table(spark, sf_dir, "embeddings"))
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("qvec").alias("qq"),
+        F.col("scale").alias("qscale"),
+    )
+    c = emb.select("vec_id", "qvec", "scale")
+    joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    qdot = quantized_dot(F.col("qq"), F.col("qscale"), F.col("qvec"), F.col("scale"))
+    w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), F.round(qdot, 9).alias("qdot"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
+
+
 @register("kmeans_clusters")  # no oracle: iterative algorithm (driver loops
 # over k centroids only; all data-sized work is distributed per iteration)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
