@@ -1,0 +1,137 @@
+"""IVF (inverted-file) approximate nearest-neighbor index backed by
+k-means cells — the scale path for similarity search (SURVEY.md §2.12).
+
+Replaces the fixture ``label`` stand-in (queries/similarity.knn_ivf_label)
+with a real coarse quantizer:
+
+1. **fit** — k-means over a hash-sample of the corpus (at 100TB you
+   never fit the quantizer on the full corpus; a few hundred thousand
+   sampled vectors bound the centroid estimate). Reuses
+   operators/clustering.kmeans_fit's distributed update loop.
+2. **assign** — one full pass tags every vector with its nearest cell
+   (vectorized argmin pandas UDF, Arrow-batched). The indexed table is
+   repartitioned by cell so each cell's postings are co-located — on a
+   cluster this is the ``PARTITIONED BY (cell)`` layout that lets a probe
+   read only ``n_probe / k`` of the index bytes.
+3. **search** — multi-probe: each query ranks centroids (a k×d broadcast,
+   never a shuffle), keeps its ``n_probe`` nearest cells, and scores only
+   candidates in those cells. Queries are broadcast; the index streams.
+
+Recall is tested against exact brute force (tests/test_ivf.py) — the
+standard IVF quality gate (recall@k under multi-probe), not an equality
+oracle, because k-means is iterative and not SQL-expressible.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.functions import vectors as V
+from bigdata_processing_spark.operators.clustering import kmeans_fit, _assign_udf
+
+
+def build_ivf_index(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+    n_iter: int = 3,
+    fit_fraction: float = 1.0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """Fit the coarse quantizer and assign every vector to a cell.
+
+    Returns ``(indexed, centroids)`` where ``indexed`` has columns
+    ``(vec_id, e array<double>, nrm double, cell int)`` repartitioned by
+    cell, and ``centroids`` is the k×d list used for probing.
+
+    ``fit_fraction`` < 1 fits k-means on a deterministic hash-sample —
+    the 100TB configuration (sample ~1e5-1e6 vectors; assignment still
+    covers everything).
+    """
+    base = emb.select(
+        "vec_id",
+        F.col(vec_col).cast("array<double>").alias("e"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    fit_src = emb
+    if fit_fraction < 1.0:
+        # deterministic hash-sample: stable across runs/retries, no RNG
+        bucket = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000))
+        fit_src = emb.filter(bucket < int(fit_fraction * 1_000_000))
+    assignments, _inertia = kmeans_fit(fit_src, vec_col=vec_col, k=k_cells, n_iter=n_iter)
+    # kmeans_fit returns assignments for the fit set; we need centroids to
+    # label the full corpus. Recompute them from the fit assignments with
+    # one exploded aggregation (same shuffle shape as the update step).
+    fit_vecs = fit_src.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
+    ).join(assignments, "vec_id")
+    cent_rows = (
+        fit_vecs.select("cluster", F.posexplode("e").alias("pos", "val"))
+        .groupBy("cluster", "pos")
+        .agg(F.avg("val").alias("mean_val"))
+        .groupBy("cluster")
+        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("mv"))
+        .select("cluster", F.col("mv.mean_val").alias("centroid"))
+        .collect()
+    )
+    by_id = {r.cluster: list(r.centroid) for r in cent_rows}
+    centroids = [by_id[i] for i in sorted(by_id)]
+
+    indexed = (
+        base.withColumn("cell", _assign_udf(centroids)(F.col("e")))
+        .repartition("cell")
+    )
+    return indexed, centroids
+
+
+def _cell_probes(spark, queries: DataFrame, centroids: list[list[float]],
+                 n_probe: int) -> DataFrame:
+    """(qid, qe, qn, cell) — each query paired with its n_probe nearest
+    cells. Centroid table is k rows: cross-joined broadcast, ranked with a
+    per-qid window. All JVM-side fold math."""
+    cdf = spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, cent array<double>"
+    )
+    d2 = F.aggregate(
+        F.zip_with("qe", "cent", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("cell_d2").asc(), F.col("cell").asc())
+    return (
+        queries.crossJoin(F.broadcast(cdf))
+        .select("qid", "qe", "qn", "cell", d2.alias("cell_d2"))
+        .withColumn("cell_rank", F.row_number().over(w))
+        .filter(F.col("cell_rank") <= n_probe)
+        .select("qid", "qe", "qn", "cell")
+    )
+
+
+def ivf_search(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    top_k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Cosine top-k restricted to each query's ``n_probe`` nearest cells.
+
+    ``queries`` must have columns (qid, qe array<double>, qn double).
+    Output: (qid, cid, cos_sim, rn) — same shape as knn_bruteforce, so
+    recall@k is directly measurable.
+    """
+    spark = indexed.sparkSession
+    probes = _cell_probes(spark, queries, centroids, n_probe)
+    # candidates co-located by cell; probe set broadcast (queries are small)
+    joined = indexed.join(
+        F.broadcast(probes),
+        (indexed["cell"] == probes["cell"]) & (indexed["vec_id"] != probes["qid"]),
+    )
+    cos = V.dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .orderBy("qid", "rn")
+    )

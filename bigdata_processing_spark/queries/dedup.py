@@ -232,6 +232,108 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Scale-hardened MinHash: the same pipeline with the two corpus-scale
+# guards ON — document-frequency pruning (shingles present in > MAX_DF
+# docs carry no near-dup signal but dominate shuffle volume; think
+# "the the" at web scale) and an LSH bucket cap (a pathological bucket
+# of B docs makes B² candidate pairs; capping bounds the worst key).
+# Both guards are relational, so the whole hardened pipeline remains
+# value-checkable against the DuckDB oracle.
+# ---------------------------------------------------------------------------
+MAX_DF = 40           # shingles in more docs than this are pruned
+MAX_BUCKET = 25       # LSH buckets larger than this are skipped
+
+_SQL_PRUNED_PIPE = f"""
+        dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM shex GROUP BY s),
+        shex_p AS (
+            SELECT shex.doc_id, shex.s FROM shex JOIN dfreq USING (s)
+            WHERE df <= {MAX_DF}
+        ),
+        sig_p AS (SELECT doc_id, """ + ", ".join(
+    f"min({T.minhash_hash_sql('s', i)}) AS h{i}" for i in range(N_HASHES)
+) + f""" FROM shex_p GROUP BY doc_id),
+        bands_p AS (SELECT doc_id, unnest([""" + ", ".join(
+    f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
+) + f"""]) AS bk FROM sig_p),
+        bsz AS (SELECT bk, count(*) AS n FROM bands_p GROUP BY bk),
+        cand_p AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands_p a
+            JOIN bands_p b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            JOIN bsz ON a.bk = bsz.bk
+            WHERE bsz.n <= {MAX_BUCKET}
+        )
+"""
+
+
+@register(
+    "minhash_pruned_dup_pairs",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_PRUNED_PIPE}
+        SELECT c.d1, c.d2,
+               len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                   / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                   AS jaccard
+        FROM cand_p c
+        JOIN shset s1 ON c.d1 = s1.doc_id
+        JOIN shset s2 ON c.d2 = s2.doc_id
+        WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                  / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+              >= {JACCARD_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def minhash_pruned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash near-dup with DF pruning + bucket cap — the configuration
+    you'd actually run at corpus scale. Verification still scores the
+    FULL shingle sets (pruning only affects candidate generation, never
+    the reported jaccard)."""
+    shset = _shingle_df(spark, sf_dir).persist()
+    shex = shset.select("doc_id", F.explode("sh").alias("s"))
+
+    # document frequency per shingle; vocabulary-sized, broadcast back
+    dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    shex_p = shex.join(F.broadcast(dfreq.filter(F.col("df") <= MAX_DF)), "s").select(
+        "doc_id", "s"
+    )
+    sig = _sig_from_shex(shex_p)
+
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    members = bands.groupBy("bk").agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    cand = (
+        members.filter((F.size("ds") > 1) & (F.size("ds") <= MAX_BUCKET))
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .distinct()
+    )
+    s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    return (
+        cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+        .select("d1", "d2", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Near-dup CLUSTERS: connected components over the verified dup-pair
 # graph via iterative min-label propagation. Data-sized work (the pair
 # pipeline) is distributed; the iteration operates on the pair graph

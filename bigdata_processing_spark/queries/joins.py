@@ -244,3 +244,36 @@ def set_ops_customer_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
     i = buyers.intersect(rich).agg(F.count("*").alias("n")).select(F.lit("intersect").alias("op"), "n")
     e = buyers.exceptAll(rich.distinct()).distinct().agg(F.count("*").alias("n")).select(F.lit("except").alias("op"), "n")
     return u.union(i).union(e).orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Bag-semantics set operations (ALL variants — multiplicity preserved):
+# the multiset algebra over order priorities per status.
+# ---------------------------------------------------------------------------
+@register(
+    "set_ops_all_variants",
+    oracle="""
+        WITH a AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'O'),
+             b AS (SELECT o_orderpriority AS p FROM orders WHERE o_orderstatus = 'F')
+        SELECT 'union_all' AS op, count(*) AS n FROM (SELECT p FROM a UNION ALL SELECT p FROM b)
+        UNION ALL
+        SELECT 'intersect_all', count(*) FROM (SELECT p FROM a INTERSECT ALL SELECT p FROM b)
+        UNION ALL
+        SELECT 'except_all', count(*) FROM (SELECT p FROM a EXCEPT ALL SELECT p FROM b)
+        ORDER BY op
+    """,
+)
+def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = load_table(spark, sf_dir, "orders")
+    a = orders.filter(F.col("o_orderstatus") == "O").select(F.col("o_orderpriority").alias("p"))
+    b = orders.filter(F.col("o_orderstatus") == "F").select(F.col("o_orderpriority").alias("p"))
+    rows = [
+        ("union_all", a.unionAll(b)),
+        ("intersect_all", a.intersectAll(b)),
+        ("except_all", a.exceptAll(b)),
+    ]
+    out = None
+    for op, df in rows:
+        one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
+        out = one if out is None else out.union(one)
+    return out.orderBy("op")

@@ -164,6 +164,23 @@ def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register("knn_ivf_kmeans")  # no oracle: coarse quantizer is iterative
+# k-means (not SQL-expressible); quality gate is recall@5 vs exact brute
+# force in tests/test_ivf.py.
+def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN over real k-means cells (operators/ivf.py) —
+    the production replacement for the fixture-label IVF above."""
+    from bigdata_processing_spark.operators.ivf import build_ivf_index, ivf_search
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(emb, k_cells=8, n_iter=2)
+    indexed = indexed.persist()  # index built once, probed per query batch
+    q = indexed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    return ivf_search(indexed, centroids, q, top_k=5, n_probe=2)
+
+
 @register("kmeans_clusters")  # no oracle: iterative algorithm (driver loops
 # over k centroids only; all data-sized work is distributed per iteration)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:

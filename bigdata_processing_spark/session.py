@@ -39,6 +39,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # reader rejects; read as long and convert in the catalog (see
     # catalog._NANO_TS_COLS).
     "spark.sql.legacy.parquet.nanosAsLong": "true",
+    # Runtime bloom-filter join pushdown (build side injects a bloom
+    # filter into the probe scan) is ON by default in Spark 4.x
+    # (spark.sql.optimizer.runtime.bloomFilter.enabled=true); we rely on
+    # that default rather than re-setting it — combining it with the
+    # legacy semiJoinReduction flag deadlocks sessionState init on 4.1.
 }
 
 

@@ -1,0 +1,55 @@
+"""AQE skew handling: a join with one pathological hot key completes
+with correct results (AQE splits the skewed partition; salting handles
+the aggregation side — operators/skew.py)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.operators.skew import salted_agg
+
+
+def _skewed(spark, n=200_000, hot_frac=0.95):
+    """~95% of rows share key 0; the rest spread over 1000 keys."""
+    hot = int(n * hot_frac)
+    return spark.range(n).select(
+        F.when(F.col("id") < hot, F.lit(0))
+        .otherwise((F.col("id") % 1000) + 1)
+        .alias("k"),
+        (F.col("id") % 97).cast("double").alias("v"),
+    )
+
+
+def test_skewed_join_correct(spark):
+    left = _skewed(spark)
+    dim = spark.range(1001).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = left.join(dim, "k")
+        total = joined.agg(
+            F.count("*").alias("n"), F.sum("w").alias("sw")
+        ).collect()[0]
+        assert total.n == left.count()
+        # hot key contributes w=0; the rest contribute k*10 each
+        expected_sw = sum(
+            r.k * 10 for r in left.filter(F.col("k") > 0).collect()
+        )
+        assert total.sw == expected_sw
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", str(64 * 1024 * 1024))
+        spark.conf.unset("spark.sql.adaptive.autoBroadcastJoinThreshold")
+
+
+def test_skewed_salted_agg_correct(spark):
+    df = _skewed(spark)
+    plain = {
+        r.k: (round(r.s, 6), r.c)
+        for r in df.groupBy("k").agg(F.sum("v").alias("s"), F.count("v").alias("c")).collect()
+    }
+    salted = {
+        r.k: (round(r.s, 6), r.c)
+        for r in salted_agg(df, ["k"], {"s": ("sum", "v"), "c": ("count", "v")}, n_salts=32).collect()
+    }
+    assert plain == salted
+    assert plain[0][1] == 190_000  # the hot key really is hot
