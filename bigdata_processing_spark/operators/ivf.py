@@ -107,6 +107,59 @@ def _cell_probes(spark, queries: DataFrame, centroids: list[list[float]],
     )
 
 
+def write_ivf_index(indexed: DataFrame, centroids: list[list[float]],
+                    path: str) -> None:
+    """Persist the index ``PARTITIONED BY (cell)`` for cross-job reuse.
+
+    Layout is the on-disk IVF contract: one directory per cell, so a
+    probe of ``n_probe`` cells reads ``n_probe/k`` of the index bytes —
+    Spark's partition pruning turns the cell predicate into directory
+    pruning (asserted on the scan plan in tests/test_ivf.py). Centroids
+    ride along as a tiny parquet (k rows) next to the postings."""
+    indexed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/postings")
+    spark = indexed.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+
+
+def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:
+    indexed = spark.read.parquet(f"{path}/postings")
+    rows = spark.read.parquet(f"{path}/centroids").collect()
+    by_id = {r.cell: list(r.cent) for r in rows}
+    return indexed, [by_id[i] for i in sorted(by_id)]
+
+
+def ivf_search_on_disk(indexed: DataFrame, centroids: list[list[float]],
+                       queries: DataFrame, top_k: int = 5,
+                       n_probe: int = 2) -> DataFrame:
+    """Search against a disk-resident index, pruning unprobed cells AT THE
+    SCAN: the union of all queries' probed cells becomes an ``isin``
+    predicate on the partition column, so Spark lists only those cell
+    directories. Per-query cell restriction still applies in the join.
+
+    Two-phase by design: the probed-cell set must be a literal predicate
+    (not a join) for partition pruning to fire without DPP, and it is
+    tiny (≤ queries × n_probe cell ids) — a driver-side collect of ints,
+    not data."""
+    spark = indexed.sparkSession
+    probes = _cell_probes(spark, queries, centroids, n_probe)
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    pruned = indexed.filter(F.col("cell").isin(cells))
+    joined = pruned.join(
+        F.broadcast(probes),
+        (pruned["cell"] == probes["cell"]) & (pruned["vec_id"] != probes["qid"]),
+    )
+    cos = V.dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .orderBy("qid", "rn")
+    )
+
+
 def ivf_search(
     indexed: DataFrame,
     centroids: list[list[float]],

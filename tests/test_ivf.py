@@ -71,6 +71,37 @@ def test_ivf_cells_partition_the_corpus(spark):
     assert top2 < total
 
 
+def test_ivf_disk_index_prunes_partitions(spark, tmp_path):
+    from bigdata_processing_spark.operators.ivf import (
+        ivf_search_on_disk, read_ivf_index, write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    indexed, centroids = build_ivf_index(emb, k_cells=8, n_iter=2)
+    write_ivf_index(indexed, centroids, str(tmp_path / "ivf"))
+    disk, disk_cents = read_ivf_index(spark, str(tmp_path / "ivf"))
+    assert [[round(x, 9) for x in c] for c in disk_cents] == [
+        [round(x, 9) for x in c] for c in centroids
+    ]
+
+    q = indexed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    on_disk = ivf_search_on_disk(disk, disk_cents, q, 5, n_probe=2)
+    in_mem = ivf_search(indexed, centroids, q, 5, n_probe=2)
+    assert {(r.qid, r.cid, round(r.cos_sim, 9)) for r in on_disk.collect()} == {
+        (r.qid, r.cid, round(r.cos_sim, 9)) for r in in_mem.collect()
+    }
+
+    # the probed-cell predicate must reach the scan as PartitionFilters —
+    # at scale this is the "read n_probe/k of the index bytes" guarantee
+    plan = on_disk._jdf.queryExecution().executedPlan().toString()
+    import re
+
+    pf = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert pf and "cell" in pf.group(1), plan[:2000]
+
+
 def test_ivf_fit_on_sample_still_indexes_everything(spark):
     emb = load_table(spark, SF, "embeddings")
     indexed, centroids = build_ivf_index(emb, k_cells=4, n_iter=1, fit_fraction=0.3)
