@@ -44,6 +44,11 @@ _DEFAULT_CONF: dict[str, str] = {
     # (spark.sql.optimizer.runtime.bloomFilter.enabled=true); we rely on
     # that default rather than re-setting it — combining it with the
     # legacy semiJoinReduction flag deadlocks sessionState init on 4.1.
+    # Cost-based optimization: no-ops until a table has ANALYZE stats
+    # (catalog.register_analyzed_tables); with stats, join reordering and
+    # broadcast thresholds use real cardinalities instead of file sizes.
+    "spark.sql.cbo.enabled": "true",
+    "spark.sql.cbo.joinReorder.enabled": "true",
 }
 
 
