@@ -1,0 +1,142 @@
+"""Incremental MinHash near-dup detection over a document stream —
+the custom-stateful-operator slice (applyInPandasWithState).
+
+Batch near-dup (queries/dedup.py) recomputes the LSH index per run; at
+ingest time you want each arriving document checked against everything
+already seen WITHOUT rescanning the corpus. Shape:
+
+1. **Stateless signature stage** (pure Column exprs, map-side): shingles
+   → per-doc MinHash signature via ``array_min(transform(...))`` — no
+   shuffle, no state, so it composes with the stateful stage below
+   (streaming allows limited stateful-operator chaining; keeping the
+   signature map-side sidesteps that entirely).
+2. **Stateful band stage**: explode band keys, group by band key,
+   ``applyInPandasWithState`` keeps each bucket's members (doc_id +
+   shingle blob) in the state store. Each arriving doc is verified
+   (exact bigram Jaccard) against its bucket's priors and emitted if
+   ≥ threshold. State per bucket is capped at ``max_bucket`` members —
+   the same pathological-bucket guard as batch ``MAX_BUCKET``/pruning —
+   so state size is bounded by #buckets × cap regardless of stream
+   length.
+
+Same hash family / banding / threshold as the batch pipeline, so the
+streamed pair set equals the batch ``minhash_lsh_dup_pairs`` result on
+the same corpus (asserted in tests/test_streaming_dedup.py) — modulo
+cross-bucket duplicate emission, which batch dedups with DISTINCT and
+callers dedup downstream here (a per-bucket operator cannot see other
+buckets' emissions).
+"""
+
+from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from bigdata_processing_spark.functions import text as T
+
+N_HASHES = 8
+N_BANDS = 4
+JACCARD_THRESHOLD = 0.8
+SEP = "\x01"
+
+_OUT_SCHEMA = "d1 bigint, d2 bigint, jaccard double"
+_STATE_SCHEMA = "doc_ids array<bigint>, blobs array<string>"
+
+
+def signature_cols(doc_text) -> list:
+    """MinHash signature h0..h{k-1} as map-side array folds over the
+    shingle set — signature math identical to the batch pipeline
+    (functions/text.minhash_hashes), but with no per-doc aggregation."""
+    sh = T.word_shingles(doc_text, 2)
+
+    def hasher(seed: int, chunk: int):
+        # exactly-one-arg lambda: F.transform infers lambda arity from the
+        # Python signature, so closure capture (not default args) is required
+        return lambda s: F.conv(
+            F.substring(F.md5(F.concat(F.lit(f"{seed}|"), s)), 1 + 8 * chunk, 8),
+            16,
+            10,
+        ).cast("bigint")
+
+    cols = []
+    for i in range(N_HASHES):
+        seed, chunk = divmod(i, 4)
+        cols.append(F.array_min(F.transform(sh, hasher(seed, chunk))).alias(f"h{i}"))
+    return [sh.alias("sh")] + cols
+
+
+def banded(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """(bk, doc_id, blob) — one row per (band, doc); blob is the
+    SEP-joined shingle set carried to the verifier."""
+    sig = docs.select("doc_id", *signature_cols(F.col(text_col)))
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    return sig.select(
+        "doc_id",
+        F.array_join("sh", SEP).alias("blob"),
+        F.explode(band_keys).alias("bk"),
+    )
+
+
+def _jaccard(a: set, b: set) -> float:
+    inter = len(a & b)
+    union = len(a) + len(b) - inter
+    return inter / union if union else 0.0
+
+
+def _bucket_matcher(max_bucket: int):
+    def match_bucket(
+        key, pdfs: Iterator[pd.DataFrame], state: GroupState
+    ) -> Iterator[pd.DataFrame]:
+        if state.exists:
+            doc_ids, blobs = state.get
+            doc_ids, blobs = list(doc_ids), list(blobs)
+        else:
+            doc_ids, blobs = [], []
+        known = set(doc_ids)
+        sets = [set(b.split(SEP)) if b else set() for b in blobs]
+        out: list[tuple[int, int, float]] = []
+        for pdf in pdfs:
+            for _, row in pdf.sort_values("doc_id").iterrows():
+                did = int(row["doc_id"])
+                if did in known:  # replays / duplicate band rows
+                    continue
+                s = set(row["blob"].split(SEP)) if row["blob"] else set()
+                for prior, pset in zip(doc_ids, sets):
+                    j = _jaccard(s, pset)
+                    if j >= JACCARD_THRESHOLD:
+                        lo, hi = sorted((prior, did))
+                        out.append((lo, hi, j))
+                if len(doc_ids) < max_bucket:
+                    doc_ids.append(did)
+                    sets.append(s)
+                    blobs.append(row["blob"])
+                    known.add(did)
+        state.update((doc_ids, blobs))
+        yield pd.DataFrame(out, columns=["d1", "d2", "jaccard"])
+
+    return match_bucket
+
+
+def streaming_dup_pairs(docs: DataFrame, text_col: str = "text",
+                        max_bucket: int = 1000) -> DataFrame:
+    """Verified near-dup pairs for a document stream (or batch frame —
+    the parity invariant): each doc vs all previously-seen docs sharing
+    an LSH band bucket. Emits (d1, d2, jaccard) with d1 < d2; may emit a
+    pair once per shared bucket (dedup downstream)."""
+    return banded(docs, text_col).groupBy("bk").applyInPandasWithState(
+        _bucket_matcher(max_bucket),
+        outputStructType=_OUT_SCHEMA,
+        stateStructType=_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
