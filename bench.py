@@ -24,6 +24,29 @@ from bigdata_processing_spark.queries import all_queries  # noqa: E402
 from bigdata_processing_spark.session import get_spark  # noqa: E402
 
 
+def _stage_snapshot(sc) -> dict[int, tuple[int, int]]:
+    """{stageId: (shuffle_write_bytes, spilled_bytes)} from the app status
+    store — the listener-backed store the UI/REST API reads, available
+    with the UI disabled. Per-query metrics come from diffing snapshots
+    (stage IDs are monotonically increasing). Defensive: any py4j/API
+    drift degrades to 'no metrics', never a bench failure."""
+    try:
+        store = sc._jsc.sc().statusStore()
+        args = [sc._jvm.java.util.ArrayList()] + [
+            getattr(store, f"stageList$default${i}")() for i in range(2, 6)
+        ]
+        stages = store.stageList(*args)
+        return {
+            s.stageId(): (
+                s.shuffleWriteBytes(),
+                s.memoryBytesSpilled() + s.diskBytesSpilled(),
+            )
+            for s in (stages.apply(i) for i in range(stages.size()))
+        }
+    except Exception:
+        return {}
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     m = re.search(r"sf([0-9.]+)", sf_dir)
@@ -41,13 +64,22 @@ def main() -> None:
     # query's GC/worker-pool churn to whoever runs next (measured 10x
     # inflation on the query after a pandas-UDF-heavy one)
     timings: dict[str, float] = {}
+    shuffle_mb: dict[str, float] = {}
+    spill_mb: dict[str, float] = {}
     for name, fn in queries.items():
         best = float("inf")
-        for _ in range(2):
+        for run in range(2):
+            if run == 1:
+                before = _stage_snapshot(spark.sparkContext)
             t0 = time.perf_counter()
             fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.perf_counter() - t0)
         timings[name] = round(best, 3)
+        # metrics from the warm (second) run's new stages only
+        after = _stage_snapshot(spark.sparkContext)
+        new = [v for k, v in after.items() if k not in before]
+        shuffle_mb[name] = round(sum(v[0] for v in new) / 1e6, 3)
+        spill_mb[name] = round(sum(v[1] for v in new) / 1e6, 3)
 
     total = round(sum(timings.values()), 3)
     print(json.dumps({
@@ -55,6 +87,10 @@ def main() -> None:
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "shuffle_write_mb": shuffle_mb,
+        "spill_mb": spill_mb,
+        "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 3),
+        "spill_mb_total": round(sum(spill_mb.values()), 3),
         "sf": sf,
     }))
     spark.stop()
