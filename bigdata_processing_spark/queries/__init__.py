@@ -67,5 +67,6 @@ def _load_all() -> None:
         extended,
         temporal_ext,
         nlp,
+        subqueries,
     )
     _LOADED = True
