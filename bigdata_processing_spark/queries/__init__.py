@@ -68,5 +68,6 @@ def _load_all() -> None:
         temporal_ext,
         nlp,
         subqueries,
+        quality,
     )
     _LOADED = True
