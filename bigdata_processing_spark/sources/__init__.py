@@ -12,4 +12,5 @@ from bigdata_processing_spark.sources.writers import (  # noqa: F401
     write_json,
     write_orc,
     write_parquet,
+    write_sorted_parquet,
 )

