@@ -73,3 +73,40 @@ def test_groupby_sum_invariant_under_repartition(spark):
     ra = {r.l_suppkey: round(r.s, 6) for r in a.collect()}
     rb = {r.l_suppkey: round(r.s, 6) for r in b.collect()}
     assert ra == rb
+
+
+def test_exists_plans_as_semi_join(spark):
+    """Correlated EXISTS must rewrite to a (broadcast) left-semi join —
+    never a per-row subquery re-execution."""
+    from bigdata_processing_spark.queries.subqueries import correlated_exists_urgent
+
+    plan = correlated_exists_urgent(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftSemi" in plan, plan[:1500]
+
+
+def test_not_in_plans_null_aware_anti(spark):
+    from bigdata_processing_spark.queries.subqueries import not_in_supplier_nations
+
+    plan = not_in_supplier_nations(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "LeftAnti" in plan, plan[:1500]
+
+
+def test_grouping_sets_single_expand(spark):
+    """GROUPING SETS plans one Expand + one aggregation shuffle — not one
+    scan per grouping set."""
+    from bigdata_processing_spark.queries.subqueries import grouping_sets_revenue
+
+    df = grouping_sets_revenue(spark, SF_SMALL)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Expand") >= 1
+    assert plan.count("FileScan") == 1, plan[:1500]
+
+
+def test_contamination_never_doc_cross_product(spark):
+    """Decontamination joins by shingle key; the plan must contain no
+    cartesian/nested-loop product."""
+    from bigdata_processing_spark.queries.quality import contamination_test_vs_train
+
+    plan = contamination_test_vs_train(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
