@@ -168,6 +168,47 @@ def distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# ntile bucketing: customers quartiled by account balance within their
+# market segment (equal-count tiles — the cohort-split window function,
+# distinct from value-based quantiles).
+# ---------------------------------------------------------------------------
+@register(
+    "ntile_balance_quartiles",
+    oracle="""
+        WITH t AS (
+            SELECT c_mktsegment,
+                   ntile(4) OVER (PARTITION BY c_mktsegment
+                                  ORDER BY c_acctbal, c_custkey) AS quartile,
+                   c_acctbal
+            FROM customer
+        )
+        SELECT c_mktsegment, quartile,
+               count(*) AS n_customers,
+               min(c_acctbal) AS min_bal,
+               max(c_acctbal) AS max_bal
+        FROM t
+        GROUP BY c_mktsegment, quartile
+        ORDER BY c_mktsegment, quartile
+    """,
+)
+def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_mktsegment").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return (
+        cust.select("c_mktsegment", F.ntile(4).over(w).alias("quartile"), "c_acctbal")
+        .groupBy("c_mktsegment", "quartile")
+        .agg(
+            F.count("*").alias("n_customers"),
+            F.min("c_acctbal").alias("min_bal"),
+            F.max("c_acctbal").alias("max_bal"),
+        )
+        .orderBy("c_mktsegment", "quartile")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Pagination: deterministic ORDER BY + LIMIT/OFFSET (page 3 of 25).
 # ---------------------------------------------------------------------------
 @register(
