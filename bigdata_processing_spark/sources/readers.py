@@ -71,6 +71,20 @@ def read_json(
     return df
 
 
+def read_parquet_evolved(spark: SparkSession, path: str,
+                         *paths: str) -> DataFrame:
+    """Schema-evolution-tolerant parquet scan: ``mergeSchema`` unions the
+    footer schemas across all input files/directories, so a column added
+    mid-ingest surfaces as nullable for older files instead of failing
+    the read. The per-file footer merge is a driver-side metadata
+    operation — data files are still scanned once, with pruning intact.
+
+    At 100TB ingest pipelines the schema WILL drift between landing
+    batches; this is the read posture for derived-table directories that
+    accumulated over months."""
+    return spark.read.option("mergeSchema", "true").parquet(path, *paths)
+
+
 def non_empty(col_name: str) -> Column:
     """F4-style non-empty-string constraint."""
     return F.col(col_name).isNotNull() & (F.col(col_name) != "")

@@ -28,13 +28,19 @@ def write_csv(df: DataFrame, path: str, *, mode: str = "overwrite",
 
 
 def write_parquet(df: DataFrame, path: str, *, mode: str = "overwrite",
-                  partition_by: tuple[str, ...] = ()) -> None:
+                  partition_by: tuple[str, ...] = (),
+                  compression: str | None = None) -> None:
     """Parquet sink for derived tables (S6 analog — the reference
     re-ingested its own notebook output as contractsTop10.csv).
-    ``partition_by`` yields partition-pruned downstream scans."""
+    ``partition_by`` yields partition-pruned downstream scans.
+    ``compression`` picks the codec per table role: 'zstd' for
+    cold/archival derived tables (~30% smaller than the snappy default
+    at comparable scan speed), 'snappy' (default) for hot tables."""
     w = df.write.mode(mode)
     if partition_by:
         w = w.partitionBy(*partition_by)
+    if compression:
+        w = w.option("compression", compression)
     w.parquet(path)
 
 

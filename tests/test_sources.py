@@ -176,3 +176,32 @@ def test_write_sorted_parquet_layout(spark, tmp_path):
     n_band = back.filter(F.col("o_custkey").between(key_lo, key_hi)).count()
     n_exact = orders.filter(F.col("o_custkey").between(key_lo, key_hi)).count()
     assert n_band == n_exact
+
+
+def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
+    """A column added mid-ingest must surface as nullable for older
+    files, values preserved per-file, codec choice respected."""
+    from bigdata_processing_spark.sources import read_parquet_evolved, write_parquet
+
+    old = spark.createDataFrame([(1, "a"), (2, "b")], ["id", "v"])
+    new = spark.createDataFrame([(3, "c", 3.5)], ["id", "v", "score"])
+    root = os.path.join(str(tmp_path), "evolving")
+    write_parquet(old, os.path.join(root, "batch=0"), compression="zstd")
+    write_parquet(new, os.path.join(root, "batch=1"), compression="zstd")
+
+    merged = read_parquet_evolved(
+        spark, os.path.join(root, "batch=0"), os.path.join(root, "batch=1")
+    )
+    assert set(merged.columns) == {"id", "v", "score"}
+    rows = {r.id: (r.v, r.score) for r in merged.collect()}
+    assert rows == {1: ("a", None), 2: ("b", None), 3: ("c", 3.5)}
+
+    # codec really applied (footer-level check via pyarrow)
+    import glob
+
+    import pyarrow.parquet as pq
+
+    mds = [pq.ParquetFile(f).metadata
+           for f in glob.glob(os.path.join(root, "batch=1", "*.parquet"))]
+    md = next(m for m in mds if m.num_rows > 0)
+    assert md.row_group(0).column(0).compression.lower() == "zstd"
