@@ -74,3 +74,59 @@ def test_fingerprint_is_whitespace_invariant(spark, t):
     df = spark.createDataFrame([(v,) for v in variants], "t string")
     fps = {r.f for r in df.select(T.fingerprint(F.col("t")).alias("f")).collect()}
     assert len(fps) == 1
+
+
+@given(ts=st.lists(texts, min_size=2, max_size=6))
+@settings(**_SETTINGS)
+def test_streaming_signature_equals_batch_signature(spark, ts):
+    """Map-side array-fold signatures (streaming/dedup.signature_cols)
+    must equal the batch explode+groupBy signatures for ANY text —
+    the invariant that makes streamed and batch dedup comparable."""
+    from bigdata_processing_spark.queries.dedup import _sig_from_shex
+    from bigdata_processing_spark.streaming.dedup import N_HASHES, signature_cols
+
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "doc_id long, text string"
+    )
+    mapside = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(N_HASHES))
+        for r in df.select("doc_id", *signature_cols(F.col("text"))).collect()
+    }
+    shex = df.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 2)).alias("s")
+    )
+    batch = {
+        r.doc_id: tuple(r[f"h{i}"] for i in range(N_HASHES))
+        for r in _sig_from_shex(shex).collect()
+    }
+    # docs with <2 tokens have no shingles: absent from batch (groupBy on
+    # empty), null signature map-side — compare on the common domain
+    for d, sig in batch.items():
+        assert mapside[d] == sig
+
+
+@given(
+    vals=st.lists(
+        st.floats(min_value=-1000, max_value=1000, allow_nan=False),
+        min_size=1,
+        max_size=40,
+    ),
+    n=st.integers(min_value=2, max_value=5),
+)
+@settings(**_SETTINGS)
+def test_ntile_sizes_differ_by_at_most_one(spark, vals, n):
+    from pyspark.sql import Window
+
+    df = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vals)], "id long, v double"
+    )
+    w = Window.orderBy(F.col("v").asc(), F.col("id").asc())
+    sizes = [
+        r.c
+        for r in df.select(F.ntile(n).over(w).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+        .collect()
+    ]
+    assert sum(sizes) == len(vals)
+    assert max(sizes) - min(sizes) <= 1
