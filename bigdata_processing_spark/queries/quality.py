@@ -87,6 +87,119 @@ def repetition_ratio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+TOKEN_BUDGET = 256  # tokens per packed training sequence
+
+
+@register(
+    "token_packing_bins",
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        sized AS (
+            SELECT doc_id,
+                   (SELECT lang FROM documents d WHERE d.doc_id = toks.doc_id) AS lang,
+                   len(tk) AS n_tokens
+            FROM toks
+        ),
+        packed AS (
+            SELECT lang, doc_id, n_tokens,
+                   floor((sum(n_tokens) OVER (PARTITION BY lang ORDER BY doc_id
+                                              ROWS UNBOUNDED PRECEDING) - n_tokens)
+                         / {TOKEN_BUDGET}) AS bin
+            FROM sized
+        )
+        SELECT lang, bin::BIGINT AS bin,
+               count(*) AS n_docs,
+               sum(n_tokens) AS bin_tokens
+        FROM packed
+        GROUP BY lang, bin
+        ORDER BY lang, bin
+    """,
+)
+def token_packing_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence packing: fill training bins up to TOKEN_BUDGET tokens in
+    deterministic doc order, independently per language partition.
+
+    The window is PARTITIONED BY lang, so packing parallelizes across
+    partitions — the scale-correct form of the inherently-sequential
+    greedy pack (a single global ordering would serialize on one task).
+    A doc larger than the budget gets its own bin(s) boundary — bins may
+    overflow by at most one document, the standard contiguous-pack
+    semantics."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select("doc_id", "lang", T.token_count(F.col("text")).alias("n_tokens"))
+    w = (
+        Window.partitionBy("lang")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    binned = sized.withColumn(
+        "bin",
+        F.floor((F.sum("n_tokens").over(w) - F.col("n_tokens")) / TOKEN_BUDGET),
+    )
+    return (
+        binned.groupBy("lang", "bin")
+        .agg(F.count("*").alias("n_docs"), F.sum("n_tokens").alias("bin_tokens"))
+        .orderBy("lang", "bin")
+    )
+
+
+@register(
+    "balanced_mixture_sample",
+    oracle="""
+        WITH counts AS (
+            SELECT source, count(*) AS n FROM documents GROUP BY source
+        ),
+        rates AS (
+            SELECT source, n,
+                   (SELECT min(n) FROM counts)::DOUBLE / n AS rate
+            FROM counts
+        ),
+        kept AS (
+            SELECT d.source, r.rate, r.n
+            FROM documents d JOIN rates r USING (source)
+            WHERE ('0x' || substr(md5('mix|' || d.doc_id), 1, 8))::BIGINT % 1000000
+                  < r.rate * 1000000
+        )
+        SELECT source,
+               any_value(n) AS n_total,
+               count(*) AS n_kept,
+               round(any_value(rate), 9) AS target_rate
+        FROM kept
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def balanced_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture balancing: deterministically down-sample every source
+    to the smallest source's size (rate = min_n / n_source), selection by
+    content-stable hash so the same doc is kept across reruns/engines.
+    At 100TB the rates table is a handful of rows (broadcast join); the
+    corpus is filtered in one pass, no shuffle before the report agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(F.count("*").alias("n"))
+    min_n = counts.agg(F.min("n").alias("m"))
+    rates = counts.crossJoin(F.broadcast(min_n)).select(
+        "source", "n", (F.col("m").cast("double") / F.col("n")).alias("rate")
+    )
+    keep = (
+        T.hash64(F.col("doc_id").cast("string"), "mix") % 1_000_000
+        < F.col("rate") * 1_000_000
+    )
+    return (
+        docs.join(F.broadcast(rates), "source")
+        .filter(keep)
+        .groupBy("source")
+        .agg(
+            F.any_value("n").alias("n_total"),
+            F.count("*").alias("n_kept"),
+            F.round(F.any_value("rate"), 9).alias("target_rate"),
+        )
+        .orderBy("source")
+    )
+
+
 @register(
     "contamination_test_vs_train",
     oracle=f"""
