@@ -84,6 +84,50 @@ def daily_value_running(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# Offset/navigation window family: lead (next value), first/last value
+# over an explicit frame, nth_value — per-user event navigation.
+# ---------------------------------------------------------------------------
+@register(
+    "event_navigation_windows",
+    oracle="""
+        SELECT event_id, user_id, value,
+               lead(value) OVER w AS next_value,
+               lead(value, 2) OVER w AS next2_value,
+               first_value(value) OVER w AS first_val,
+               last_value(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_val,
+               nth_value(value, 3) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS third_val
+        FROM events
+        WHERE user_id < 20
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        ORDER BY user_id, event_id
+    """,
+)
+def event_navigation_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    # full-partition frame: last_value/nth_value default to the running
+    # frame (CURRENT ROW upper bound), which is almost never what a
+    # navigation query means — pin it explicitly
+    full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    return (
+        events.filter(F.col("user_id") < 20)
+        .select(
+            "event_id",
+            "user_id",
+            "value",
+            F.lead("value").over(w).alias("next_value"),
+            F.lead("value", 2).over(w).alias("next2_value"),
+            F.first("value").over(w).alias("first_val"),
+            F.last("value").over(full).alias("last_val"),
+            F.nth_value("value", 3).over(full).alias("third_val"),
+        )
+        .orderBy("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
 # Rank with gaps + dense rank (window family completeness).
 # ---------------------------------------------------------------------------
 @register(
