@@ -43,3 +43,26 @@ def salted_agg(
     return partial.groupBy(*keys).agg(
         *[second[fn](f"__p_{alias}").alias(alias) for alias, (fn, col) in aggs.items()]
     )
+
+
+def salted_join(big: DataFrame, small: DataFrame, key: str,
+                n_salts: int = 16) -> DataFrame:
+    """Skew-safe equi-join: salt the big side's key, replicate the small
+    side across all salts, join on (key, salt).
+
+    A hot key's rows scatter over ``n_salts`` reducers instead of one;
+    the price is a ``n_salts``× replication of the SMALL side only.
+    Prefer AQE's skew-join split (on by default here) when the join is
+    sort-merge; explicit salting is for the cases AQE can't rescue —
+    a shuffled-hash join forced by hints, or a skewed key feeding a
+    downstream bucketed write where AQE's split would break
+    co-partitioning. Output columns = big ∪ small-minus-key, like a
+    plain ``big.join(small, key)``."""
+    salts = big.sparkSession.range(n_salts).select(
+        F.col("id").cast("int").alias("__salt")
+    )
+    big_s = big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int")
+    )
+    small_s = small.crossJoin(F.broadcast(salts))
+    return big_s.join(small_s, [key, "__salt"]).drop("__salt")

@@ -53,3 +53,17 @@ def test_skewed_salted_agg_correct(spark):
     }
     assert plain == salted
     assert plain[0][1] == 190_000  # the hot key really is hot
+
+
+def test_salted_join_matches_plain_join(spark):
+    from bigdata_processing_spark.operators.skew import salted_join
+
+    left = _skewed(spark, n=50_000)
+    dim = spark.range(1001).select(F.col("id").alias("k"), (F.col("id") * 10).alias("w"))
+    plain = left.join(dim, "k").agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw"), F.sum("v").alias("sv")
+    ).collect()[0]
+    salted = salted_join(left, dim, "k", n_salts=8).agg(
+        F.count("*").alias("n"), F.sum("w").alias("sw"), F.sum("v").alias("sv")
+    ).collect()[0]
+    assert tuple(plain) == tuple(salted)
