@@ -134,3 +134,41 @@ def positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.countDistinct("tok").alias("vocab"), F.count("*").alias("n"))
         .orderBy("pos")
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT-typed semi-structured access (Spark 4): parse once into the
+# binary variant encoding, path-extract with variant_get. Unlike
+# from_json, VARIANT needs no declared schema and keeps nested structure
+# shredded-columnar at rest — the open-schema ingestion posture for
+# event streams whose payload drifts. Values here equal the schema-
+# declared extraction (json_props_extract), which is the point: same
+# answers without pre-declaring the payload shape.
+# ---------------------------------------------------------------------------
+@register(
+    "variant_props_quartiles",
+    oracle="""
+        SELECT (props::JSON ->> 'k')::BIGINT // 25 AS k_quartile,
+               count(*) AS n_events,
+               min((props::JSON ->> 'k')::BIGINT) AS k_min,
+               max((props::JSON ->> 'k')::BIGINT) AS k_max,
+               sum(value) AS total_value
+        FROM events
+        GROUP BY 1
+        ORDER BY k_quartile
+    """,
+)
+def variant_props_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    events = load_table(spark, sf_dir, "events")
+    k = F.variant_get(F.parse_json("props"), "$.k", "bigint")
+    return (
+        events.select(F.floor(k / 25).alias("k_quartile"), k.alias("k"), "value")
+        .groupBy("k_quartile")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.min("k").alias("k_min"),
+            F.max("k").alias("k_max"),
+            F.sum("value").alias("total_value"),
+        )
+        .orderBy("k_quartile")
+    )
