@@ -204,3 +204,39 @@ def string_agg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment")
     )
+
+
+# ---------------------------------------------------------------------------
+# LATERAL correlated subquery: each nation's single top customer by
+# balance — the per-row-subquery form of top-1-per-group (Catalyst plans
+# a DomainJoin → window, not a per-row re-execution).
+# ---------------------------------------------------------------------------
+@register(
+    "lateral_top_customer_per_nation",
+    oracle="""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT c_name, c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 1
+             ) t
+        ORDER BY n.n_name
+    """,
+)
+def lateral_top_customer_per_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql("""
+        SELECT n.n_name, t.c_name, t.c_acctbal
+        FROM nation n,
+             LATERAL (
+                 SELECT c_name, c_acctbal
+                 FROM customer c
+                 WHERE c.c_nationkey = n.n_nationkey
+                 ORDER BY c_acctbal DESC, c_custkey
+                 LIMIT 1
+             ) t
+        ORDER BY n.n_name
+    """)
