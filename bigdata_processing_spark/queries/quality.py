@@ -265,3 +265,49 @@ def contamination_test_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "n_sh", "n_seen", F.round(frac, 9).alias("contam_frac"))
         .orderBy("doc_id")
     )
+
+
+@register(
+    "value_outlier_fences",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.25) AS q1,
+                   quantile_cont(value, 0.75) AS q3
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n_events,
+               round(any_value(q1 - 1.5 * (q3 - q1)), 9) AS lo_fence,
+               round(any_value(q3 + 1.5 * (q3 - q1)), 9) AS hi_fence,
+               sum(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_below,
+               sum(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_above
+        FROM events e JOIN q USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+)
+def value_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tukey-fence outlier screen per event type: quantile aggregate
+    (tiny — one row per type) broadcast back onto the stream; the data
+    passes twice but never shuffles by anything except the final
+    per-type rollup."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.percentile("value", 0.25).alias("q1"),
+        F.percentile("value", 0.75).alias("q3"),
+    )
+    lo = F.col("q1") - 1.5 * (F.col("q3") - F.col("q1"))
+    hi = F.col("q3") + 1.5 * (F.col("q3") - F.col("q1"))
+    return (
+        events.join(F.broadcast(q), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.any_value(lo), 9).alias("lo_fence"),
+            F.round(F.any_value(hi), 9).alias("hi_fence"),
+            F.sum(F.when(F.col("value") < lo, 1).otherwise(0)).alias("n_below"),
+            F.sum(F.when(F.col("value") > hi, 1).otherwise(0)).alias("n_above"),
+        )
+        .orderBy("event_type")
+    )
