@@ -107,6 +107,70 @@ def _cell_probes(spark, queries: DataFrame, centroids: list[list[float]],
     )
 
 
+def build_ivfsq8_index(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+    n_iter: int = 3,
+    fit_fraction: float = 1.0,
+) -> tuple[DataFrame, list[list[float]]]:
+    """IVF-SQ8: cell-pruned index whose postings store int8-quantized
+    vectors (operators/quantization) instead of float64 — the classic
+    FAISS IVF+SQ composition, here as pure DataFrame ops. 4× less index
+    memory/bandwidth on top of the n_probe/k scan reduction; the true
+    norm rides along so cosine denominators stay exact.
+
+    Postings: (vec_id, cell, qvec array<int>, scale double, nrm double).
+    """
+    from bigdata_processing_spark.operators.quantization import quantize
+
+    indexed, centroids = build_ivf_index(
+        emb, vec_col=vec_col, k_cells=k_cells, n_iter=n_iter,
+        fit_fraction=fit_fraction,
+    )
+    sq8 = (
+        quantize(indexed, vec_col="e")
+        .select("vec_id", "cell", "qvec", "scale", "nrm")
+        .repartition("cell")
+    )
+    return sq8, centroids
+
+
+def ivfsq8_search(
+    sq8: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    top_k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Asymmetric search (ADC): the float query scores against quantized
+    candidates — ``dot(q, dequant(c)) = (Σ q_i·qc_i)·scale`` — inside the
+    probed cells only. Queries need (qid, qe array<double>, qn double).
+    Output shape matches ivf_search for recall measurement."""
+    spark = sq8.sparkSession
+    probes = _cell_probes(spark, queries, centroids, n_probe)
+    joined = sq8.join(
+        F.broadcast(probes),
+        (sq8["cell"] == probes["cell"]) & (sq8["vec_id"] != probes["qid"]),
+    )
+    adc_dot = (
+        F.aggregate(
+            F.zip_with("qe", "qvec", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        * F.col("scale")
+    )
+    cos = adc_dot / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .orderBy("qid", "rn")
+    )
+
+
 def write_ivf_index(indexed: DataFrame, centroids: list[list[float]],
                     path: str) -> None:
     """Persist the index ``PARTITIONED BY (cell)`` for cross-job reuse.

@@ -102,6 +102,36 @@ def test_ivf_disk_index_prunes_partitions(spark, tmp_path):
     assert pf and "cell" in pf.group(1), plan[:2000]
 
 
+def test_ivfsq8_recall_vs_exact(spark):
+    """Quantization on top of cell pruning: recall@5 stays high (int8
+    error ≪ cell-pruning error at 64 dims), and the quantized scores
+    track exact cosine closely on the pairs both paths rank."""
+    from bigdata_processing_spark.operators.ivf import build_ivfsq8_index, ivfsq8_search
+
+    emb = load_table(spark, SF, "embeddings")
+    sq8, centroids = build_ivfsq8_index(emb, k_cells=8, n_iter=2)
+    sq8 = sq8.persist()
+    try:
+        q = emb.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"),
+            F.col("embedding").cast("array<double>").alias("qe"),
+            V.norm(F.col("embedding")).alias("qn"),
+        )
+        approx = {
+            (r.qid, r.cid): r.cos_sim
+            for r in ivfsq8_search(sq8, centroids, q, 5, n_probe=3).collect()
+        }
+        exact = {
+            (r.qid, r.cid): r.cos_sim for r in _exact_topk(emb).collect()
+        }
+        recall = len(approx.keys() & exact.keys()) / len(exact)
+        assert recall >= 0.65, f"recall@5 = {recall:.3f}"
+        for pair in approx.keys() & exact.keys():
+            assert abs(approx[pair] - exact[pair]) < 0.02, (pair, approx[pair], exact[pair])
+    finally:
+        sq8.unpersist()
+
+
 def test_ivf_fit_on_sample_still_indexes_everything(spark):
     emb = load_table(spark, SF, "embeddings")
     indexed, centroids = build_ivf_index(emb, k_cells=4, n_iter=1, fit_fraction=0.3)
