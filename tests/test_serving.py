@@ -75,3 +75,33 @@ def test_replayed_batch_is_noop(spark, tmp_path):
     assert rows == {1: 10.0, 2: 99.0, 3: 30.0}
     parent = os.path.dirname(serving)
     assert sorted(os.listdir(parent)) == ["serving2", "serving2._batches"]
+
+
+def test_partition_scoped_merge_touches_only_batch_partitions(spark, tmp_path):
+    import glob
+
+    serving = os.path.join(str(tmp_path), "serving3")
+    b0 = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 20.0), (3, 1, 30.0)], "k long, shard int, v double"
+    )
+    assert upsert_batch(serving, ("k",), b0, 0, partition_col="shard") is True
+    files_before = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(serving, "shard=1", "*.parquet"))
+    }
+    assert files_before  # partition 1 exists
+
+    # batch 1 only touches shard 0: shard 1's files must be untouched
+    b1 = spark.createDataFrame([(2, 0, 99.0), (4, 0, 40.0)], "k long, shard int, v double")
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard") is True
+    files_after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(serving, "shard=1", "*.parquet"))
+    }
+    assert files_after == files_before
+
+    rows = {r.k: (r.shard, r.v) for r in read_serving_table(spark, serving).collect()}
+    assert rows == {1: (0, 10.0), 2: (0, 99.0), 3: (1, 30.0), 4: (0, 40.0)}
+
+    # replay of batch 1 is still a no-op in partitioned mode
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard") is False
