@@ -45,7 +45,7 @@ JACCARD_THRESHOLD = 0.8
 SEP = "\x01"
 
 _OUT_SCHEMA = "d1 bigint, d2 bigint, jaccard double"
-_STATE_SCHEMA = "doc_ids array<bigint>, blobs array<string>"
+_STATE_SCHEMA = "doc_ids array<bigint>, blobs array<string>, stamps array<double>"
 
 
 def signature_cols(doc_text) -> list:
@@ -70,10 +70,13 @@ def signature_cols(doc_text) -> list:
     return [sh.alias("sh")] + cols
 
 
-def banded(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """(bk, doc_id, blob) — one row per (band, doc); blob is the
-    SEP-joined shingle set carried to the verifier."""
-    sig = docs.select("doc_id", *signature_cols(F.col(text_col)))
+def banded(docs: DataFrame, text_col: str = "text",
+           ts_col: str | None = None) -> DataFrame:
+    """(bk, doc_id, blob, ts) — one row per (band, doc); blob is the
+    SEP-joined shingle set carried to the verifier; ts drives retention
+    (0.0 when the stream carries no event time)."""
+    ts = F.col(ts_col).cast("double") if ts_col else F.lit(0.0)
+    sig = docs.select("doc_id", ts.alias("ts"), *signature_cols(F.col(text_col)))
     band_keys = F.array(
         *[
             F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
@@ -82,6 +85,7 @@ def banded(docs: DataFrame, text_col: str = "text") -> DataFrame:
     )
     return sig.select(
         "doc_id",
+        "ts",
         F.array_join("sh", SEP).alias("blob"),
         F.explode(band_keys).alias("bk"),
     )
@@ -93,23 +97,39 @@ def _jaccard(a: set, b: set) -> float:
     return inter / union if union else 0.0
 
 
-def _bucket_matcher(max_bucket: int):
+def _bucket_matcher(max_bucket: int, max_age: float | None = None):
     def match_bucket(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
         if state.exists:
-            doc_ids, blobs = state.get
-            doc_ids, blobs = list(doc_ids), list(blobs)
+            doc_ids, blobs, stamps = state.get
+            doc_ids, blobs, stamps = list(doc_ids), list(blobs), list(stamps)
         else:
-            doc_ids, blobs = [], []
+            doc_ids, blobs, stamps = [], [], []
         known = set(doc_ids)
         sets = [set(b.split(SEP)) if b else set() for b in blobs]
         out: list[tuple[int, int, float]] = []
+        hwm = max(stamps) if stamps else float("-inf")  # bucket's event-time high-water
         for pdf in pdfs:
             for _, row in pdf.sort_values("doc_id").iterrows():
                 did = int(row["doc_id"])
                 if did in known:  # replays / duplicate band rows
                     continue
+                ts = float(row["ts"])
+                hwm = max(hwm, ts)
+                if max_age is not None:
+                    # bounded retention: members older than the bucket's
+                    # high-water minus max_age can no longer match — drop
+                    # them so state stays proportional to the retention
+                    # window, not the stream's lifetime
+                    cutoff = hwm - max_age
+                    live = [i for i, st in enumerate(stamps) if st >= cutoff]
+                    if len(live) < len(doc_ids):
+                        doc_ids = [doc_ids[i] for i in live]
+                        blobs = [blobs[i] for i in live]
+                        stamps = [stamps[i] for i in live]
+                        sets = [sets[i] for i in live]
+                        known = set(doc_ids)
                 s = set(row["blob"].split(SEP)) if row["blob"] else set()
                 for prior, pset in zip(doc_ids, sets):
                     j = _jaccard(s, pset)
@@ -120,21 +140,30 @@ def _bucket_matcher(max_bucket: int):
                     doc_ids.append(did)
                     sets.append(s)
                     blobs.append(row["blob"])
+                    stamps.append(ts)
                     known.add(did)
-        state.update((doc_ids, blobs))
+        state.update((doc_ids, blobs, stamps))
         yield pd.DataFrame(out, columns=["d1", "d2", "jaccard"])
 
     return match_bucket
 
 
 def streaming_dup_pairs(docs: DataFrame, text_col: str = "text",
-                        max_bucket: int = 1000) -> DataFrame:
+                        max_bucket: int = 1000,
+                        ts_col: str | None = None,
+                        max_age: float | None = None) -> DataFrame:
     """Verified near-dup pairs for a document stream (or batch frame —
     the parity invariant): each doc vs all previously-seen docs sharing
     an LSH band bucket. Emits (d1, d2, jaccard) with d1 < d2; may emit a
-    pair once per shared bucket (dedup downstream)."""
-    return banded(docs, text_col).groupBy("bk").applyInPandasWithState(
-        _bucket_matcher(max_bucket),
+    pair once per shared bucket (dedup downstream).
+
+    Bounded retention: with ``ts_col`` + ``max_age`` (same units as the
+    column, e.g. epoch seconds), bucket members falling ``max_age``
+    behind their bucket's event-time high-water mark are evicted before
+    matching — state size tracks the retention window, not stream
+    lifetime. Default (None) keeps members forever (full-corpus dedup)."""
+    return banded(docs, text_col, ts_col=ts_col).groupBy("bk").applyInPandasWithState(
+        _bucket_matcher(max_bucket, max_age=max_age),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",

@@ -87,3 +87,41 @@ def test_bucket_cap_bounds_state(spark, tmp_path):
     # and emissions stayed pair-shaped
     for r in rows:
         assert r.d1 < r.d2 and 0.0 <= r.jaccard <= 1.0
+
+
+def test_retention_evicts_stale_members(spark, tmp_path):
+    """With max_age set, a near-dup arriving beyond the retention window
+    of its twin must NOT pair (twin evicted); within the window it must.
+    Same data, two configs."""
+    twin = "alpha beta gamma delta epsilon zeta eta theta"
+    rows_w0 = [(1, twin, 100.0), (2, "totally different words here now", 100.0)]
+    rows_w1 = [(3, twin, 100.0 + 500.0)]  # twin of doc 1, arriving 500s later
+
+    def run(name, max_age):
+        src = tmp_path / name
+        spark.createDataFrame(rows_w0, "doc_id long, text string, ts double") \
+            .coalesce(1).write.parquet(str(src / "w0"))
+        spark.createDataFrame(rows_w1, "doc_id long, text string, ts double") \
+            .coalesce(1).write.parquet(str(src / "w1"))
+        stream = (
+            spark.readStream.schema("doc_id long, text string, ts double")
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(str(src))
+        )
+        q = (
+            streaming_dup_pairs(stream, ts_col="ts", max_age=max_age)
+            .writeStream.format("memory")
+            .queryName(name)
+            .outputMode("append")
+            .option("checkpointLocation", str(tmp_path / f"{name}_ck"))
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+        return {(r.d1, r.d2) for r in spark.table(name).collect()}
+
+    # window shorter than the gap: twin evicted, no pair
+    assert run("short_retention", max_age=300.0) == set()
+    # window covering the gap: pair found
+    assert run("long_retention", max_age=1000.0) == {(1, 3)}
