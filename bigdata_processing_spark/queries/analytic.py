@@ -43,7 +43,7 @@ def top3_orders_per_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .select("c_mktsegment", "o_orderkey", "o_totalprice")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .orderBy("c_mktsegment", "rn")
     )
@@ -150,9 +150,9 @@ def supplier_quantity_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     s = li.groupBy("l_suppkey").agg(F.sum("l_quantity").alias("total_qty"))
     w = Window.orderBy(F.col("total_qty").desc(), F.col("l_suppkey").asc())
     return (
-        s.withColumn("qty_rank", F.rank().over(w))
-        .withColumn("qty_dense_rank", F.dense_rank().over(w))
-        .withColumn("quartile", F.ntile(4).over(w))
+        s.withColumn("qty_rank", F.rank().over(w).cast("long"))
+        .withColumn("qty_dense_rank", F.dense_rank().over(w).cast("long"))
+        .withColumn("quartile", F.ntile(4).over(w).cast("long"))
         .orderBy("qty_rank")
     )
 

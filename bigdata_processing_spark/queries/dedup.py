@@ -475,7 +475,7 @@ def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("jaccard").desc(), F.col("cid").asc())
     return (
         joined.select("qid", F.col("doc_id").alias("cid"), jaccard.alias("jaccard"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .orderBy("qid", "rn")
     )

@@ -53,8 +53,8 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.replace(F.col("c_name"), F.lit("Customer"), F.lit("C")).alias("name_short"),
             F.left(F.col("c_mktsegment"), F.lit(3)).alias("seg3"),
             F.reverse("c_mktsegment").alias("seg_rev"),
-            F.length("c_name").alias("name_len"),
-            F.instr(F.col("c_name"), "#").alias("hash_pos"),
+            F.length("c_name").cast("long").alias("name_len"),
+            F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
             F.concat_ws("/", "c_mktsegment", F.col("c_custkey").cast("string")).alias("seg_key"),
         )
         .orderBy("c_custkey")
@@ -401,7 +401,7 @@ def stratified_sample_5_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("event_type").orderBy(h.asc(), F.col("event_id").asc())
     return (
         events.select("event_type", "event_id")
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("event_type", "rn")
     )
@@ -421,7 +421,7 @@ def stratified_sample_5_per_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             FROM events GROUP BY 1
         )
         SELECT substr(d, 1, 7) AS event_month,
-               sum(n) AS n_events,
+               CAST(sum(n) AS BIGINT) AS n_events,
                sum(v) AS total_value,
                sum(v) / sum(n) AS avg_value
         FROM daily

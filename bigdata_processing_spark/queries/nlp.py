@@ -62,7 +62,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("tok").asc())
     return (
-        scored.withColumn("rn", F.row_number().over(w))
+        scored.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter((F.col("rn") <= 3) & (F.col("doc_id") < 20))
         .orderBy("doc_id", "rn")
     )

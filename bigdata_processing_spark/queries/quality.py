@@ -109,7 +109,7 @@ TOKEN_BUDGET = 256  # tokens per packed training sequence
         )
         SELECT lang, bin::BIGINT AS bin,
                count(*) AS n_docs,
-               sum(n_tokens) AS bin_tokens
+               CAST(sum(n_tokens) AS BIGINT) AS bin_tokens
         FROM packed
         GROUP BY lang, bin
         ORDER BY lang, bin
@@ -254,7 +254,7 @@ def contamination_test_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     test_ex = (
         base.filter((F.col("split") == "test") & (F.size("s3") > 0))
-        .select("doc_id", F.size("s3").alias("n_sh"), F.explode("s3").alias("s"))
+        .select("doc_id", F.size("s3").cast("long").alias("n_sh"), F.explode("s3").alias("s"))
     )
     hits = test_ex.join(train_vocab, "s").groupBy("doc_id", "n_sh").agg(
         F.count("*").alias("n_seen")
@@ -280,8 +280,8 @@ def contamination_test_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
                count(*) AS n_events,
                round(any_value(q1 - 1.5 * (q3 - q1)), 9) AS lo_fence,
                round(any_value(q3 + 1.5 * (q3 - q1)), 9) AS hi_fence,
-               sum(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_below,
-               sum(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS n_above
+               CAST(sum(CASE WHEN value < q1 - 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_below,
+               CAST(sum(CASE WHEN value > q3 + 1.5 * (q3 - q1) THEN 1 ELSE 0 END) AS BIGINT) AS n_above
         FROM events e JOIN q USING (event_type)
         GROUP BY e.event_type
         ORDER BY e.event_type

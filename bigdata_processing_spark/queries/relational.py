@@ -156,8 +156,8 @@ def top_suppliers_by_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "global_overhead",
     oracle="""
-        SELECT sum((length(text) - 2) * 4) AS wasted_bits,
-               sum(n_chars) AS total_chars,
+        SELECT CAST(sum((length(text) - 2) * 4) AS BIGINT) AS wasted_bits,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
                count(*) AS doc_count
         FROM documents
     """,

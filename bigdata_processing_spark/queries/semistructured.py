@@ -54,7 +54,7 @@ def json_props_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT key AS prop_key,
                count(*) AS n_events,
-               sum((props::JSON ->> key)::BIGINT) AS total_v
+               CAST(sum((props::JSON ->> key)::BIGINT) AS BIGINT) AS total_v
         FROM (
             SELECT unnest(json_keys(props::JSON)) AS key, props
             FROM events
@@ -130,6 +130,7 @@ def positional_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(
             F.posexplode(F.slice(F.split("text", " "), 1, 3)).alias("pos", "tok")
         )
+        .withColumn("pos", F.col("pos").cast("long"))
         .groupBy("pos")
         .agg(F.countDistinct("tok").alias("vocab"), F.count("*").alias("n"))
         .orderBy("pos")

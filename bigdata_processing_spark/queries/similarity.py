@@ -71,7 +71,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
         joined.select("qid", "cid", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
@@ -110,7 +110,7 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
         joined.select("qid", "cid", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
@@ -158,7 +158,7 @@ def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), F.col("cid").asc())
     return (
         joined.select("qid", F.col("vec_id").alias("cid"), F.round(qdot, 9).alias("qdot"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )

@@ -151,7 +151,7 @@ def grouping_sets_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql("""
         SELECT coalesce(o_orderstatus, 'ALL') AS status,
                coalesce(o_orderpriority, 'ALL') AS priority,
-               grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS gid,
+               CAST(grouping(o_orderstatus) * 2 + grouping(o_orderpriority) AS BIGINT) AS gid,
                count(*) AS n_orders,
                sum(o_totalprice) AS revenue
         FROM orders
@@ -188,7 +188,7 @@ def string_agg_top_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("c_mktsegment").orderBy(
         F.col("c_acctbal").desc(), F.col("c_custkey")
     )
-    top5 = cust.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 5)
+    top5 = cust.withColumn("rn", F.row_number().over(w).cast("long")).filter(F.col("rn") <= 5)
     # array_sort on (rn, name) structs → ordered concat: the portable
     # ordered-string-agg (listagg ordering semantics differ per engine)
     return (

@@ -77,14 +77,14 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         orders.filter(F.col("o_orderkey") < 200)
         .select(
             "o_orderkey",
-            F.year("o_orderdate").alias("y"),
-            F.quarter("o_orderdate").alias("q"),
-            F.month("o_orderdate").alias("m"),
-            F.dayofmonth("o_orderdate").alias("d"),
-            F.weekday("o_orderdate").alias("iso_weekday"),
+            F.year("o_orderdate").cast("long").alias("y"),
+            F.quarter("o_orderdate").cast("long").alias("q"),
+            F.month("o_orderdate").cast("long").alias("m"),
+            F.dayofmonth("o_orderdate").cast("long").alias("d"),
+            F.weekday("o_orderdate").cast("long").alias("iso_weekday"),
             F.date_format(F.date_trunc("month", "o_orderdate"), "yyyy-MM-dd").alias("month_start"),
             F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias("month_end"),
-            F.datediff(F.lit("2001-09-01").cast("timestamp"), F.col("o_orderdate")).alias("days_to_ref"),
+            F.datediff(F.lit("2001-09-01").cast("timestamp"), F.col("o_orderdate")).cast("long").alias("days_to_ref"),
         )
         .orderBy("o_orderkey")
     )
@@ -98,13 +98,13 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         SELECT event_id,
                round(value, 1) AS v_round,
-               ceil(value) AS v_ceil,
-               floor(value) AS v_floor,
+               CAST(ceil(value) AS BIGINT) AS v_ceil,
+               CAST(floor(value) AS BIGINT) AS v_floor,
                abs(value - 50) AS v_absdiff,
                round(sqrt(value), 6) AS v_sqrt,
                round(ln(value + 1), 6) AS v_ln,
                round(pow(value, 2), 6) AS v_sq,
-               sign(value - 50) AS v_sign,
+               CAST(sign(value - 50) AS DOUBLE) AS v_sign,
                greatest(value, 10.0) AS v_hi,
                least(value, 10.0) AS v_lo
         FROM events
@@ -197,7 +197,7 @@ def ntile_balance_quartiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("c_acctbal").asc(), F.col("c_custkey").asc()
     )
     return (
-        cust.select("c_mktsegment", F.ntile(4).over(w).alias("quartile"), "c_acctbal")
+        cust.select("c_mktsegment", F.ntile(4).over(w).cast("long").alias("quartile"), "c_acctbal")
         .groupBy("c_mktsegment", "quartile")
         .agg(
             F.count("*").alias("n_customers"),
@@ -241,7 +241,7 @@ def pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
                list_contains(toks, 'data') AS has_data,
                toks[1:2] || toks[-2:] AS ends,
                list_transform(toks, t -> length(t)) AS tok_lens,
-               list_sum(list_transform(toks, t -> length(t))) AS total_len
+               CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len
         FROM t
         ORDER BY doc_id
     """,
@@ -254,13 +254,13 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.filter(F.col("doc_id") < 30)
         .select(
             "doc_id",
-            F.size(toks).alias("n"),
+            F.size(toks).cast("long").alias("n"),
             F.array_contains(toks, "data").alias("has_data"),
             F.concat(
                 F.slice(toks, 1, 2), F.slice(toks, -2, 2)
             ).alias("ends"),
             tok_lens.alias("tok_lens"),
-            F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).alias("total_len"),
+            F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast("long").alias("total_len"),
         )
         .orderBy("doc_id")
     )

@@ -27,8 +27,8 @@ _SW = "('a','and','in','is','of','the','to')"
     oracle=f"""
         SELECT lang,
                count(*) AS n_docs,
-               sum(length(text)) AS total_chars,
-               sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS total_tokens,
+               CAST(sum(length(text)) AS BIGINT) AS total_chars,
+               CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS total_tokens,
                avg(length(text)) AS avg_chars,
                sum(length(text))::DOUBLE
                    / sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS chars_per_token
@@ -60,8 +60,8 @@ def text_stats_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
     "bpe_token_counts",
     oracle=f"""
         SELECT source,
-               sum(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))) AS bpe_tokens,
-               sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS ws_tokens,
+               CAST(sum(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))) AS BIGINT) AS bpe_tokens,
+               CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT) AS ws_tokens,
                count(*) AS n_docs
         FROM documents
         GROUP BY source
