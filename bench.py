@@ -1,9 +1,15 @@
 #!/usr/bin/env python
 """BENCH harness: run every registered query at $SPARK_GRAFT_SF_DIR
-(default /root/testdata/sf0.1) and print ONE JSON line:
+(default /root/testdata/sf0.1) and print ONE COMPACT JSON line:
 
     {"metric": "...", "value": <total sec>, "unit": "sec",
-     "queries": {name: sec, ...}, "sf": 0.1}
+     "queries": {<slowest 5>: sec}, "median_sec": ..., "n_queries": ...,
+     "shuffle_write_mb_total": ..., "spill_mb_total": ..., "sf": 0.1,
+     "detail": "BENCH_DETAIL.json"}
+
+The full per-query timing/shuffle/spill map goes to BENCH_DETAIL.json
+next to this script — the stdout line must stay small enough for the
+round driver's tail capture (a 97-query inline map overflowed it).
 
 Each query executes through a `noop` sink so the full physical plan runs
 (scan → shuffle → agg) without driver-side row transfer inflating the
@@ -82,16 +88,31 @@ def main() -> None:
         spill_mb[name] = round(sum(v[1] for v in new) / 1e6, 3)
 
     total = round(sum(timings.values()), 3)
+    ordered = sorted(timings.values())
+    median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
+    slowest5 = dict(sorted(timings.items(), key=lambda kv: -kv[1])[:5])
+
+    detail_path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_DETAIL.json")
+    with open(detail_path, "w") as f:
+        json.dump({
+            "queries": timings,
+            "shuffle_write_mb": shuffle_mb,
+            "spill_mb": spill_mb,
+            "sf": sf,
+        }, f, indent=1, sort_keys=True)
+
     print(json.dumps({
         "metric": "total_query_wall_seconds",
         "value": total,
         "unit": "sec",
-        "queries": timings,
-        "shuffle_write_mb": shuffle_mb,
-        "spill_mb": spill_mb,
+        "queries": slowest5,
+        "median_sec": median,
+        "n_queries": len(timings),
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 3),
         "spill_mb_total": round(sum(spill_mb.values()), 3),
         "sf": sf,
+        "detail": "BENCH_DETAIL.json",
     }))
     spark.stop()
 
