@@ -36,10 +36,17 @@ def _assign_udf(centroids: list[list[float]]):
     return pandas_udf(_assign, "int")
 
 
-def kmeans_fit(emb: DataFrame, vec_col: str = "embedding", k: int = 8,
-               n_iter: int = 5) -> tuple[DataFrame, list[float]]:
-    """Returns (assignments DataFrame [vec_id, cluster], inertia per
-    iteration). ``emb`` must have a unique ``vec_id`` column."""
+def kmeans_centroids(
+    emb: DataFrame, vec_col: str = "embedding", k: int = 8, n_iter: int = 5,
+    compute_inertia: bool = False,
+) -> tuple[list[list[float]], list[float]]:
+    """Run the Lloyd iterations and return ``(centroids, inertia_path)``.
+
+    The per-iteration data-sized work is one assignment pass + one
+    (cluster, pos)-keyed mean aggregation. ``compute_inertia`` adds an
+    extra full-data job per iteration — only the convergence tests need
+    it, so callers that just want the quantizer (IVF index build) skip it.
+    """
     base = emb.select("vec_id", F.col(vec_col).cast("array<double>").alias("e")).persist()
 
     # deterministic init: first k vectors by vec_id
@@ -49,24 +56,25 @@ def kmeans_fit(emb: DataFrame, vec_col: str = "embedding", k: int = 8,
     for _ in range(n_iter):
         assigned = base.withColumn("cluster", _assign_udf(centroids)(F.col("e")))
 
-        # inertia vs the centroids used for this assignment (JVM fold)
-        cdf = base.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)], "cluster int, cent array<double>"
-        )
-        inertia = (
-            assigned.join(F.broadcast(cdf), "cluster")
-            .select(
-                F.aggregate(
-                    F.zip_with("e", "cent", lambda x, y: (x - y) * (x - y)),
-                    F.lit(0.0),
-                    lambda acc, v: acc + v,
-                ).alias("d2")
+        if compute_inertia:
+            # inertia vs the centroids used for this assignment (JVM fold)
+            cdf = base.sparkSession.createDataFrame(
+                [(i, c) for i, c in enumerate(centroids)], "cluster int, cent array<double>"
             )
-            .agg(F.sum("d2").alias("i"))
-            .collect()[0]
-            .i
-        )
-        inertia_path.append(float(inertia))
+            inertia = (
+                assigned.join(F.broadcast(cdf), "cluster")
+                .select(
+                    F.aggregate(
+                        F.zip_with("e", "cent", lambda x, y: (x - y) * (x - y)),
+                        F.lit(0.0),
+                        lambda acc, v: acc + v,
+                    ).alias("d2")
+                )
+                .agg(F.sum("d2").alias("i"))
+                .collect()[0]
+                .i
+            )
+            inertia_path.append(float(inertia))
 
         # centroid update: explode (pos, val), per-(cluster, pos) mean,
         # re-assemble arrays in position order — one shuffle over data
@@ -81,8 +89,20 @@ def kmeans_fit(emb: DataFrame, vec_col: str = "embedding", k: int = 8,
         new_centroids = {r.cluster: list(r.centroid) for r in stats.collect()}
         centroids = [new_centroids.get(i, centroids[i]) for i in range(k)]
 
-    final = base.withColumn("cluster", _assign_udf(centroids)(F.col("e"))).select(
+    base.unpersist()
+    return centroids, inertia_path
+
+
+def kmeans_fit(emb: DataFrame, vec_col: str = "embedding", k: int = 8,
+               n_iter: int = 5) -> tuple[DataFrame, list[float]]:
+    """Returns (assignments DataFrame [vec_id, cluster], inertia per
+    iteration). ``emb`` must have a unique ``vec_id`` column."""
+    centroids, inertia_path = kmeans_centroids(
+        emb, vec_col=vec_col, k=k, n_iter=n_iter, compute_inertia=True
+    )
+    final = emb.select(
+        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
+    ).withColumn("cluster", _assign_udf(centroids)(F.col("e"))).select(
         "vec_id", "cluster"
     )
-    base.unpersist()
     return final, inertia_path

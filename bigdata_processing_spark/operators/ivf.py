@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.functions import vectors as V
-from bigdata_processing_spark.operators.clustering import kmeans_fit, _assign_udf
+from bigdata_processing_spark.operators.clustering import kmeans_centroids, _assign_udf
 
 
 def build_ivf_index(
@@ -58,24 +58,12 @@ def build_ivf_index(
         # deterministic hash-sample: stable across runs/retries, no RNG
         bucket = F.pmod(F.xxhash64(F.col("vec_id")), F.lit(1_000_000))
         fit_src = emb.filter(bucket < int(fit_fraction * 1_000_000))
-    assignments, _inertia = kmeans_fit(fit_src, vec_col=vec_col, k=k_cells, n_iter=n_iter)
-    # kmeans_fit returns assignments for the fit set; we need centroids to
-    # label the full corpus. Recompute them from the fit assignments with
-    # one exploded aggregation (same shuffle shape as the update step).
-    fit_vecs = fit_src.select(
-        "vec_id", F.col(vec_col).cast("array<double>").alias("e")
-    ).join(assignments, "vec_id")
-    cent_rows = (
-        fit_vecs.select("cluster", F.posexplode("e").alias("pos", "val"))
-        .groupBy("cluster", "pos")
-        .agg(F.avg("val").alias("mean_val"))
-        .groupBy("cluster")
-        .agg(F.array_sort(F.collect_list(F.struct("pos", "mean_val"))).alias("mv"))
-        .select("cluster", F.col("mv.mean_val").alias("centroid"))
-        .collect()
+    # the quantizer is just the centroids — skip per-iteration inertia
+    # jobs and any fit-set assignment materialization (the full-corpus
+    # assignment below covers everything)
+    centroids, _ = kmeans_centroids(
+        fit_src, vec_col=vec_col, k=k_cells, n_iter=n_iter, compute_inertia=False
     )
-    by_id = {r.cluster: list(r.centroid) for r in cent_rows}
-    centroids = [by_id[i] for i in sorted(by_id)]
 
     indexed = (
         base.withColumn("cell", _assign_udf(centroids)(F.col("e")))

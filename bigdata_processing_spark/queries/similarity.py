@@ -174,7 +174,9 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed, centroids = build_ivf_index(emb, k_cells=8, n_iter=2)
-    indexed = indexed.persist()  # index built once, probed per query batch
+    # no persist here: this one-shot query probes the index exactly once,
+    # so caching would only add memory churn (callers that reuse an index
+    # across query batches persist it themselves / write_ivf_index it)
     q = indexed.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
