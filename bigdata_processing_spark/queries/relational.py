@@ -230,7 +230,8 @@ def argmax_user_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT strftime(ts, '%Y-%m-%d') AS event_day,
                event_type,
                sum(value) AS total_value,
-               count(*) AS n_events
+               count(*) AS n_events,
+               count(DISTINCT user_id) AS n_users
         FROM events
         GROUP BY 1, 2
         ORDER BY event_day, event_type
@@ -243,7 +244,13 @@ def events_by_day_and_type(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.date_format("ts", "yyyy-MM-dd").alias("event_day"),
             "event_type",
         )
-        .agg(F.sum("value").alias("total_value"), F.count("*").alias("n_events"))
+        .agg(
+            F.sum("value").alias("total_value"),
+            F.count("*").alias("n_events"),
+            # exact distinct rides in the same aggregate (Expand-based
+            # plan); keeps the distinct-count operator driver-checked
+            F.countDistinct("user_id").alias("n_users"),
+        )
         .orderBy("event_day", "event_type")
     )
 

@@ -83,9 +83,11 @@ def map_entries_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "explode_token_counts",
     oracle="""
-        SELECT tok AS token, count(*) AS n
+        SELECT tok AS token, count(*) AS n,
+               CAST(min(pos) - 1 AS BIGINT) AS min_pos
         FROM (
-            SELECT unnest(string_split(text, ' ')) AS tok
+            SELECT unnest(string_split(text, ' ')) AS tok,
+                   generate_subscripts(string_split(text, ' '), 1) AS pos
             FROM documents
         )
         WHERE tok <> ''
@@ -95,12 +97,18 @@ def map_entries_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def explode_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array explode with position (posexplode — U2 both idioms in one
+    driver-checked query): top-20 tokens with occurrence counts and the
+    earliest position each token appears at."""
     docs = load_table(spark, sf_dir, "documents")
     return (
-        docs.select(F.explode(F.split("text", " ")).alias("token"))
+        docs.select(F.posexplode(F.split("text", " ")).alias("pos", "token"))
         .filter(F.col("token") != "")
         .groupBy("token")
-        .agg(F.count("*").alias("n"))
+        .agg(
+            F.count("*").alias("n"),
+            F.min("pos").cast("long").alias("min_pos"),
+        )
         .orderBy(F.col("n").desc(), F.col("token").asc())
         .limit(20)
     )
