@@ -559,24 +559,49 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Embedding-cosine near-dup: candidate pairs bounded to the same label
-# partition (IVF-style candidate pruning — at 100TB you never do the
-# unpartitioned n² product), cosine ≥ 0.4.
+# Embedding-cosine near-dup over IVF cells: candidates are pairs sharing
+# BOTH the label partition and a geometric cell, cosine ≥ 0.4.
+#
+# Scale design: within-label pairing alone is quadratic in the label size
+# (measured 4.3× time at 3× data in round 1). The cell count C grows with
+# the corpus (C = clamp(n/128, 8, 64)), so the expected within-(label,cell)
+# pair count stays ~linear in n — the IVF candidate-pruning shape
+# (operators/ivf.py is the production path with k-means-refined centroids
+# and a pandas-UDF assigner; here the quantizer is deliberately
+# SQL-expressible so DuckDB reproduces cell assignment bit-for-bit).
+#
+# Determinism contract: centroids are the C lowest-vec_id vectors (a
+# deterministic corpus sample — no RNG, no iteration); assignment is
+# argmin over c·c − 2·e·c (same argmin as full squared distance, e·e is
+# constant per row) with cell-index tiebreak. functions/vectors.dot folds
+# doubles in array order, bit-equal to DuckDB list_dot_product, so both
+# engines assign identical cells.
 # ---------------------------------------------------------------------------
 @register(
     "embedding_neardup_pairs",
     oracle="""
+        WITH cents AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding::DOUBLE[] AS c
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
+                  LIMIT greatest(8, least(64, (SELECT count(*) // 128 FROM embeddings))))
+        ),
+        assigned AS (
+            SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+                   (SELECT c.cell FROM cents c
+                    ORDER BY list_dot_product(c.c, c.c)
+                             - 2 * list_dot_product(e.embedding::DOUBLE[], c.c) ASC,
+                             c.cell ASC
+                    LIMIT 1) AS cell
+            FROM embeddings e
+        )
         SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
-               list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                   / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                      * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-                   AS cos_sim
-        FROM embeddings a
-        JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
-                  / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-                     * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[])))
-              >= 0.4
+               list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+        FROM assigned a
+        JOIN assigned b
+          ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
         ORDER BY v1, v2
     """,
 )
@@ -584,6 +609,37 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.functions import vectors as V
 
     emb = load_table(spark, sf_dir, "embeddings")
+    n_vecs = emb.count()
+    n_cells = max(8, min(64, n_vecs // 128))
+    cents = [
+        list(r.c)
+        for r in emb.orderBy("vec_id")
+        .limit(n_cells)
+        .select(F.col("embedding").cast("array<double>").alias("c"))
+        .collect()
+    ]
+
+    def _lit_vec(v: list[float]) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def _self_dot(v: list[float]) -> float:
+        # sequential left fold — bit-equal to list_dot_product(c, c)
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc
+
+    # argmin over struct array: Spark compares (score, cell) field-wise,
+    # matching the oracle's ORDER BY score, cell LIMIT 1 exactly
+    scored = F.array(
+        *[
+            F.struct(
+                (F.lit(_self_dot(c)) - 2.0 * V.dot(F.col("e"), _lit_vec(c))).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
     # Precompute each vector's norm ONCE (n rows) instead of re-folding it
     # per pair (n² folds) — cosine on a pair is then a single dot fold.
     base = emb.select(
@@ -591,17 +647,22 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("e"),
         V.norm(F.col("embedding")).alias("nrm"),
-    )
+    ).withColumn("cell", F.array_min(scored).getField("cell"))
     a = base.select(
-        F.col("vec_id").alias("v1"), "label", F.col("e").alias("e1"), F.col("nrm").alias("n1")
+        F.col("vec_id").alias("v1"),
+        "label",
+        "cell",
+        F.col("e").alias("e1"),
+        F.col("nrm").alias("n1"),
     )
     b = base.select(
         F.col("vec_id").alias("v2"),
         F.col("label").alias("label2"),
+        F.col("cell").alias("cell2"),
         F.col("e").alias("e2"),
         F.col("nrm").alias("n2"),
     )
-    pairs = a.join(b, (a.label == b.label2) & (a.v1 < b.v2))
+    pairs = a.join(b, (a.label == b.label2) & (a.cell == b.cell2) & (a.v1 < b.v2))
     # vectorized kernel: this is the one all-pairs-scale dot workload
     cos = V.dot_vectorized(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
