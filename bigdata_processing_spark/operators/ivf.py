@@ -31,6 +31,59 @@ from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.operators.clustering import kmeans_centroids, _assign_udf
 
 
+def seed_centroids(
+    emb: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
+) -> list[list[float]]:
+    """Deterministic seed centroids: the ``k`` lowest-id vectors.
+
+    No RNG and no iteration, so a SQL oracle can reproduce the exact same
+    centroid set (``ORDER BY vec_id LIMIT k``). A corpus-sample quantizer
+    like this is the SQL-expressible stand-in for the k-means-refined one
+    (``kmeans_centroids``) wherever a bit-exact cross-engine check is
+    needed."""
+    return [
+        list(r.c)
+        for r in emb.orderBy(id_col)
+        .limit(k)
+        .select(F.col(vec_col).cast("array<double>").alias("c"))
+        .collect()
+    ]
+
+
+def seeded_assign_best(cents: list[list[float]], e_col: str = "e"):
+    """Argmin assignment as a pure Column expression: returns a struct
+    ``(s, cell)`` where ``s = c·c − 2·e·c`` (the squared distance minus
+    the per-row constant ``e·e`` — same argmin) and ``cell`` is the
+    0-based centroid index, ties broken by lowest cell.
+
+    Bit-exactness contract: ``functions/vectors.dot`` folds doubles in
+    array order, bit-equal to DuckDB ``list_dot_product``; the self-dot
+    is a sequential Python fold (same IEEE ops); ``F.array_min`` over
+    structs compares (s, cell) field-wise, matching
+    ``ORDER BY s, cell LIMIT 1``. So both engines assign identical cells.
+    """
+
+    def _lit_vec(v: list[float]):
+        return F.array(*[F.lit(float(x)) for x in v])
+
+    def _self_dot(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc
+
+    scored = F.array(
+        *[
+            F.struct(
+                (F.lit(_self_dot(c)) - 2.0 * V.dot(F.col(e_col), _lit_vec(c))).alias("s"),
+                F.lit(i).alias("cell"),
+            )
+            for i, c in enumerate(cents)
+        ]
+    )
+    return F.array_min(scored)
+
+
 def build_ivf_index(
     emb: DataFrame,
     vec_col: str = "embedding",

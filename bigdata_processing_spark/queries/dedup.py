@@ -608,38 +608,12 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.functions import vectors as V
 
+    from bigdata_processing_spark.operators.ivf import seed_centroids, seeded_assign_best
+
     emb = load_table(spark, sf_dir, "embeddings")
     n_vecs = emb.count()
     n_cells = max(8, min(64, n_vecs // 128))
-    cents = [
-        list(r.c)
-        for r in emb.orderBy("vec_id")
-        .limit(n_cells)
-        .select(F.col("embedding").cast("array<double>").alias("c"))
-        .collect()
-    ]
-
-    def _lit_vec(v: list[float]) -> F.Column:
-        return F.array(*[F.lit(float(x)) for x in v])
-
-    def _self_dot(v: list[float]) -> float:
-        # sequential left fold — bit-equal to list_dot_product(c, c)
-        acc = 0.0
-        for x in v:
-            acc += x * x
-        return acc
-
-    # argmin over struct array: Spark compares (score, cell) field-wise,
-    # matching the oracle's ORDER BY score, cell LIMIT 1 exactly
-    scored = F.array(
-        *[
-            F.struct(
-                (F.lit(_self_dot(c)) - 2.0 * V.dot(F.col("e"), _lit_vec(c))).alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    cents = seed_centroids(emb, n_cells)
     # Precompute each vector's norm ONCE (n rows) instead of re-folding it
     # per pair (n² folds) — cosine on a pair is then a single dot fold.
     base = emb.select(
@@ -647,7 +621,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.col("embedding").cast("array<double>").alias("e"),
         V.norm(F.col("embedding")).alias("nrm"),
-    ).withColumn("cell", F.array_min(scored).getField("cell"))
+    ).withColumn("cell", seeded_assign_best(cents).getField("cell"))
     a = base.select(
         F.col("vec_id").alias("v1"),
         "label",
