@@ -50,18 +50,16 @@ def seed_centroids(
     ]
 
 
-def seeded_assign_best(cents: list[list[float]], e_col: str = "e"):
-    """Argmin assignment as a pure Column expression: returns a struct
-    ``(s, cell)`` where ``s = c·c − 2·e·c`` (the squared distance minus
-    the per-row constant ``e·e`` — same argmin) and ``cell`` is the
-    0-based centroid index, ties broken by lowest cell.
+def seeded_scores(cents: list[list[float]], e_col: str = "e"):
+    """Per-centroid distance scores as one array Column: element ``i`` is a
+    struct ``(s, cell)`` where ``s = c_i·c_i − 2·e·c_i`` (squared distance
+    minus the per-row constant ``e·e`` — same ordering) and ``cell = i``.
 
     Bit-exactness contract: ``functions/vectors.dot`` folds doubles in
     array order, bit-equal to DuckDB ``list_dot_product``; the self-dot
-    is a sequential Python fold (same IEEE ops); ``F.array_min`` over
-    structs compares (s, cell) field-wise, matching
-    ``ORDER BY s, cell LIMIT 1``. So both engines assign identical cells.
-    """
+    is a sequential Python fold (same IEEE ops). Sorting / min over the
+    struct array compares (s, cell) field-wise, matching an oracle's
+    ``ORDER BY s, cell``. So both engines rank cells identically."""
 
     def _lit_vec(v: list[float]):
         return F.array(*[F.lit(float(x)) for x in v])
@@ -72,7 +70,7 @@ def seeded_assign_best(cents: list[list[float]], e_col: str = "e"):
             acc += x * x
         return acc
 
-    scored = F.array(
+    return F.array(
         *[
             F.struct(
                 (F.lit(_self_dot(c)) - 2.0 * V.dot(F.col(e_col), _lit_vec(c))).alias("s"),
@@ -81,7 +79,24 @@ def seeded_assign_best(cents: list[list[float]], e_col: str = "e"):
             for i, c in enumerate(cents)
         ]
     )
-    return F.array_min(scored)
+
+
+def seeded_assign_best(cents: list[list[float]], e_col: str = "e"):
+    """Argmin assignment (nearest seed centroid) as a pure Column
+    expression — ``F.array_min`` over :func:`seeded_scores`, ties broken
+    by lowest cell; matches ``ORDER BY s, cell LIMIT 1`` in an oracle."""
+    return F.array_min(seeded_scores(cents, e_col))
+
+
+def seeded_probe_cells(cents: list[list[float]], n_probe: int, e_col: str = "e"):
+    """The ``n_probe`` nearest cells as an int array Column (closest
+    first) — the multi-probe set for seeded IVF search. Same bit-exact
+    ranking as :func:`seeded_scores`; an oracle reproduces it with
+    ``row_number() OVER (... ORDER BY s, cell) <= n_probe``."""
+    return F.transform(
+        F.slice(F.array_sort(seeded_scores(cents, e_col)), 1, n_probe),
+        lambda st: st.getField("cell"),
+    )
 
 
 def build_ivf_index(

@@ -56,7 +56,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "events_by_day_and_type",    # A6/R1 + distinct agg
     "filter_prefix_predicate",   # F2/F3/X2
     "pricing_summary",           # X6
-    "sorted_daily_value",        # T3/T4
+    "wei_decimal_topk",          # exact-decimal money mode (wei > int64)
     "top_customers_by_revenue",  # J1/J4 broadcast
     "semi_join_filter",          # F8/J3
     "nation_order_counts_outer",  # outer join
@@ -66,28 +66,24 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "json_props_extract",        # P9/X7
     "map_entries_explode",       # U1
     "explode_token_counts",      # U2 explode+posexplode, X1
-    "typed_casts",               # P7/X4
-    "json_serialize",            # X8
+    "typed_casts",               # P7/X4 + X8 to_json payload
     "pivot_daily_by_type",       # R2
     "monthly_from_daily_rollup",  # A8/R3
-    "tumbling_window_6h",        # streaming parity
     "session_windows_30m",       # streaming parity
     # subquery family
     "scalar_subquery_above_avg",
-    "correlated_exists_urgent",
-    "correlated_above_customer_avg",
     "not_in_supplier_nations",   # anti-join + NOT IN null semantics
     "lateral_top_customer_per_nation",
     "grouping_sets_revenue",
     # window-function family
     "supplier_quantity_ranks",
-    "event_navigation_windows",
     "rolling_1h_stats",
     # temporal joins
     "asof_purchase_last_view",
     "range_join_value_bands",
-    # deterministic sampling
+    # deterministic sampling + portable sketches
     "train_test_split",
+    "approx_distinct_users",     # KMV k-min sketch, value-checked
     # LLM text-pipeline surface
     "tfidf_top_terms",
     "contamination_test_vs_train",
@@ -103,10 +99,22 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ngram_jaccard_topk",
     "simhash_buckets",
     "embedding_neardup_pairs",
-    # similarity stack
+    # similarity stack (seeded variants are the checkable twins of the
+    # iterative kmeans/IVF paths — same plan shapes, deterministic fit)
     "knn_bruteforce",
+    "knn_ivf_seeded",
+    "kmeans_iteration_stats",
+    # multimodal (mapInPandas plumbing; stub kernels recomputed in SQL)
+    "multimodal_decode_stats",
+    "multimodal_feature_sample",
     # ---- overflow (positions 51+): next-most-valuable first, in case
     # the driver's budget reaches past 50
+    "json_serialize",            # X8 (also folded into typed_casts above)
+    "sorted_daily_value",        # T3/T4 (sort+limit also in every top-k row)
+    "tumbling_window_6h",        # streaming parity (session windows above)
+    "correlated_exists_urgent",
+    "correlated_above_customer_avg",
+    "event_navigation_windows",
     "knn_ivf_label",
     "quantized_knn_sample",
     "token_packing_bins",

@@ -443,3 +443,48 @@ def monthly_from_daily_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact-decimal money mode (SURVEY.md §1.3 / §7 risk register): wei-scale
+# integers exceed int64 (the reference accepted float error parsing wei
+# with float() — Codes/etherTransactionsAnalysis.py value handling);
+# DecimalType(38,0) carries them exactly through sums, and DuckDB's
+# HUGEINT oracle proves the aggregation is exact, not approximated. The
+# totals are rendered as strings because the *digits* are the assertion.
+# ---------------------------------------------------------------------------
+@register(
+    "wei_decimal_topk",
+    oracle="""
+        SELECT o_custkey,
+               CAST(sum(CAST(round(o_totalprice * 100) AS HUGEINT) * 1000000000000) AS VARCHAR)
+                   AS wei_total,
+               count(*) AS n_orders
+        FROM orders
+        GROUP BY o_custkey
+        ORDER BY sum(CAST(round(o_totalprice * 100) AS HUGEINT) * 1000000000000) DESC,
+                 o_custkey
+        LIMIT 10
+    """,
+)
+def wei_decimal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 customers by an exact wei-scale total: cents × 10^12 puts
+    single rows above int64 range (~5e19), so a bigint or double sum
+    would silently truncate or round — DecimalType(38,0) does not
+    (pipelines/ethereum.exact_value_mode is the same mode applied to the
+    reference's transaction values)."""
+    orders = load_table(spark, sf_dir, "orders")
+    wei = F.round(F.col("o_totalprice") * 100).cast("decimal(38,0)") * F.lit(
+        1_000_000_000_000
+    ).cast("decimal(38,0)")
+    return (
+        orders.groupBy("o_custkey")
+        .agg(F.sum(wei).alias("wei_dec"), F.count("*").alias("n_orders"))
+        .orderBy(F.col("wei_dec").desc(), F.col("o_custkey"))
+        .limit(10)
+        .select(
+            "o_custkey",
+            F.col("wei_dec").cast("string").alias("wei_total"),
+            "n_orders",
+        )
+    )

@@ -1,9 +1,13 @@
 """Multimodal-column queries (operators/multimodal.py pipelines).
 
 ``multimodal_decode_stats`` and ``multimodal_feature_sample`` run
-through Arrow-batched mapInPandas — genuinely non-SQL-expressible, so
-they carry no oracle (the driver records the weaker rows-only check, as
-the contract allows). ``multimodal_frame_stats`` stays JVM-side and IS
+through Arrow-batched mapInPandas on the Spark side — the real
+production plumbing — while their *stub* kernels are deterministic
+byte arithmetic, so each carries a DuckDB oracle that recomputes the
+kernel in SQL (the payload is the ASCII text's utf-8 bytes, so
+``ord(char) == byte``). When a real codec replaces the stub the oracle
+is dropped and the query reverts to the rows-only contract.
+``multimodal_frame_stats`` stays JVM-side and is likewise
 oracle-checked via byte-length arithmetic.
 """
 
@@ -22,8 +26,38 @@ from bigdata_processing_spark.operators.multimodal import (
 from bigdata_processing_spark.queries import register
 
 
-@register("multimodal_decode_stats")  # no oracle: mapInPandas decode path
+@register(
+    "multimodal_decode_stats",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id,
+                   CASE doc_id % 3
+                       WHEN 0 THEN 'image/png'
+                       WHEN 1 THEN 'audio/wav'
+                       ELSE 'video/mp4'
+                   END AS media_type,
+                   length(text) AS n,
+                   coalesce(list_aggregate(
+                       list_transform(range(1, length(text) + 1),
+                                      i -> ord(substr(text, i, 1))), 'sum'), 0) AS checksum
+            FROM documents
+        )
+        SELECT media_type,
+               count(*) AS n_media,
+               CAST(sum(n) AS BIGINT) AS total_bytes,
+               CAST(sum(checksum) AS BIGINT) AS total_checksum,
+               avg(n % 640 + 1) AS avg_width,
+               avg(n % 480 + 1) AS avg_height
+        FROM m
+        GROUP BY media_type
+        ORDER BY media_type
+    """,
+)
 def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Decode-and-summarize over the mapInPandas decode path. The Spark
+    side runs the full Arrow-batched pipeline (attach → decode →
+    aggregate); the oracle recomputes the deterministic stub kernel
+    (dims from byte length, checksum = byte sum) in SQL."""
     docs = load_table(spark, sf_dir, "documents")
     decoded = decode_media(attach_media(docs), decode_stub=True)
     return (
@@ -39,15 +73,54 @@ def multimodal_decode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("multimodal_feature_sample")  # no oracle: pandas feature kernel
+@register(
+    "multimodal_feature_sample",
+    oracle="""
+        WITH b AS (
+            SELECT doc_id,
+                   unnest(list_transform(range(1, length(text) + 1),
+                                         i -> ord(substr(text, i, 1)) // 16)) AS bin
+            FROM documents WHERE doc_id < 10 AND length(text) > 0
+        ),
+        c AS (SELECT doc_id, bin, count(*) AS n FROM b GROUP BY doc_id, bin),
+        t AS (SELECT doc_id, sum(n) AS total FROM c GROUP BY doc_id)
+        SELECT doc_id,
+               CAST(16 AS BIGINT) AS dim,
+               CAST(bin AS BIGINT) AS top_bin,
+               n::DOUBLE / total::DOUBLE AS top_share
+        FROM (
+            SELECT c.doc_id, c.bin, c.n, t.total,
+                   row_number() OVER (PARTITION BY c.doc_id
+                                      ORDER BY c.n DESC, c.bin ASC) AS rn
+            FROM c JOIN t ON c.doc_id = t.doc_id
+        )
+        WHERE rn = 1
+        ORDER BY doc_id
+    """,
+)
 def multimodal_feature_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 10)
+    """Feature extraction through the Arrow-batched pandas kernel
+    (16-bin high-nibble byte histogram, L1-normalized), summarized to the
+    dominant bin and its share. The oracle recomputes the histogram from
+    raw bytes in SQL, checking the kernel's actual values — the argmax is
+    discrete (ties → lowest bin, matching ``array_position``'s
+    first-match) and the share division is the same two exact integers
+    in both engines."""
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 10) & (F.length("text") > 0)
+    )
     feats = extract_features(attach_media(docs))
-    return feats.select(
-        "doc_id",
-        F.round(F.aggregate("feature", F.lit(0.0), lambda a, x: a + x), 6).alias("l1_mass"),
-        F.size("feature").alias("dim"),
-    ).orderBy("doc_id")
+    return (
+        feats.select(
+            "doc_id",
+            F.size("feature").cast("long").alias("dim"),
+            (F.expr("array_position(feature, array_max(feature))") - 1)
+            .cast("long")
+            .alias("top_bin"),
+            F.array_max("feature").alias("top_share"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -164,6 +164,171 @@ def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "knn_ivf_seeded",
+    oracle=f"""
+        WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding::DOUBLE[] AS c
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+            SELECT v.vec_id, s.cell,
+                   list_dot_product(s.c, s.c) - 2 * list_dot_product(v.e, s.c) AS sc
+            FROM v CROSS JOIN seeds s
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sc, cell) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        probes AS (
+            SELECT vec_id AS qid, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sc, cell) AS rn
+                FROM scored WHERE vec_id % 100 = 0
+            ) WHERE rn <= 2
+        ),
+        cand AS (
+            SELECT p.qid, a.vec_id AS cid
+            FROM probes p JOIN assign a ON a.cell = p.cell AND a.vec_id <> p.qid
+        ),
+        s2 AS (
+            SELECT qid, cid,
+                   list_dot_product(q.e, c.e)
+                       / (sqrt(list_dot_product(q.e, q.e)) * sqrt(list_dot_product(c.e, c.e))) AS cos_sim
+            FROM cand
+            JOIN v q ON q.vec_id = cand.qid
+            JOIN v c ON c.vec_id = cand.cid
+        )
+        SELECT qid, cid, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM s2
+        )
+        WHERE rn <= 5
+        ORDER BY qid, rn
+    """,
+)
+def knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF ANN with a *seeded* coarse quantizer: cells are the
+    8 lowest-id corpus vectors (operators/ivf.seed_centroids), so the
+    whole pipeline — cell assignment, per-query probe ranking, in-cell
+    cosine top-k — is deterministic and bit-exactly SQL-expressible. The
+    driver-checkable twin of ``knn_ivf_kmeans`` (same plan shape: pruned
+    candidates, broadcast queries, no n×n product); only the quantizer
+    fit differs (sample-seeded here vs k-means-refined there)."""
+    from bigdata_processing_spark.operators.ivf import (
+        seed_centroids,
+        seeded_assign_best,
+        seeded_probe_cells,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    base = _with_norm(emb, "vec_id", "e", "nrm").withColumn(
+        "cell", seeded_assign_best(cents).getField("cell")
+    )
+    q = (
+        base.filter(F.col("vec_id") % 100 == 0)
+        .select(
+            F.col("vec_id").alias("qid"),
+            F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+            F.explode(seeded_probe_cells(cents, 2)).alias("pcell"),
+        )
+    )
+    joined = base.join(
+        F.broadcast(q), (base["cell"] == q["pcell"]) & (base["vec_id"] != q["qid"])
+    )
+    cos = V.dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "kmeans_iteration_stats",
+    oracle="""
+        WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding::DOUBLE[] AS c
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+            SELECT v.vec_id, s.cell,
+                   list_dot_product(s.c, s.c) - 2 * list_dot_product(v.e, s.c) AS sc
+            FROM v CROSS JOIN seeds s
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sc, cell) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        cnt AS (SELECT cell, count(*) AS n_vecs FROM assign GROUP BY cell),
+        dims AS (
+            SELECT a.cell, generate_subscripts(v.e, 1) AS d, unnest(v.e) AS x
+            FROM assign a JOIN v ON a.vec_id = v.vec_id
+        ),
+        dimavg AS (SELECT cell, d, avg(x) AS m FROM dims GROUP BY cell, d),
+        cent1 AS (SELECT cell, list(m ORDER BY d) AS c1 FROM dimavg GROUP BY cell)
+        SELECT cell::BIGINT AS cluster,
+               n_vecs,
+               sqrt(list_dot_product(c1, c1)) AS c_norm,
+               sqrt(greatest(
+                   list_dot_product(c1, c1) - 2 * list_dot_product(c1, s.c)
+                       + list_dot_product(s.c, s.c), 0)) AS drift
+        FROM cent1 JOIN cnt USING (cell) JOIN seeds s USING (cell)
+        ORDER BY cluster
+    """,
+)
+def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One full k-means iteration from deterministic seed centroids:
+    argmin assignment (bit-exact across engines — discrete outputs), then
+    the centroid update (per-dimension mean; float outputs under the
+    driver's tolerance). Cluster sizes, the updated centroid's norm, and
+    its drift from the seed are exactly what a k-means convergence
+    monitor reports per iteration — and every step is SQL-expressible, so
+    the distributed update loop (operators/clustering.kmeans_fit, which
+    just repeats this) gets a driver-checked fixed-point oracle."""
+    from bigdata_processing_spark.operators.ivf import seed_centroids, seeded_assign_best
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    dim = len(cents[0])
+    assigned = emb.select(
+        F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("cell", seeded_assign_best(cents).getField("cell"))
+    upd = assigned.groupBy("cell").agg(
+        F.count("*").alias("n_vecs"),
+        *[F.avg(F.col("e")[d]).alias(f"m{d}") for d in range(dim)],
+    )
+    c1 = F.array(*[F.col(f"m{d}") for d in range(dim)])
+    seed_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    seed = F.element_at(seed_lit, F.col("cell") + 1)
+    # drift via the algebraic expansion |c1 - seed|² = c1·c1 − 2·c1·seed
+    # + seed·seed (clamped: rounding can push an exact-zero negative)
+    d2 = V.dot(c1, c1) - 2 * V.dot(c1, seed) + V.dot(seed, seed)
+    return (
+        upd.select(
+            F.col("cell").cast("long").alias("cluster"),
+            "n_vecs",
+            F.sqrt(V.dot(c1, c1)).alias("c_norm"),
+            F.sqrt(F.greatest(d2, F.lit(0.0))).alias("drift"),
+        )
+        .orderBy("cluster")
+    )
+
+
 @register("knn_ivf_kmeans")  # no oracle: coarse quantizer is iterative
 # k-means (not SQL-expressible); quality gate is recall@5 vs exact brute
 # force in tests/test_ivf.py.

@@ -195,18 +195,64 @@ def value_quantiles_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Approximate distinct (HLL++) vs exact — the sketch path for 100TB
-# cardinality estimation. Engine-specific sketch internals → rows-only
-# driver check (no cross-engine oracle can match HLL estimates).
+# Approximate distinct — the sketch path for 100TB cardinality
+# estimation. Uses the portable KMV sketch (operators/sketches.py) whose
+# md5-derived hash any engine reproduces bit-for-bit, so unlike HLL
+# (engine-internal registers; exercised in tests/test_operators.py) the
+# estimate itself is oracle-checkable.
 # ---------------------------------------------------------------------------
-@register("approx_distinct_users")  # no oracle: HLL sketch is engine-specific
+@register(
+    "approx_distinct_users",
+    oracle="""
+        WITH h AS (
+            SELECT DISTINCT event_type,
+                   CAST('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 13) AS BIGINT)
+                       / 4503599627370496.0 AS h
+            FROM events
+        ),
+        r AS (
+            SELECT event_type, h,
+                   row_number() OVER (PARTITION BY event_type ORDER BY h) AS rn
+            FROM h
+        ),
+        s AS (
+            SELECT event_type, count(*) AS n_min, max(h) AS h_k
+            FROM r WHERE rn <= 64 GROUP BY event_type
+        ),
+        x AS (
+            SELECT event_type, count(DISTINCT user_id) AS exact_users
+            FROM events GROUP BY event_type
+        )
+        SELECT s.event_type,
+               CASE WHEN n_min < 64 THEN n_min::DOUBLE ELSE 63.0 / h_k END AS kmv_users,
+               exact_users,
+               abs(CASE WHEN n_min < 64 THEN n_min::DOUBLE ELSE 63.0 / h_k END - exact_users)
+                   / exact_users AS rel_err
+        FROM s JOIN x ON s.event_type = x.event_type
+        ORDER BY s.event_type
+    """,
+)
 def approx_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KMV distinct users per event type, with the exact count and the
+    sketch's realized relative error alongside. The estimate is
+    deterministic (md5-hash k-minimums), so the driver checks the sketch
+    *value*, not just its plausibility."""
+    from bigdata_processing_spark.operators.sketches import kmv_distinct
+
     events = load_table(spark, sf_dir, "events")
+    est = kmv_distinct(events, "user_id", ["event_type"], k=64)
+    exact = events.groupBy("event_type").agg(
+        F.countDistinct("user_id").alias("exact_users")
+    )
     return (
-        events.groupBy("event_type")
-        .agg(
-            F.approx_count_distinct("user_id", rsd=0.02).alias("approx_users"),
-            F.countDistinct("user_id").alias("exact_users"),
+        est.join(exact, "event_type")
+        .select(
+            "event_type",
+            F.col("kmv_est").alias("kmv_users"),
+            "exact_users",
+            (F.abs(F.col("kmv_est") - F.col("exact_users")) / F.col("exact_users")).alias(
+                "rel_err"
+            ),
         )
         .orderBy("event_type")
     )
@@ -248,13 +294,18 @@ def salted_supplier_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT o_orderkey,
                round(o_totalprice * 100)::BIGINT AS price_cents,
                o_custkey::VARCHAR AS custkey_str,
-               (o_totalprice >= 200000) AS is_large
+               (o_totalprice >= 200000) AS is_large,
+               to_json({'k': o_orderkey,
+                        'cents': round(o_totalprice * 100)::BIGINT})::VARCHAR AS payload
         FROM orders
         WHERE o_orderkey < 100
         ORDER BY o_orderkey
     """,
 )
 def typed_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed casts (X4/P7) plus per-row JSON serialization (X8) in one
+    checked row — ``payload`` round-trips the cast result through
+    ``to_json`` with byte-identical rendering in both engines."""
     orders = load_table(spark, sf_dir, "orders")
     return (
         orders.filter(F.col("o_orderkey") < 100)
@@ -263,6 +314,15 @@ def typed_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("o_totalprice") * 100).cast("bigint").alias("price_cents"),
             F.col("o_custkey").cast("string").alias("custkey_str"),
             (F.col("o_totalprice") >= 200000).alias("is_large"),
+        )
+        .withColumn(
+            "payload",
+            F.to_json(
+                F.struct(
+                    F.col("o_orderkey").alias("k"),
+                    F.col("price_cents").alias("cents"),
+                )
+            ),
         )
         .orderBy("o_orderkey")
     )
