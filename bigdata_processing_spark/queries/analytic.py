@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions.temporal import epoch_us
 from bigdata_processing_spark.queries import register
 
 
@@ -253,12 +254,13 @@ def session_windows_30m(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.streaming.windows import session_window_agg
 
     events = load_table(spark, sf_dir, "events")
+    sessions = session_window_agg(events, gap="30 minutes")
     return (
-        session_window_agg(events, gap="30 minutes")
+        sessions
         .select(
             "user_id",
-            F.unix_micros("session_start").alias("session_start_us"),
-            F.unix_micros("session_end").alias("session_end_us"),
+            epoch_us(sessions, "session_start").alias("session_start_us"),
+            epoch_us(sessions, "session_end").alias("session_end_us"),
             "n_events",
             "total_value",
         )

@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions.temporal import epoch_us
 from bigdata_processing_spark.queries import register
 
 
@@ -35,7 +36,7 @@ from bigdata_processing_spark.queries import register
 def rolling_1h_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
     w = (
-        Window.orderBy(F.unix_micros("ts"))
+        Window.orderBy(epoch_us(events, "ts"))
         .rangeBetween(-3_600_000_000, 0)
     )
     return (

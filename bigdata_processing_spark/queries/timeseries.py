@@ -12,6 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions.temporal import epoch_us
 from bigdata_processing_spark.operators.asof import asof_join
 from bigdata_processing_spark.operators.skew import salted_agg
 from bigdata_processing_spark.queries import register
@@ -55,7 +56,7 @@ def asof_purchase_last_view(spark: SparkSession, sf_dir: str) -> DataFrame:
     return joined.select(
         "event_id",
         "user_id",
-        F.unix_micros("ts").alias("purchase_ts_us"),
+        epoch_us(joined, "ts").alias("purchase_ts_us"),
         "view_event_id",
         "view_value",
     ).orderBy("event_id")

@@ -17,11 +17,16 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import table_path
+from bigdata_processing_spark.functions.temporal import ntz_to_instant
 
-# events.parquet carries TIMESTAMP(NANOS); the file-stream reader needs
-# the same legacy conf as the batch catalog (catalog._NANO_TS_COLS).
+# events.parquet carries naive timestamp[us] (TIMESTAMP_NTZ to Spark).
+# Streaming watermarks require a real TIMESTAMP (instant), so the reader
+# declares NTZ then converts wall-time→UTC-instant session-TZ-
+# independently (functions.temporal.ntz_to_instant). Window boundaries
+# on instants are epoch-aligned, matching the batch NTZ wall-time
+# buckets exactly (fixture wall time is defined as UTC).
 _EVENTS_SCHEMA_HINT = (
-    "event_id bigint, ts bigint, user_id bigint, event_type string, "
+    "event_id bigint, ts timestamp_ntz, user_id bigint, event_type string, "
     "value double, props string"
 )
 
@@ -43,12 +48,11 @@ def read_events_stream(spark: SparkSession, sf_dir: str,
     if not os.path.exists(link):
         os.symlink(src, link)
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     reader = spark.readStream.schema(_EVENTS_SCHEMA_HINT)
     if max_files_per_trigger:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(stage)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", ntz_to_instant("ts"))
 
 
 def tumbling_window_agg(events: DataFrame, width: str = "6 hours",

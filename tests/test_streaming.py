@@ -57,7 +57,13 @@ def test_batch_stream_parity(spark, agg_fn, cols, name):
 def test_stream_schema_matches_batch(spark):
     batch = load_table(spark, SF_SMALL, "events")
     stream = read_events_stream(spark, SF_SMALL)
-    assert dict(stream.dtypes) == dict(batch.dtypes)
+    b, s = dict(batch.dtypes), dict(stream.dtypes)
+    # ts differs by design: batch keeps the fixture's TIMESTAMP_NTZ wall
+    # time; the stream converts to the equivalent UTC instant because
+    # withWatermark rejects NTZ. Same wall clock, different flavor.
+    assert b.pop("ts") == "timestamp_ntz"
+    assert s.pop("ts") == "timestamp"
+    assert s == b
 
 
 def test_streaming_dedup_across_batches(spark, tmp_path):
