@@ -22,10 +22,16 @@ def quantize(emb: DataFrame, vec_col: str = "embedding",
     """Add int8-range quantized vector + per-vector scale.
 
     q_i = round_half_up(v_i / scale), scale = max|v| / 127 — symmetric
-    quantization; dequantized value is q_i * scale.
+    quantization; dequantized value is q_i * scale. The scale is floored
+    at a tiny epsilon so an all-zero vector quantizes to a zero qvec
+    (dot products 0) instead of 0/0 → NaN → null qvec, which would
+    silently drop the vector from every downstream candidate set.
     """
     v = F.col(vec_col).cast("array<double>")
-    scale = F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0)
+    scale = F.greatest(
+        F.array_max(F.transform(v, lambda x: F.abs(x))) / F.lit(127.0),
+        F.lit(1e-30),
+    )
     return emb.withColumn(out_scale, scale).withColumn(
         out_vec,
         F.transform(v, lambda x: _round_half_up(x / F.col(out_scale)).cast("int")),

@@ -121,9 +121,9 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
         WITH q8 AS (
             SELECT vec_id,
-                   list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0 AS scale,
+                   greatest(list_max(list_transform(embedding::DOUBLE[], x -> abs(x))) / 127.0, 1e-30) AS scale,
                    list_transform(embedding::DOUBLE[],
-                       x -> floor(x / (list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0)
+                       x -> floor(x / greatest(list_max(list_transform(embedding::DOUBLE[], y -> abs(y))) / 127.0, 1e-30)
                                   + 0.5)::INT) AS qvec
             FROM embeddings
         ),

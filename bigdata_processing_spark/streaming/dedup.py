@@ -86,6 +86,9 @@ def banded(docs: DataFrame, text_col: str = "text",
     return sig.select(
         "doc_id",
         "ts",
+        # event-time twin of ts for watermarking (timeout-based eviction
+        # of idle buckets needs a TimestampType watermark column)
+        F.timestamp_seconds(F.col("ts")).alias("event_ts"),
         F.array_join("sh", SEP).alias("blob"),
         F.explode(band_keys).alias("bk"),
     )
@@ -97,10 +100,19 @@ def _jaccard(a: set, b: set) -> float:
     return inter / union if union else 0.0
 
 
-def _bucket_matcher(max_bucket: int, max_age: float | None = None):
+def _bucket_matcher(max_bucket: int, max_age: float | None = None,
+                    event_timeout: bool = False):
     def match_bucket(
         key, pdfs: Iterator[pd.DataFrame], state: GroupState
     ) -> Iterator[pd.DataFrame]:
+        if event_timeout and state.hasTimedOut:
+            # idle-bucket eviction: the watermark passed this bucket's
+            # high-water + max_age, so every member is out of retention
+            # and no in-watermark future row can match — drop the whole
+            # bucket so cold buckets don't hold state forever
+            state.remove()
+            yield pd.DataFrame([], columns=["d1", "d2", "jaccard"])
+            return
         if state.exists:
             doc_ids, blobs, stamps = state.get
             doc_ids, blobs, stamps = list(doc_ids), list(blobs), list(stamps)
@@ -143,6 +155,15 @@ def _bucket_matcher(max_bucket: int, max_age: float | None = None):
                     stamps.append(ts)
                     known.add(did)
         state.update((doc_ids, blobs, stamps))
+        if event_timeout and max_age is not None and hwm > float("-inf"):
+            # arm the idle timer: fire once the watermark passes the
+            # bucket's high-water + retention (must stay strictly ahead
+            # of the current watermark or Spark rejects it)
+            timeout_ms = max(
+                int((hwm + max_age) * 1000),
+                state.getCurrentWatermarkMs() + 1,
+            )
+            state.setTimeoutTimestamp(timeout_ms)
         yield pd.DataFrame(out, columns=["d1", "d2", "jaccard"])
 
     return match_bucket
@@ -160,12 +181,25 @@ def streaming_dup_pairs(docs: DataFrame, text_col: str = "text",
     Bounded retention: with ``ts_col`` + ``max_age`` (same units as the
     column, e.g. epoch seconds), bucket members falling ``max_age``
     behind their bucket's event-time high-water mark are evicted before
-    matching — state size tracks the retention window, not stream
-    lifetime. Default (None) keeps members forever (full-corpus dedup)."""
-    return banded(docs, text_col, ts_col=ts_col).groupBy("bk").applyInPandasWithState(
-        _bucket_matcher(max_bucket, max_age=max_age),
+    matching, AND buckets that go cold are dropped wholesale by an
+    event-time timeout once the stream's watermark passes their
+    high-water + max_age — so total state tracks the retention window
+    for every bucket, not just actively-written ones. The watermark
+    delay equals ``max_age``: a row arriving later than the retention
+    window couldn't have been stored anyway. Default (None) keeps
+    members forever (full-corpus dedup)."""
+    b = banded(docs, text_col, ts_col=ts_col)
+    event_timeout = (
+        docs.isStreaming and ts_col is not None and max_age is not None
+    )
+    timeout = GroupStateTimeout.NoTimeout
+    if event_timeout:
+        b = b.withWatermark("event_ts", f"{int(max_age)} seconds")
+        timeout = GroupStateTimeout.EventTimeTimeout
+    return b.groupBy("bk").applyInPandasWithState(
+        _bucket_matcher(max_bucket, max_age=max_age, event_timeout=event_timeout),
         outputStructType=_OUT_SCHEMA,
         stateStructType=_STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=timeout,
     )

@@ -40,8 +40,19 @@ def committed_batches(path: str) -> set[int]:
     return {int(f) for f in os.listdir(lp)}
 
 
-def _swap_in(target: str, tmp: str) -> None:
-    old = target.rstrip("/") + ".old"
+def _staging_root(serving_path: str) -> str:
+    """Scratch space for in-flight merges. Lives INSIDE the table root but
+    dot-prefixed: Spark/Hive partition discovery skips names starting with
+    ``.`` or ``_``, so concurrent readers never see half-written rows or
+    phantom ``<col>=<p>.merging`` partitions."""
+    return os.path.join(serving_path, ".staging")
+
+
+def _swap_in(target: str, tmp: str, old: str) -> None:
+    """Replace ``target`` with ``tmp``, parking the previous contents at
+    ``old`` (same filesystem, so each step is one atomic rename). ``old``
+    must live where readers won't discover it (a sibling suffix dir for
+    the whole-table swap, the staging root for partition swaps)."""
     if os.path.isdir(target):
         shutil.rmtree(old, ignore_errors=True)
         os.rename(target, old)
@@ -50,6 +61,37 @@ def _swap_in(target: str, tmp: str) -> None:
     else:
         os.makedirs(os.path.dirname(target), exist_ok=True)
         os.rename(tmp, target)
+
+
+def _recover(serving_path: str) -> None:
+    """Heal any interrupted merge before applying a new batch. The swap's
+    only non-atomic window is between ``rename(target→old)`` and
+    ``rename(tmp→target)``; a crash there leaves the data parked at
+    ``old`` and the target missing — restore it, or a replayed merge
+    would see an empty table and silently drop every survivor row.
+    Leftover ``.merging`` output is always discardable (never yet live).
+    """
+    # whole-table swap staging (siblings of the table root)
+    old = serving_path.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        if os.path.isdir(serving_path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, serving_path)
+    shutil.rmtree(serving_path.rstrip("/") + ".merging", ignore_errors=True)
+    # per-partition swap staging (.staging/<col>=<p>.old|.merging)
+    stage = _staging_root(serving_path)
+    if os.path.isdir(stage):
+        for name in os.listdir(stage):
+            p = os.path.join(stage, name)
+            if name.endswith(".old"):
+                dest = os.path.join(serving_path, name[: -len(".old")])
+                if os.path.isdir(dest):
+                    shutil.rmtree(p)
+                else:
+                    os.rename(p, dest)
+            else:
+                shutil.rmtree(p, ignore_errors=True)
 
 
 def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
@@ -62,12 +104,21 @@ def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
     (``<col>=<value>/`` dirs) and the merge rewrites ONLY partitions the
     batch touches — merge cost tracks batch locality instead of table
     size, the property that keeps a serving table maintainable once it
-    outgrows a single rewrite. A crash between partition swaps is safe:
-    the ledger commits last, so the replay re-applies an idempotent
-    merge (same keys → same survivors) over every touched partition.
+    outgrows a single rewrite. CONTRACT: ``partition_col`` must be
+    functionally dependent on ``key_cols`` (immutable per key) — the
+    anti-join only clears keys within the batch's touched partitions, so
+    a key whose partition value changed between batches would leave its
+    stale row alive in the old partition.
+
+    Crash safety: in-flight output stages under ``.staging/`` (invisible
+    to partition discovery), swaps are single renames, the ledger commits
+    last, and ``_recover`` at entry heals the one non-atomic rename
+    window — so a replay after a crash at ANY point re-applies an
+    idempotent merge (same keys → same survivors).
     """
     if batch_id in committed_batches(serving_path):
         return False
+    _recover(serving_path)
     spark = batch_df.sparkSession
     batch_df = batch_df.dropDuplicates(list(key_cols))  # last-writer within batch
 
@@ -80,17 +131,18 @@ def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
         else:
             merged = batch_df
         tmp = serving_path.rstrip("/") + ".merging"
-        shutil.rmtree(tmp, ignore_errors=True)
         merged.write.mode("overwrite").parquet(tmp)
-        _swap_in(serving_path, tmp)
+        _swap_in(serving_path, tmp, serving_path.rstrip("/") + ".old")
     else:
         from pyspark.sql import functions as F
 
+        stage = _staging_root(serving_path)
         touched = [
             r[0] for r in batch_df.select(partition_col).distinct().collect()
         ]
         for p in touched:  # few per batch; each iteration is distributed work
-            pdir = os.path.join(serving_path, f"{partition_col}={p}")
+            pname = f"{partition_col}={p}"
+            pdir = os.path.join(serving_path, pname)
             sub = batch_df.filter(F.col(partition_col) == p).drop(partition_col)
             if os.path.isdir(pdir):
                 current = spark.read.parquet(pdir)
@@ -99,10 +151,9 @@ def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
                 merged = survivors.unionByName(sub)
             else:
                 merged = sub
-            tmp = pdir.rstrip("/") + ".merging"
-            shutil.rmtree(tmp, ignore_errors=True)
+            tmp = os.path.join(stage, pname + ".merging")
             merged.write.mode("overwrite").parquet(tmp)
-            _swap_in(pdir, tmp)
+            _swap_in(pdir, tmp, os.path.join(stage, pname + ".old"))
 
     lp = _ledger_path(serving_path)
     os.makedirs(lp, exist_ok=True)

@@ -39,3 +39,35 @@ def test_quantized_knn_recall(spark):
     assert exact.keys() == quant.keys()
     recalls = [len(exact[q] & quant[q]) / 5 for q in exact]
     assert sum(recalls) / len(recalls) >= 0.6, recalls
+
+
+def test_zero_vector_quantizes_to_zero_not_null(spark):
+    """All-zero embedding: scale floors at epsilon so qvec is all zeros
+    (dot = 0) rather than 0/0 -> NaN -> null, which would silently drop
+    the vector from candidate sets."""
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.operators.quantization import quantized_dot
+
+    df = spark.createDataFrame(
+        [(1, [0.0, 0.0, 0.0]), (2, [1.0, -2.0, 0.5])],
+        "vec_id long, embedding array<double>",
+    )
+    q = quantize(df)
+    rows = {r.vec_id: r for r in q.collect()}
+    assert rows[1].qvec == [0, 0, 0]
+    assert rows[1].scale > 0
+    assert rows[2].qvec == [64, -127, 32]
+
+    a = q.filter(F.col("vec_id") == 1).select(
+        F.col("qvec").alias("qa"), F.col("scale").alias("sa")
+    )
+    b = q.filter(F.col("vec_id") == 2).select(
+        F.col("qvec").alias("qb"), F.col("scale").alias("sb")
+    )
+    dot = (
+        a.crossJoin(b)
+        .select(quantized_dot(F.col("qa"), F.col("sa"), F.col("qb"), F.col("sb")).alias("d"))
+        .collect()[0].d
+    )
+    assert dot == 0.0

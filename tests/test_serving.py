@@ -12,6 +12,7 @@ from conftest import SF_SMALL
 
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.streaming.serving import (
+    _ledger_path,
     committed_batches,
     read_serving_table,
     upsert_batch,
@@ -105,3 +106,85 @@ def test_partition_scoped_merge_touches_only_batch_partitions(spark, tmp_path):
 
     # replay of batch 1 is still a no-op in partitioned mode
     assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard") is False
+
+
+def test_reader_never_sees_staging_dirs(spark, tmp_path):
+    """An in-flight (or crashed) merge's scratch dirs live under
+    dot-prefixed .staging, which partition discovery skips — a
+    concurrent reader must never observe phantom partitions or
+    half-written rows."""
+    serving = os.path.join(str(tmp_path), "serving4")
+    b0 = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 1, 20.0)], "k long, shard int, v double"
+    )
+    assert upsert_batch(serving, ("k",), b0, 0, partition_col="shard") is True
+
+    # simulate a concurrent merge mid-write: half-written data staged
+    junk = spark.createDataFrame([(9, 99.0)], "k long, v double")
+    junk.write.parquet(os.path.join(serving, ".staging", "shard=9.merging"))
+    junk.write.parquet(os.path.join(serving, ".staging", "shard=7.old"))
+
+    rows = {r.k: (r.shard, r.v) for r in read_serving_table(spark, serving).collect()}
+    assert rows == {1: (0, 10.0), 2: (1, 20.0)}
+
+
+def test_crash_after_swap_before_ledger_is_replay_safe(spark, tmp_path):
+    """Kill point: partition swapped in, ledger NOT yet committed. The
+    replayed batch must re-apply cleanly (same keys -> same survivors),
+    not duplicate rows."""
+    serving = os.path.join(str(tmp_path), "serving5")
+    b0 = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 20.0), (3, 1, 30.0)], "k long, shard int, v double"
+    )
+    assert upsert_batch(serving, ("k",), b0, 0, partition_col="shard") is True
+    b1 = spark.createDataFrame([(2, 0, 99.0)], "k long, shard int, v double")
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard") is True
+
+    # crash simulation: the swap happened but the ledger write was lost
+    os.remove(os.path.join(_ledger_path(serving), "1"))
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard") is True  # replay re-applies
+
+    rows = {r.k: (r.shard, r.v) for r in read_serving_table(spark, serving).collect()}
+    assert rows == {1: (0, 10.0), 2: (0, 99.0), 3: (1, 30.0)}
+
+
+def test_crash_mid_swap_recovers_parked_partition(spark, tmp_path):
+    """Kill point: the worst window — old partition renamed into
+    .staging, replacement not yet renamed in (target missing). Without
+    recovery a replayed merge would see an empty partition and drop
+    every survivor row."""
+    serving = os.path.join(str(tmp_path), "serving6")
+    b0 = spark.createDataFrame(
+        [(1, 0, 10.0), (2, 0, 20.0)], "k long, shard int, v double"
+    )
+    assert upsert_batch(serving, ("k",), b0, 0, partition_col="shard") is True
+
+    # crash simulation: shard=0 parked at .staging/shard=0.old, target gone,
+    # plus an abandoned .merging from the interrupted write
+    stage = os.path.join(serving, ".staging")
+    os.makedirs(stage, exist_ok=True)
+    os.rename(os.path.join(serving, "shard=0"), os.path.join(stage, "shard=0.old"))
+    spark.createDataFrame([(2, 99.0)], "k long, v double").write.parquet(
+        os.path.join(stage, "shard=0.merging")
+    )
+
+    b1 = spark.createDataFrame([(2, 0, 99.0)], "k long, shard int, v double")
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard") is True
+
+    rows = {r.k: (r.shard, r.v) for r in read_serving_table(spark, serving).collect()}
+    assert rows == {1: (0, 10.0), 2: (0, 99.0)}  # survivor k=1 recovered
+
+
+def test_crash_mid_swap_whole_table_recovers(spark, tmp_path):
+    """Same window in non-partitioned mode: table parked at <path>.old,
+    target missing. Recovery restores it before the replayed merge."""
+    serving = os.path.join(str(tmp_path), "serving7")
+    b0 = spark.createDataFrame([(1, 10.0), (2, 20.0)], "k long, v double")
+    assert upsert_batch(serving, ("k",), b0, 0) is True
+
+    os.rename(serving, serving + ".old")
+    b1 = spark.createDataFrame([(2, 99.0)], "k long, v double")
+    assert upsert_batch(serving, ("k",), b1, 1) is True
+
+    rows = {r.k: r.v for r in read_serving_table(spark, serving).collect()}
+    assert rows == {1: 10.0, 2: 99.0}

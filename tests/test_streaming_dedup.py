@@ -125,3 +125,47 @@ def test_retention_evicts_stale_members(spark, tmp_path):
     assert run("short_retention", max_age=300.0) == set()
     # window covering the gap: pair found
     assert run("long_retention", max_age=1000.0) == {(1, 3)}
+
+
+def test_idle_buckets_evicted_by_event_timeout(spark, tmp_path):
+    """Buckets that stop receiving rows must not hold state forever:
+    once the watermark passes a bucket's high-water + max_age, the
+    event-time timeout drops the whole bucket. Observable via the state
+    operator's numRowsTotal after a later wave advances the watermark."""
+    mk = lambda i, text, ts: (i, text, ts)
+    w0 = [mk(1, "alpha beta gamma delta epsilon", 100.0),
+          mk(2, "one two three four five six", 100.0)]
+    w1 = [mk(3, "completely different late words here", 10_000.0)]
+    w2 = [mk(4, "yet another unrelated document text", 10_100.0)]
+
+    src = tmp_path / "idle"
+    for name, rows in (("w0", w0), ("w1", w1), ("w2", w2)):
+        spark.createDataFrame(rows, "doc_id long, text string, ts double") \
+            .coalesce(1).write.parquet(str(src / name))
+    stream = (
+        spark.readStream.schema("doc_id long, text string, ts double")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(str(src))
+    )
+    q = (
+        streaming_dup_pairs(stream, ts_col="ts", max_age=300.0)
+        .writeStream.format("memory")
+        .queryName("idle_evict")
+        .outputMode("append")
+        .option("checkpointLocation", str(tmp_path / "idle_ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    # w0 created ~8 buckets (2 docs x 4 bands). After w1 advanced the
+    # watermark far past their timeout, w2's batch fires the timeouts:
+    # only w1/w2-era buckets may remain in state.
+    totals = [p["stateOperators"][0]["numRowsTotal"]
+              for p in q.recentProgress if p.get("stateOperators")]
+    live_buckets = totals[-1]
+    w0_buckets = totals[0]
+    assert w0_buckets >= 4                    # w0 really created state
+    assert live_buckets <= 8                  # w0's buckets were dropped
+    assert live_buckets < w0_buckets + 8      # not monotone accumulation
