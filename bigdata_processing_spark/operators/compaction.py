@@ -33,6 +33,20 @@ def table_file_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
+def recover_compaction(path: str) -> None:
+    """Heal a compaction interrupted mid-swap. The only non-atomic window
+    is between ``rename(path→old)`` and ``rename(tmp→path)``; a crash
+    there leaves the table parked at ``<path>.old`` — restore it (the
+    ``.compacting`` output is discardable: never yet live)."""
+    old = path.rstrip("/") + ".old"
+    if os.path.isdir(old):
+        if os.path.isdir(path):
+            shutil.rmtree(old)
+        else:
+            os.rename(old, path)
+    shutil.rmtree(path.rstrip("/") + ".compacting", ignore_errors=True)
+
+
 def compact_parquet(spark: SparkSession, path: str,
                     target_file_bytes: int = 128 * 1024 * 1024,
                     sort_col: str | None = None) -> tuple[int, int]:
@@ -41,6 +55,7 @@ def compact_parquet(spark: SparkSession, path: str,
     tests/test_compaction.py); with ``sort_col`` the rewrite also
     clusters rows (range partition + in-file sort) so compaction doubles
     as layout optimization."""
+    recover_compaction(path)
     n_before, total_bytes = table_file_stats(path)
     n_files = max(1, math.ceil(total_bytes / target_file_bytes))
 

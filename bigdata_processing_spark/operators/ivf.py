@@ -31,6 +31,29 @@ from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.operators.clustering import kmeans_centroids, _assign_udf
 
 
+def ivf_cell_count(
+    n_vectors: int,
+    coeff: float = 4.0,
+    min_cells: int = 8,
+    max_cells: int = 1 << 18,
+) -> int:
+    """k_cells sizing policy: ``coeff · √n``, clamped.
+
+    √n balances the two per-query costs — ranking k centroids vs
+    scanning ``n_probe · n/k`` postings — making each O(√n). The default
+    coefficient follows published IVF practice (FAISS guidance trains
+    4√n–16√n centroids when sample budget allows; each centroid wants
+    ≥ ~39 training points, hence the clamp floor for tiny corpora). At
+    100TB scale this is the knob that keeps per-cell postings lists
+    executor-sized: 1e9 vectors → ~126k cells of ~8k vectors each."""
+    import math
+
+    k = int(coeff * math.sqrt(max(n_vectors, 1)))
+    # never more cells than trainable: ~39 points per centroid minimum
+    k = min(k, max(1, n_vectors // 39))
+    return max(min_cells, min(max_cells, k)) if n_vectors >= min_cells else max(1, n_vectors)
+
+
 def seed_centroids(
     emb: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[list[float]]:

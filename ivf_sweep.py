@@ -1,0 +1,99 @@
+"""IVF recall/latency sweep — the measured tradeoff curve behind the
+``ivf_cell_count`` sizing policy (ROADMAP: "k_cells ∝ √n sizing policy
+and a recall/latency sweep in the bench").
+
+For each (k_cells, n_probe) config: build the index, run multi-probe
+search for the % 100 == 0 query subset, and score recall@5 against
+exact brute force. Prints one JSON line per config plus a summary.
+Run: ``python ivf_sweep.py [sf_dir]`` (default /root/testdata/sf0.1).
+
+Reading the curve: recall rises with n_probe (more cells scanned) and
+falls with k_cells at fixed n_probe (each probe covers less of the
+corpus); candidate count ~ n_queries · n_probe · n/k_cells is the
+latency proxy that matters at scale — wall-clock at fixture size is
+scheduling-overhead-dominated.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions import vectors as V
+from bigdata_processing_spark.operators.ivf import (
+    build_ivf_index,
+    ivf_cell_count,
+    ivf_search,
+)
+from bigdata_processing_spark.session import get_spark
+
+
+def exact_topk(emb, k=5):
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("embedding").cast("array<double>").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("ce"),
+        V.norm(F.col("embedding")).alias("cn"),
+    )
+    cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+        .select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+    )
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    spark = get_spark("ivf-sweep")
+    spark.sparkContext.setLogLevel("ERROR")
+    emb = load_table(spark, sf_dir, "embeddings").persist()
+    n = emb.count()
+    exact = {(r.qid, r.cid) for r in exact_topk(emb).collect()}
+
+    policy_k = ivf_cell_count(n)
+    rows = []
+    for k_cells in sorted({8, 16, policy_k}):
+        t0 = time.monotonic()
+        indexed, cents = build_ivf_index(emb, k_cells=k_cells, n_iter=2)
+        indexed = indexed.persist()
+        indexed.count()
+        build_s = round(time.monotonic() - t0, 2)
+        q = indexed.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+        )
+        for n_probe in (1, 2, 4):
+            t0 = time.monotonic()
+            approx = {
+                (r.qid, r.cid)
+                for r in ivf_search(indexed, cents, q, 5, n_probe=n_probe).collect()
+            }
+            row = {
+                "k_cells": k_cells,
+                "is_policy_k": k_cells == policy_k,
+                "n_probe": n_probe,
+                "recall_at_5": round(len(approx & exact) / len(exact), 3),
+                "search_sec": round(time.monotonic() - t0, 2),
+                "build_sec": build_s,
+                "scan_fraction": round(n_probe / k_cells, 3),
+            }
+            rows.append(row)
+            print(json.dumps(row))
+        indexed.unpersist()
+    print(json.dumps({"bench": "ivf_sweep", "n_vectors": n,
+                      "policy_k_cells": policy_k, "configs": len(rows)}))
+
+
+if __name__ == "__main__":
+    main()

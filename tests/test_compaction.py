@@ -64,3 +64,26 @@ def test_compaction_with_sort_clusters_layout(spark, tmp_path):
     ranges.sort()
     for (l1, h1), (l2, h2) in zip(ranges, ranges[1:]):
         assert h1 <= l2, ranges
+
+
+def test_compaction_crash_mid_swap_recovers(spark, tmp_path):
+    """Kill point: table renamed to <path>.old, replacement not yet
+    renamed in. The next compact_parquet must restore the parked table
+    instead of compacting nothing (or failing on a missing path)."""
+    import shutil
+
+    path = str(tmp_path / "t_crash")
+    df = _fragment(spark, path, n_files=10)
+    want = sorted((r.id, r.v) for r in df.collect())
+
+    # crash simulation: mid-swap state + an abandoned .compacting dir
+    os.rename(path, path + ".old")
+    shutil.copytree(path + ".old", path + ".compacting")
+
+    n_before, n_after = compact_parquet(spark, path, target_file_bytes=1 << 30)
+    assert n_before == 10  # the recovered table, not an empty dir
+    assert n_after == 1
+    got = sorted((r.id, r.v) for r in spark.read.parquet(path).collect())
+    assert got == want
+    assert not os.path.isdir(path + ".old")
+    assert not os.path.isdir(path + ".compacting")

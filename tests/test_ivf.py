@@ -137,3 +137,18 @@ def test_ivf_fit_on_sample_still_indexes_everything(spark):
     indexed, centroids = build_ivf_index(emb, k_cells=4, n_iter=1, fit_fraction=0.3)
     assert indexed.count() == emb.count()
     assert len(centroids) >= 2
+
+
+def test_ivf_cell_count_policy():
+    """4√n clamped: trainability floor (~39 pts/centroid) for small n,
+    min_cells floor, max_cells ceiling, O(√n) in between."""
+    from bigdata_processing_spark.operators.ivf import ivf_cell_count
+
+    assert ivf_cell_count(4) == 4                 # tiny corpus: n itself
+    assert ivf_cell_count(2_000) == 51            # n/39 trainability clamp
+    assert ivf_cell_count(1_000_000) == 4_000     # 4sqrt(n) regime
+    assert ivf_cell_count(1_000_000_000) == 126_491
+    assert ivf_cell_count(10**12) == 1 << 18      # max_cells ceiling
+    # per-cell postings stay executor-sized in the 4sqrt(n) regime
+    n = 10**9
+    assert 5_000 < n / ivf_cell_count(n) < 10_000

@@ -110,3 +110,14 @@ def test_contamination_never_doc_cross_product(spark):
     plan = contamination_test_vs_train(spark, SF_SMALL)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_ntz_timestamp_filter_pushdown(spark):
+    """The fixtures' naive timestamp[us] columns read as TIMESTAMP_NTZ;
+    range predicates on them must still reach the parquet scan as
+    PushedFilters — at 100TB a time-range query that can't prune row
+    groups rescans the whole table."""
+    ev = load_table(spark, SF_SMALL, "events")
+    assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
+    f = ev.filter(F.col("ts") >= F.expr("TIMESTAMP_NTZ '1995-06-01 00:00:00'"))
+    assert has_pushed_filters(f)
