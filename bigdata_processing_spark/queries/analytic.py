@@ -199,21 +199,31 @@ def pivot_daily_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "tumbling_window_6h",
     oracle="""
-        SELECT time_bucket(INTERVAL 6 HOURS, ts) AS window_start,
+        SELECT epoch_us(time_bucket(INTERVAL 6 HOURS, ts)) AS window_start_us,
                count(*) AS n_events,
                sum(value) AS total_value
         FROM events
         GROUP BY 1
-        ORDER BY window_start
+        ORDER BY window_start_us
     """,
 )
 def tumbling_window_6h(spark: SparkSession, sf_dir: str) -> DataFrame:
     events = load_table(spark, sf_dir, "events")
-    return (
+    agg = (
         events.groupBy(F.window("ts", "6 hours").alias("w"))
         .agg(F.count("*").alias("n_events"), F.sum("value").alias("total_value"))
         .select(F.col("w.start").alias("window_start"), "n_events", "total_value")
-        .orderBy("window_start")
+    )
+    # window start as epoch micros — exact cross-engine compare, no
+    # ns-vs-us pandas/arrow precision ambiguity (same convention as
+    # session_windows_30m)
+    return (
+        agg.select(
+            epoch_us(agg, "window_start").alias("window_start_us"),
+            "n_events",
+            "total_value",
+        )
+        .orderBy("window_start_us")
     )
 
 
