@@ -36,3 +36,21 @@ def test_entry_contract(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_timestamp_queries_are_session_tz_independent(spark):
+    """The driver harness builds its own SparkSession with whatever
+    timezone the host has. The NTZ end-to-end design makes every
+    timestamp-touching query's result independent of
+    spark.sql.session.timeZone — assert it by re-running the
+    timestamp-heavy queries under a shifted zone."""
+    names = ["monthly_orders", "session_windows_30m", "rolling_1h_stats",
+             "date_functions", "tumbling_window_6h", "asof_purchase_last_view"]
+    prev = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        for n in names:
+            problems = compare(_QUERIES[n](spark, SF_SMALL), SF_SMALL, _ORACLES[n])
+            assert not problems, f"{n}: {problems[:3]}"
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", prev)
