@@ -130,3 +130,91 @@ def test_ntile_sizes_differ_by_at_most_one(spark, vals, n):
     ]
     assert sum(sizes) == len(vals)
     assert max(sizes) - min(sizes) <= 1
+
+
+@given(
+    v=st.lists(
+        st.floats(min_value=-50, max_value=50, allow_nan=False),
+        min_size=1,
+        max_size=12,
+    )
+)
+@settings(**_SETTINGS)
+def test_quantize_dequantize_error_bound(spark, v):
+    """Symmetric int8 quantization: every dequantized element is within
+    scale/2 of the original (round-half-up), for ANY vector including
+    all-zero (epsilon-floored scale)."""
+    from bigdata_processing_spark.operators.quantization import quantize
+
+    df = spark.createDataFrame([(1, v)], "vec_id long, embedding array<double>")
+    r = quantize(df).collect()[0]
+    assert r.scale > 0
+    assert all(q is not None for q in r.qvec)
+    for x, q in zip(v, r.qvec):
+        assert abs(q * r.scale - x) <= r.scale / 2 + 1e-12
+        assert abs(q) <= 127
+
+
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),        # key (few → collisions)
+            st.integers(min_value=-10**9, max_value=10**9),
+        ),
+        min_size=1,
+        max_size=30,
+    ),
+    n_salts=st.integers(min_value=1, max_value=8),
+)
+@settings(**_SETTINGS)
+def test_salted_agg_exact_for_integers(spark, rows, n_salts):
+    """Two-stage salted aggregation is bit-identical to plain groupBy for
+    algebraic integer aggregates, for any data and any salt count."""
+    from bigdata_processing_spark.operators.skew import salted_agg
+
+    df = spark.createDataFrame(rows, "k long, v long")
+    plain = {
+        (r.k): (r.s, r.c, r.lo, r.hi)
+        for r in df.groupBy("k").agg(
+            F.sum("v").alias("s"), F.count("v").alias("c"),
+            F.min("v").alias("lo"), F.max("v").alias("hi"),
+        ).collect()
+    }
+    salted = {
+        (r.k): (r.s, r.c, r.lo, r.hi)
+        for r in salted_agg(
+            df, ["k"],
+            {"s": ("sum", "v"), "c": ("count", "v"),
+             "lo": ("min", "v"), "hi": ("max", "v")},
+            n_salts=n_salts,
+        ).collect()
+    }
+    assert plain == salted
+
+
+@given(
+    ts=st.lists(
+        st.datetimes(
+            min_value=__import__("datetime").datetime(1971, 1, 1),
+            max_value=__import__("datetime").datetime(2100, 1, 1),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+@settings(**_SETTINGS)
+def test_epoch_us_matches_python_utc_model(spark, ts):
+    """epoch_us on a TIMESTAMP_NTZ column equals the Python naive-as-UTC
+    epoch computation for any wall time, regardless of session zone."""
+    import datetime as dt
+
+    from bigdata_processing_spark.functions.temporal import epoch_us
+
+    ts = [t.replace(microsecond=(t.microsecond // 1000) * 1000) for t in ts]
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(ts)], "i long, ts timestamp_ntz"
+    )
+    got = {r.i: r.us for r in df.select("i", epoch_us(df, "ts").alias("us")).collect()}
+    epoch = dt.datetime(1970, 1, 1)
+    want = {i: int((t - epoch).total_seconds() * 1_000_000) for i, t in enumerate(ts)}
+    assert got == want
