@@ -45,10 +45,3 @@ def ntz_to_instant(col: str) -> Column:
     )
 
 
-def ts_lit(df: DataFrame, col: str, value: str) -> Column:
-    """A timestamp literal typed to match ``df[col]`` so comparisons
-    never cross the NTZ/LTZ boundary (which would re-interpret the
-    instant through the session timezone)."""
-    if dict(df.dtypes).get(col) == "timestamp_ntz":
-        return F.expr(f"TIMESTAMP_NTZ '{value}'")
-    return F.lit(value).cast("timestamp")

@@ -33,18 +33,24 @@ def table_file_stats(path: str) -> tuple[int, int]:
     return n, total
 
 
-def recover_compaction(path: str) -> None:
-    """Heal a compaction interrupted mid-swap. The only non-atomic window
+def recover_swap(path: str, scratch_suffix: str) -> None:
+    """Heal a directory-swap interrupted mid-rename (shared by compaction
+    and the serving sink's whole-table path). The only non-atomic window
     is between ``rename(path→old)`` and ``rename(tmp→path)``; a crash
-    there leaves the table parked at ``<path>.old`` — restore it (the
-    ``.compacting`` output is discardable: never yet live)."""
+    there leaves the data parked at ``<path>.old`` — restore it. The
+    scratch output (``<path><scratch_suffix>``) is discardable: it was
+    never yet live."""
     old = path.rstrip("/") + ".old"
     if os.path.isdir(old):
         if os.path.isdir(path):
             shutil.rmtree(old)
         else:
             os.rename(old, path)
-    shutil.rmtree(path.rstrip("/") + ".compacting", ignore_errors=True)
+    shutil.rmtree(path.rstrip("/") + scratch_suffix, ignore_errors=True)
+
+
+def recover_compaction(path: str) -> None:
+    recover_swap(path, ".compacting")
 
 
 def compact_parquet(spark: SparkSession, path: str,

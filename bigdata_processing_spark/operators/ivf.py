@@ -48,10 +48,12 @@ def ivf_cell_count(
     executor-sized: 1e9 vectors → ~126k cells of ~8k vectors each."""
     import math
 
-    k = int(coeff * math.sqrt(max(n_vectors, 1)))
-    # never more cells than trainable: ~39 points per centroid minimum
-    k = min(k, max(1, n_vectors // 39))
-    return max(min_cells, min(max_cells, k)) if n_vectors >= min_cells else max(1, n_vectors)
+    if n_vectors < min_cells:
+        return max(1, n_vectors)  # toy corpus: a cell per point
+    k = max(min_cells, int(coeff * math.sqrt(n_vectors)))
+    # trainability clamp LAST so it also bounds the min_cells floor —
+    # a 50-vector corpus must not get 8 under-trained centroids
+    return min(k, max(1, n_vectors // 39), max_cells)
 
 
 def seed_centroids(

@@ -155,11 +155,15 @@ def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = emb.select("vec_id", "qvec", "scale")
     joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     qdot = quantized_dot(F.col("qq"), F.col("qscale"), F.col("qvec"), F.col("scale"))
-    w = Window.partitionBy("qid").orderBy(F.col("qdot").desc(), F.col("cid").asc())
+    # rank on the RAW dot (matching the oracle, which rounds only for
+    # display) — ranking on the rounded value would break near-ties
+    # differently than DuckDB at the top-5 boundary
+    w = Window.partitionBy("qid").orderBy(F.col("qdot_raw").desc(), F.col("cid").asc())
     return (
-        joined.select("qid", F.col("vec_id").alias("cid"), F.round(qdot, 9).alias("qdot"))
+        joined.select("qid", F.col("vec_id").alias("cid"), qdot.alias("qdot_raw"))
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
+        .select("qid", "cid", F.round("qdot_raw", 9).alias("qdot"), "rn")
         .orderBy("qid", "rn")
     )
 

@@ -172,7 +172,8 @@ def _bucket_matcher(max_bucket: int, max_age: float | None = None,
 def streaming_dup_pairs(docs: DataFrame, text_col: str = "text",
                         max_bucket: int = 1000,
                         ts_col: str | None = None,
-                        max_age: float | None = None) -> DataFrame:
+                        max_age: float | None = None,
+                        late_tolerance: float | None = None) -> DataFrame:
     """Verified near-dup pairs for a document stream (or batch frame —
     the parity invariant): each doc vs all previously-seen docs sharing
     an LSH band bucket. Emits (d1, d2, jaccard) with d1 < d2; may emit a
@@ -184,17 +185,25 @@ def streaming_dup_pairs(docs: DataFrame, text_col: str = "text",
     matching, AND buckets that go cold are dropped wholesale by an
     event-time timeout once the stream's watermark passes their
     high-water + max_age — so total state tracks the retention window
-    for every bucket, not just actively-written ones. The watermark
-    delay equals ``max_age``: a row arriving later than the retention
-    window couldn't have been stored anyway. Default (None) keeps
-    members forever (full-corpus dedup)."""
+    for every bucket, not just actively-written ones. Default (None)
+    keeps members forever (full-corpus dedup).
+
+    Late-row trade-off: the timeout requires a watermark, and Spark
+    drops rows arriving more than the watermark delay behind the
+    stream's max event time BEFORE they reach the matcher — even ones
+    that could still have verified against a bucket whose own high-water
+    lags the global watermark. ``late_tolerance`` (seconds, default
+    ``max_age``) is that delay: raise it to trade state size for fewer
+    missed late pairs. Batch mode and the no-retention config have no
+    watermark and never drop rows."""
     b = banded(docs, text_col, ts_col=ts_col)
     event_timeout = (
         docs.isStreaming and ts_col is not None and max_age is not None
     )
     timeout = GroupStateTimeout.NoTimeout
     if event_timeout:
-        b = b.withWatermark("event_ts", f"{int(max_age)} seconds")
+        delay_ms = int((late_tolerance if late_tolerance is not None else max_age) * 1000)
+        b = b.withWatermark("event_ts", f"{delay_ms} milliseconds")
         timeout = GroupStateTimeout.EventTimeTimeout
     return b.groupBy("bk").applyInPandasWithState(
         _bucket_matcher(max_bucket, max_age=max_age, event_timeout=event_timeout),

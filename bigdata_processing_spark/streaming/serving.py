@@ -71,14 +71,10 @@ def _recover(serving_path: str) -> None:
     would see an empty table and silently drop every survivor row.
     Leftover ``.merging`` output is always discardable (never yet live).
     """
+    from bigdata_processing_spark.operators.compaction import recover_swap
+
     # whole-table swap staging (siblings of the table root)
-    old = serving_path.rstrip("/") + ".old"
-    if os.path.isdir(old):
-        if os.path.isdir(serving_path):
-            shutil.rmtree(old)
-        else:
-            os.rename(old, serving_path)
-    shutil.rmtree(serving_path.rstrip("/") + ".merging", ignore_errors=True)
+    recover_swap(serving_path, ".merging")
     # per-partition swap staging (.staging/<col>=<p>.old|.merging)
     stage = _staging_root(serving_path)
     if os.path.isdir(stage):

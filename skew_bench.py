@@ -88,6 +88,9 @@ def main() -> None:
 
     n_set = {c[0] for c in checks}
     assert len(n_set) == 1, f"legs disagree on row count: {checks}"
+    sums = [c[1] for c in checks]
+    assert all(abs(s - sums[0]) <= 1e-6 * abs(sums[0]) for s in sums), \
+        f"legs disagree on value sum: {checks}"
     print(json.dumps({
         "bench": "skew_join",
         "n_rows": n_rows,

@@ -145,6 +145,7 @@ def test_ivf_cell_count_policy():
     from bigdata_processing_spark.operators.ivf import ivf_cell_count
 
     assert ivf_cell_count(4) == 4                 # tiny corpus: n itself
+    assert ivf_cell_count(50) == 1                # trainability beats min_cells floor
     assert ivf_cell_count(2_000) == 51            # n/39 trainability clamp
     assert ivf_cell_count(1_000_000) == 4_000     # 4sqrt(n) regime
     assert ivf_cell_count(1_000_000_000) == 126_491
