@@ -1,0 +1,101 @@
+"""Scale-up smoke: time the heavy queries at 1× and N× data volume.
+
+Method (same as the BASELINE.md scale-up tables): build an N×-scaled
+copy of the big fixture tables by unioning id-shifted clones —
+documents/embeddings clones are EXACT near-dups of their originals, so
+dedup pair counts explode by construction (that's the stress), while
+events clones densify the timeline at the same span. Small dim tables
+are symlinked unscaled. Each query then runs against the scaled dir
+through the normal sf_dir interface.
+
+Run: ``python scale_smoke.py [N] [sf_dir]`` (default 3, sf0.1).
+Prints one JSON line per query with 1× and N× wall seconds.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import TABLES, load_table, table_path
+from bigdata_processing_spark.queries import all_queries
+from bigdata_processing_spark.session import get_spark
+
+SCALED = {
+    # table -> (id columns to shift, shift key source column for span)
+    "documents": ("doc_id",),
+    "embeddings": ("vec_id",),
+    "events": ("event_id", "user_id"),
+}
+
+QUERIES = [
+    "minhash_lsh_dup_pairs",
+    "minhash_pruned_dup_pairs",
+    "embedding_neardup_pairs",
+    "dup_clusters",
+    "knn_ivf_seeded",
+    "contamination_test_vs_train",
+    "tfidf_top_terms",
+    "range_join_value_bands",
+    "session_windows_30m",
+    "token_packing_bins",
+]
+
+
+def build_scaled_dir(spark, sf_dir: str, n: int, out_dir: str) -> str:
+    os.makedirs(out_dir, exist_ok=True)
+    for t in TABLES:
+        src = table_path(sf_dir, t)
+        if not os.path.exists(src):
+            continue
+        dst = table_path(out_dir, t)
+        if t not in SCALED:
+            if not os.path.exists(dst):
+                os.symlink(src, dst)
+            continue
+        if os.path.exists(dst):
+            shutil.rmtree(dst)
+        df = load_table(spark, sf_dir, t)
+        id_cols = SCALED[t]
+        span = df.agg(F.max(id_cols[0])).collect()[0][0] + 1
+        parts = [df]
+        for k in range(1, n):
+            shifted = df
+            for c in id_cols:
+                shifted = shifted.withColumn(c, F.col(c) + F.lit(k * span))
+            parts.append(shifted)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        out.write.parquet(dst)
+    return out_dir
+
+
+def main() -> None:
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 3
+    sf_dir = sys.argv[2] if len(sys.argv) > 2 else "/root/testdata/sf0.1"
+    spark = get_spark("scale-smoke")
+    spark.sparkContext.setLogLevel("ERROR")
+    scaled_dir = build_scaled_dir(
+        spark, sf_dir, n, f"/tmp/scale_smoke_{n}x_{os.path.basename(sf_dir.rstrip('/'))}"
+    )
+
+    q = all_queries()
+    for name in QUERIES:
+        row = {"query": name, "n": n}
+        for label, d in (("sec_1x", sf_dir), (f"sec_{n}x", scaled_dir)):
+            t0 = time.monotonic()
+            out_rows = q[name](spark, d).count()
+            row[label] = round(time.monotonic() - t0, 2)
+            row[f"rows_{label.split('_')[1]}"] = out_rows
+        row["ratio"] = round(row[f"sec_{n}x"] / max(row["sec_1x"], 1e-9), 2)
+        print(json.dumps(row))
+
+
+if __name__ == "__main__":
+    main()
