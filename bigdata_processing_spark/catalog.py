@@ -24,10 +24,12 @@ def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
 
-# Columns written as parquet TIMESTAMP(NANOS): Spark reads them as long
-# (spark.sql.legacy.parquet.nanosAsLong) and the catalog restores
-# TimestampType at microsecond precision — matching how DuckDB/pyarrow
-# surface the same files.
+# Back-compat: an earlier fixture generation wrote these columns as
+# parquet TIMESTAMP(NANOS), which Spark reads as long under
+# spark.sql.legacy.parquet.nanosAsLong; the catalog then restores
+# TimestampType at microsecond precision. Current fixtures write naive
+# timestamp[us] (read as TIMESTAMP_NTZ), for which the bigint branch
+# below is a no-op — both generations load to equivalent wall times.
 _NANO_TS_COLS: dict[str, tuple[str, ...]] = {"events": ("ts",)}
 
 

@@ -35,9 +35,10 @@ _DEFAULT_CONF: dict[str, str] = {
     "spark.ui.enabled": "false",
     "spark.ui.showConsoleProgress": "false",
     "spark.sql.parquet.filterPushdown": "true",
-    # Fixture events.parquet carries TIMESTAMP(NANOS) which the vectorized
-    # reader rejects; read as long and convert in the catalog (see
-    # catalog._NANO_TS_COLS).
+    # Back-compat with the earlier fixture generation that wrote
+    # TIMESTAMP(NANOS) (current fixtures are naive timestamp[us] → NTZ,
+    # handled dtype-aware in catalog/functions.temporal). Harmless for
+    # non-nanos files; keeps old data readable.
     "spark.sql.legacy.parquet.nanosAsLong": "true",
     # Runtime bloom-filter join pushdown (build side injects a bloom
     # filter into the probe scan) is ON by default in Spark 4.x
