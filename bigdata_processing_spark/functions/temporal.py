@@ -23,6 +23,12 @@ from pyspark.sql import functions as F
 _NTZ_EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
 
+def _ntz_epoch_us(col: str) -> Column:
+    """Wall-clock microseconds since the NTZ epoch literal — pure
+    timestamp arithmetic, no session-timezone involvement."""
+    return F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{col}`)")
+
+
 def epoch_us(df: DataFrame, col: str) -> Column:
     """Epoch microseconds for a timestamp column of either flavor.
 
@@ -31,7 +37,7 @@ def epoch_us(df: DataFrame, col: str) -> Column:
     ``epoch_us(naive_ts)``, whatever ``spark.sql.session.timeZone`` is.
     """
     if dict(df.dtypes).get(col) == "timestamp_ntz":
-        return F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{col}`)")
+        return _ntz_epoch_us(col)
     return F.unix_micros(col)
 
 
@@ -40,8 +46,6 @@ def ntz_to_instant(col: str) -> Column:
     session-timezone dependence (unlike ``to_utc_timestamp``, which
     coerces NTZ→LTZ through the session zone first). Needed where Spark
     requires a real TIMESTAMP — e.g. ``withWatermark`` rejects NTZ."""
-    return F.timestamp_micros(
-        F.expr(f"timestampdiff(MICROSECOND, {_NTZ_EPOCH}, `{col}`)")
-    )
+    return F.timestamp_micros(_ntz_epoch_us(col))
 
 

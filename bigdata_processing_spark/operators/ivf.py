@@ -24,6 +24,8 @@ oracle, because k-means is iterative and not SQL-expressible.
 
 from __future__ import annotations
 
+import math
+
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -46,8 +48,6 @@ def ivf_cell_count(
     ≥ ~39 training points, hence the clamp floor for tiny corpora). At
     100TB scale this is the knob that keeps per-cell postings lists
     executor-sized: 1e9 vectors → ~126k cells of ~8k vectors each."""
-    import math
-
     if n_vectors < min_cells:
         return max(1, n_vectors)  # toy corpus: a cell per point
     k = max(min_cells, int(coeff * math.sqrt(n_vectors)))

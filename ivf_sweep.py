@@ -20,38 +20,16 @@ import json
 import sys
 import time
 
-from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
-from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.operators.ivf import (
     build_ivf_index,
     ivf_cell_count,
     ivf_search,
 )
+from bigdata_processing_spark.queries.similarity import knn_bruteforce
 from bigdata_processing_spark.session import get_spark
-
-
-def exact_topk(emb, k=5):
-    q = emb.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("embedding").cast("array<double>").alias("qe"),
-        V.norm(F.col("embedding")).alias("qn"),
-    )
-    c = emb.select(
-        F.col("vec_id").alias("cid"),
-        F.col("embedding").cast("array<double>").alias("ce"),
-        V.norm(F.col("embedding")).alias("cn"),
-    )
-    cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
-    return (
-        c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
-        .select("qid", "cid", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= k)
-    )
 
 
 def main() -> None:
@@ -60,7 +38,9 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     emb = load_table(spark, sf_dir, "embeddings").persist()
     n = emb.count()
-    exact = {(r.qid, r.cid) for r in exact_topk(emb).collect()}
+    # exact ground truth = the registered brute-force query (same % 100
+    # query subset, same top-5, same tie-breaks as ivf_search's output)
+    exact = {(r.qid, r.cid) for r in knn_bruteforce(spark, sf_dir).collect()}
 
     policy_k = ivf_cell_count(n)
     rows = []
