@@ -216,5 +216,11 @@ def test_epoch_us_matches_python_utc_model(spark, ts):
     )
     got = {r.i: r.us for r in df.select("i", epoch_us(df, "ts").alias("us")).collect()}
     epoch = dt.datetime(1970, 1, 1)
-    want = {i: int((t - epoch).total_seconds() * 1_000_000) for i, t in enumerate(ts)}
+
+    def us(td: "dt.timedelta") -> int:
+        # exact integer micros — total_seconds()*1e6 loses precision for
+        # multi-year deltas (float has 52 mantissa bits, ~2^48 us/decade)
+        return (td.days * 86_400 + td.seconds) * 1_000_000 + td.microseconds
+
+    want = {i: us(t - epoch) for i, t in enumerate(ts)}
     assert got == want
