@@ -90,6 +90,15 @@ def _recover(serving_path: str) -> None:
                 shutil.rmtree(p, ignore_errors=True)
 
 
+# Ledger entries older than this many batches behind the newest are
+# pruned at commit time: Structured Streaming replays only the batch
+# in flight at failure (batch_ids are monotonic), so detection never
+# needs deep history — without pruning the ledger dir grows one file
+# per micro-batch forever and committed_batches() becomes an
+# ever-larger listing on every batch.
+LEDGER_KEEP = 1000
+
+
 def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
                  batch_df: DataFrame, batch_id: int,
                  partition_col: str | None = None) -> bool:
@@ -155,6 +164,9 @@ def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
     os.makedirs(lp, exist_ok=True)
     with open(os.path.join(lp, str(batch_id)), "w"):
         pass
+    for f in os.listdir(lp):  # bound ledger size (see LEDGER_KEEP)
+        if int(f) < batch_id - LEDGER_KEEP:
+            os.remove(os.path.join(lp, f))
     return True
 
 

@@ -188,3 +188,23 @@ def test_crash_mid_swap_whole_table_recovers(spark, tmp_path):
 
     rows = {r.k: r.v for r in read_serving_table(spark, serving).collect()}
     assert rows == {1: 10.0, 2: 99.0}
+
+
+def test_ledger_prunes_old_entries(spark, tmp_path, monkeypatch):
+    """The batch ledger must not grow one file per micro-batch forever:
+    entries more than LEDGER_KEEP behind the newest are pruned at commit
+    (Structured Streaming only replays the batch in flight at failure,
+    so recent history suffices for replay detection)."""
+    from bigdata_processing_spark.streaming import serving
+
+    monkeypatch.setattr(serving, "LEDGER_KEEP", 3)
+    path = os.path.join(str(tmp_path), "serving8")
+    for bid in range(6):
+        b = spark.createDataFrame([(bid, float(bid))], "k long, v double")
+        assert serving.upsert_batch(path, ("k",), b, bid) is True
+
+    remaining = committed_batches(path)
+    assert remaining == {2, 3, 4, 5}  # 0,1 pruned (< 5 - 3)
+    # recent replay still detected
+    b5 = spark.createDataFrame([(5, 99.0)], "k long, v double")
+    assert serving.upsert_batch(path, ("k",), b5, 5) is False
