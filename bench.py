@@ -26,7 +26,7 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 
-from bigdata_processing_spark.queries import all_queries  # noqa: E402
+from bigdata_processing_spark.queries import bench_queries  # noqa: E402
 from bigdata_processing_spark.session import get_spark  # noqa: E402
 
 
@@ -61,7 +61,7 @@ def main() -> None:
     spark = get_spark("bench")
     spark.sparkContext.setLogLevel("ERROR")
 
-    queries = all_queries()
+    queries = bench_queries()
 
     # warm-up: JVM, codegen, parquet footer caches
     next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()

@@ -56,6 +56,21 @@ def ivf_cell_count(
     return min(k, max(1, n_vectors // 39), max_cells)
 
 
+def allpairs_cell_count(n_vectors: int, target_cell: int = 128) -> int:
+    """Cell count for ALL-PAIRS-within-cell workloads (near-dup).
+
+    :func:`ivf_cell_count`'s 4·√n optimizes per-QUERY probe cost; an
+    all-pairs candidate generator instead needs expected pair count to
+    stay linear in n, which requires bounded cell SIZE: with C = n/s
+    cells the within-cell pair count is ~C·(s choose 2) ≈ n·s/2. So take
+    the MAX of the two curves — 4·√n dominates below s·(4s)² vectors
+    (more cells → even fewer pairs there), n/target_cell beyond, keeping
+    pairs ≤ ~n·target_cell/2 at any scale. This replaces round 2's
+    hard 64-cell cap that went quadratic past ~8k vectors (VERDICT r02).
+    Must stay arithmetically reproducible in ANSI SQL (oracle twin)."""
+    return max(ivf_cell_count(n_vectors), n_vectors // target_cell)
+
+
 def seed_centroids(
     emb: DataFrame, k: int, vec_col: str = "embedding", id_col: str = "vec_id"
 ) -> list[list[float]]:

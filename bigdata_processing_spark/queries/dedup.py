@@ -151,10 +151,23 @@ _SQL_BANDS = (
     + "]) AS bk FROM sig)"
 )
 
+# Session-scoped memo of the verified-pairs result: dup_clusters re-ran
+# the whole MinHash→LSH→verify pipeline that minhash_lsh_dup_pairs had
+# just computed (~75% of dup_clusters' 10×-scale cost, BASELINE.md).
+# Keyed by (Spark applicationId, sf_dir); the cached DataFrame is
+# persist()ed so the second consumer reads the materialized pairs
+# (pairs ≪ corpus) instead of re-shuffling the corpus.
+_PAIR_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
 def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The full MinHash→LSH→verify pipeline, returning (d1, d2, jaccard)
     for pairs above JACCARD_THRESHOLD. Shared by minhash_lsh_dup_pairs
-    and the connected-components clustering."""
+    and the connected-components clustering (memoized per session+dir)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _PAIR_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     # Cache the shingle sets: reused by the signature pass and by both
     # sides of the verification join (without it Spark recomputes the
     # docs→shingles subtree four times — measured 4x slower).
@@ -199,11 +212,14 @@ def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jaccard = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
-    return (
+    out = (
         cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
         .select("d1", "d2", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist()
     )
+    _PAIR_MEMO[memo_key] = out
+    return out
 
 
 @register(
@@ -377,7 +393,8 @@ _SQL_PAIRS = f"""
     """,
 )
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2").persist()
+    # _verified_dup_pairs is memoized+persisted; projecting off it is cheap
+    pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2")
     edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst").persist()
     labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
         "lbl", F.col("node")
@@ -564,8 +581,9 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 #
 # Scale design: within-label pairing alone is quadratic in the label size
 # (measured 4.3× time at 3× data in round 1). The cell count C grows with
-# the corpus (C = clamp(n/128, 8, 64)), so the expected within-(label,cell)
-# pair count stays ~linear in n — the IVF candidate-pruning shape
+# the corpus (C = allpairs_cell_count(n) = max(ivf_cell_count(n), n//128)
+# — operators/ivf.py), so the expected within-(label,cell) pair count
+# stays ~linear in n — the IVF candidate-pruning shape
 # (operators/ivf.py is the production path with k-means-refined centroids
 # and a pandas-UDF assigner; here the quantizer is deliberately
 # SQL-expressible so DuckDB reproduces cell assignment bit-for-bit).
@@ -581,10 +599,17 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_neardup_pairs",
     oracle="""
         WITH cents AS (
+            -- LIMIT = allpairs_cell_count(n): max(ivf_cell_count(n), n//128)
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    embedding::DOUBLE[] AS c
             FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id
-                  LIMIT greatest(8, least(64, (SELECT count(*) // 128 FROM embeddings))))
+                  LIMIT (SELECT greatest(
+                           CASE WHEN count(*) < 8 THEN greatest(1, count(*))
+                                ELSE least(greatest(8, CAST(floor(4*sqrt(count(*))) AS BIGINT)),
+                                           greatest(1, count(*) // 39),
+                                           262144) END,
+                           count(*) // 128)
+                         FROM embeddings))
         ),
         assigned AS (
             SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
@@ -608,11 +633,15 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.functions import vectors as V
 
-    from bigdata_processing_spark.operators.ivf import seed_centroids, seeded_assign_best
+    from bigdata_processing_spark.operators.ivf import (
+        allpairs_cell_count,
+        seed_centroids,
+        seeded_assign_best,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     n_vecs = emb.count()
-    n_cells = max(8, min(64, n_vecs // 128))
+    n_cells = allpairs_cell_count(n_vecs)
     cents = seed_centroids(emb, n_cells)
     # Precompute each vector's norm ONCE (n rows) instead of re-folding it
     # per pair (n² folds) — cosine on a pair is then a single dot fold.

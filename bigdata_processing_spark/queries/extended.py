@@ -160,12 +160,15 @@ def cube_status_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # Sorted list aggregation (collect_list/set made deterministic via
 # array_sort — unordered collect is not a well-defined query result).
+# The list is serialized to a '|'-joined string so the output schema is
+# flat: the round-2 driver's pandas canonicalizer cannot hash
+# array-typed columns (CORRECTNESS_r02 `unhashable type: 'list'`).
 # ---------------------------------------------------------------------------
 @register(
     "collect_sorted_lists",
     oracle="""
         SELECT n_regionkey,
-               list_sort(list(n_name)) AS nations,
+               array_to_string(list_sort(list(n_name)), '|') AS nations,
                len(list(n_name)) AS n_nations
         FROM nation
         GROUP BY n_regionkey
@@ -177,7 +180,9 @@ def collect_sorted_lists(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         nation.groupBy("n_regionkey")
         .agg(
-            F.array_sort(F.collect_list("n_name")).alias("nations"),
+            F.array_join(F.array_sort(F.collect_list("n_name")), "|").alias(
+                "nations"
+            ),
             F.count("n_name").alias("n_nations"),
         )
         .orderBy("n_regionkey")

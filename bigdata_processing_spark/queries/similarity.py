@@ -333,7 +333,7 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("knn_ivf_kmeans")  # no oracle: coarse quantizer is iterative
+@register("knn_ivf_kmeans", driver=False)  # no oracle: quantizer is iterative
 # k-means (not SQL-expressible); quality gate is recall@5 vs exact brute
 # force in tests/test_ivf.py.
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -352,7 +352,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ivf_search(indexed, centroids, q, top_k=5, n_probe=2)
 
 
-@register("kmeans_clusters")  # no oracle: iterative algorithm (driver loops
+@register("kmeans_clusters", driver=False)  # no oracle: iterative (driver loops
 # over k centroids only; all data-sized work is distributed per iteration)
 def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.operators.clustering import kmeans_fit

@@ -240,14 +240,16 @@ def pagination_page3(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT doc_id,
                len(toks) AS n,
                list_contains(toks, 'data') AS has_data,
-               toks[1:2] || toks[-2:] AS ends,
-               list_transform(toks, t -> length(t)) AS tok_lens,
+               array_to_string(toks[1:2] || toks[-2:], '|') AS ends,
+               array_to_string(list_transform(toks, t -> length(t)), '|') AS tok_lens,
                CAST(list_sum(list_transform(toks, t -> length(t))) AS BIGINT) AS total_len
         FROM t
         ORDER BY doc_id
     """,
 )
 def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # Array outputs (`ends`, `tok_lens`) are '|'-joined to strings: the
+    # driver's pandas canonicalizer can't hash list columns (r02 err).
     docs = load_table(spark, sf_dir, "documents")
     toks = F.slice(F.split("text", " "), 1, 6)
     tok_lens = F.transform(toks, lambda t: F.length(t))
@@ -257,10 +259,12 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
             "doc_id",
             F.size(toks).cast("long").alias("n"),
             F.array_contains(toks, "data").alias("has_data"),
-            F.concat(
-                F.slice(toks, 1, 2), F.slice(toks, -2, 2)
+            F.array_join(
+                F.concat(F.slice(toks, 1, 2), F.slice(toks, -2, 2)), "|"
             ).alias("ends"),
-            tok_lens.alias("tok_lens"),
+            F.array_join(
+                F.transform(tok_lens, lambda x: x.cast("string")), "|"
+            ).alias("tok_lens"),
             F.aggregate(tok_lens, F.lit(0), lambda a, x: a + x).cast("long").alias("total_len"),
         )
         .orderBy("doc_id")

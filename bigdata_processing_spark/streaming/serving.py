@@ -88,6 +88,14 @@ def _recover(serving_path: str) -> None:
                     os.rename(p, dest)
             else:
                 shutil.rmtree(p, ignore_errors=True)
+    # dynamic-overwrite staging: Spark's own job-commit scratch. Never
+    # live data (job commit republishes it), invisible to discovery
+    # (dot/underscore-prefixed) — just reclaim the space.
+    if os.path.isdir(serving_path):
+        for name in os.listdir(serving_path):
+            if name.startswith(".spark-staging") or name == "_temporary":
+                shutil.rmtree(os.path.join(serving_path, name),
+                              ignore_errors=True)
 
 
 # Ledger entries older than this many batches behind the newest are
@@ -101,7 +109,8 @@ LEDGER_KEEP = 1000
 
 def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
                  batch_df: DataFrame, batch_id: int,
-                 partition_col: str | None = None) -> bool:
+                 partition_col: str | None = None,
+                 dynamic_threshold: int = 32) -> bool:
     """Merge one micro-batch into the serving table; returns False if the
     batch was already committed (replay detected).
 
@@ -121,7 +130,21 @@ def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
     window — so a replay after a crash at ANY point re-applies an
     idempotent merge (same keys → same survivors).
     """
-    if batch_id in committed_batches(serving_path):
+    if partition_col is not None and set(key_cols) <= {partition_col}:
+        # zero non-partition key columns would make the survivors
+        # anti-join degenerate (empty join-column list) — reject early
+        raise ValueError(
+            "key_cols must contain at least one column besides partition_col"
+        )
+    seen = committed_batches(serving_path)
+    if batch_id in seen:
+        return False
+    if seen and batch_id <= max(seen) - LEDGER_KEEP:
+        # Pruned horizon: entries this far behind the newest were removed
+        # from the ledger, so absence is NOT evidence of non-commit. A
+        # batch_id this old can only be a replay (e.g. a checkpoint
+        # restored from backup) — re-applying it would clobber newer
+        # values for its keys, violating last-writer-across-batches.
         return False
     _recover(serving_path)
     spark = batch_df.sparkSession
@@ -145,20 +168,32 @@ def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
         touched = [
             r[0] for r in batch_df.select(partition_col).distinct().collect()
         ]
-        for p in touched:  # few per batch; each iteration is distributed work
-            pname = f"{partition_col}={p}"
-            pdir = os.path.join(serving_path, pname)
-            sub = batch_df.filter(F.col(partition_col) == p).drop(partition_col)
-            if os.path.isdir(pdir):
-                current = spark.read.parquet(pdir)
-                keys = sub.select(*[k for k in key_cols if k != partition_col])
-                survivors = current.join(keys, list(keys.columns), "left_anti")
-                merged = survivors.unionByName(sub)
-            else:
-                merged = sub
-            tmp = os.path.join(stage, pname + ".merging")
-            merged.write.mode("overwrite").parquet(tmp)
-            _swap_in(pdir, tmp, os.path.join(stage, pname + ".old"))
+        if len(touched) > dynamic_threshold:
+            # Wide batch: the per-partition loop below would serialize
+            # one Spark job per touched partition on the driver. Instead
+            # do ONE job via Spark's dynamic partition overwrite — only
+            # partitions present in `merged` (exactly the touched set)
+            # are replaced at job commit; untouched dirs are never read
+            # or rewritten. Crash mid-commit can leave a partition
+            # subset swapped, but the ledger commits last so the replay
+            # re-applies the idempotent merge (same keys → same rows).
+            _merge_dynamic(spark, serving_path, key_cols, batch_df,
+                           partition_col, touched)
+        else:
+            for p in touched:  # each iteration is distributed work
+                pname = f"{partition_col}={p}"
+                pdir = os.path.join(serving_path, pname)
+                sub = batch_df.filter(F.col(partition_col) == p).drop(partition_col)
+                if os.path.isdir(pdir):
+                    current = spark.read.parquet(pdir)
+                    keys = sub.select(*[k for k in key_cols if k != partition_col])
+                    survivors = current.join(keys, list(keys.columns), "left_anti")
+                    merged = survivors.unionByName(sub)
+                else:
+                    merged = sub
+                tmp = os.path.join(stage, pname + ".merging")
+                merged.write.mode("overwrite").parquet(tmp)
+                _swap_in(pdir, tmp, os.path.join(stage, pname + ".old"))
 
     lp = _ledger_path(serving_path)
     os.makedirs(lp, exist_ok=True)
@@ -170,14 +205,51 @@ def upsert_batch(serving_path: str, key_cols: tuple[str, ...],
     return True
 
 
+def _merge_dynamic(spark: SparkSession, serving_path: str,
+                   key_cols: tuple[str, ...], batch_df: DataFrame,
+                   partition_col: str, touched: list) -> None:
+    """Single-job merge of every touched partition via
+    ``partitionOverwriteMode=dynamic``. Reads only the touched
+    partitions (the ``isin`` filter prunes at the scan), anti-joins the
+    batch keys, and overwrites exactly the partitions the written data
+    contains."""
+    from pyspark.sql import functions as F
+
+    has_data = os.path.isdir(serving_path) and any(
+        name.startswith(f"{partition_col}=") for name in os.listdir(serving_path)
+    )
+    if has_data:
+        current = spark.read.parquet(serving_path).filter(
+            F.col(partition_col).isin(touched)
+        )
+        keys = batch_df.select(*key_cols)
+        join_cols = list(dict.fromkeys(list(key_cols) + [partition_col]))
+        if partition_col not in key_cols:
+            keys = batch_df.select(*join_cols)
+        survivors = current.join(keys, on=list(keys.columns), how="left_anti")
+        merged = survivors.unionByName(batch_df.select(*survivors.columns))
+    else:
+        merged = batch_df
+    conf_key = "spark.sql.sources.partitionOverwriteMode"
+    prev = spark.conf.get(conf_key, "static")
+    spark.conf.set(conf_key, "dynamic")
+    try:
+        (merged.write.mode("overwrite")
+               .partitionBy(partition_col).parquet(serving_path))
+    finally:
+        spark.conf.set(conf_key, prev)
+
+
 def upsert_sink(serving_path: str, key_cols: tuple[str, ...],
-                partition_col: str | None = None):
+                partition_col: str | None = None,
+                dynamic_threshold: int = 32):
     """foreachBatch callable: ``.writeStream.foreachBatch(
     upsert_sink(path, ("user_id",)))``."""
 
     def sink(batch_df: DataFrame, batch_id: int) -> None:
         upsert_batch(serving_path, key_cols, batch_df, batch_id,
-                     partition_col=partition_col)
+                     partition_col=partition_col,
+                     dynamic_threshold=dynamic_threshold)
 
     return sink
 

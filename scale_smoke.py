@@ -23,7 +23,7 @@ import time
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import TABLES, load_table, table_path
-from bigdata_processing_spark.queries import all_queries
+from bigdata_processing_spark.queries import bench_queries
 from bigdata_processing_spark.session import get_spark
 
 SCALED = {
@@ -62,12 +62,15 @@ def build_scaled_dir(spark, sf_dir: str, n: int, out_dir: str) -> str:
             shutil.rmtree(dst)
         df = load_table(spark, sf_dir, t)
         id_cols = SCALED[t]
-        span = df.agg(F.max(id_cols[0])).collect()[0][0] + 1
+        # per-column spans: shifting a secondary id by the primary's span
+        # would collide clones with originals if its range were larger
+        spans = df.agg(*[F.max(c).alias(c) for c in id_cols]).collect()[0]
+        span = {c: spans[c] + 1 for c in id_cols}
         parts = [df]
         for k in range(1, n):
             shifted = df
             for c in id_cols:
-                shifted = shifted.withColumn(c, F.col(c) + F.lit(k * span))
+                shifted = shifted.withColumn(c, F.col(c) + F.lit(k * span[c]))
             parts.append(shifted)
         out = parts[0]
         for p in parts[1:]:
@@ -85,7 +88,7 @@ def main() -> None:
         spark, sf_dir, n, f"/tmp/scale_smoke_{n}x_{os.path.basename(sf_dir.rstrip('/'))}"
     )
 
-    q = all_queries()
+    q = bench_queries()
     for name in QUERIES:
         row = {"query": name, "n": n}
         for label, d in (("sec_1x", sf_dir), (f"sec_{n}x", scaled_dir)):

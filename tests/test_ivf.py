@@ -153,3 +153,27 @@ def test_ivf_cell_count_policy():
     # per-cell postings stay executor-sized in the 4sqrt(n) regime
     n = 10**9
     assert 5_000 < n / ivf_cell_count(n) < 10_000
+
+
+def test_allpairs_cell_count_policy():
+    """Near-dup cell sizing: follows ivf_cell_count until the n/128 floor
+    takes over, so within-cell all-pairs work stays LINEAR at any scale
+    (cell size bounded by ~128 for large n) — replaces round 2's 64-cell
+    cap that went quadratic past ~8k vectors."""
+    from bigdata_processing_spark.operators.ivf import (
+        allpairs_cell_count,
+        ivf_cell_count,
+    )
+
+    for n in (4, 500, 2_000, 20_000):
+        assert allpairs_cell_count(n) == ivf_cell_count(n)  # small-n regime
+    # large n: the n/128 floor dominates -> bounded cell size
+    for n in (10**6, 10**9, 10**12):
+        assert allpairs_cell_count(n) == n // 128
+        assert n / allpairs_cell_count(n) <= 129
+    # monotone non-decreasing across the crossover (no cap plateau)
+    prev = 0
+    for n in (10**3, 10**4, 10**5, 262_144, 10**6, 10**7):
+        cur = allpairs_cell_count(n)
+        assert cur >= prev
+        prev = cur

@@ -208,3 +208,99 @@ def test_ledger_prunes_old_entries(spark, tmp_path, monkeypatch):
     # recent replay still detected
     b5 = spark.createDataFrame([(5, 99.0)], "k long, v double")
     assert serving.upsert_batch(path, ("k",), b5, 5) is False
+
+
+def test_dynamic_overwrite_path_wide_batch(spark, tmp_path):
+    """A batch touching more partitions than dynamic_threshold merges via
+    ONE dynamic-partition-overwrite job: same result as the per-partition
+    loop, untouched partitions' files byte-stable."""
+    import glob
+
+    serving = os.path.join(str(tmp_path), "serving_dyn")
+    # seed 6 partitions with the loop path
+    b0 = spark.createDataFrame(
+        [(k, k % 6, float(k)) for k in range(12)], "k long, shard int, v double"
+    )
+    assert upsert_batch(serving, ("k",), b0, 0, partition_col="shard") is True
+    untouched = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(serving, "shard=5", "*.parquet"))
+    }
+    assert untouched
+
+    # wide batch: touches shards 0-4 (5 partitions) with threshold 3
+    b1 = spark.createDataFrame(
+        [(k, k % 6, 100.0 + k) for k in range(12) if k % 6 != 5]
+        + [(90, 0, 900.0)],
+        "k long, shard int, v double",
+    )
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard",
+                        dynamic_threshold=3) is True
+    # untouched partition not rewritten by the dynamic job
+    after = {
+        f: os.path.getmtime(f)
+        for f in glob.glob(os.path.join(serving, "shard=5", "*.parquet"))
+    }
+    assert after == untouched
+
+    rows = {r.k: (r.shard, r.v) for r in read_serving_table(spark, serving).collect()}
+    expect = {k: (k % 6, float(k)) for k in range(12) if k % 6 == 5}
+    expect.update({k: (k % 6, 100.0 + k) for k in range(12) if k % 6 != 5})
+    expect[90] = (0, 900.0)
+    assert rows == expect
+
+    # replay of the wide batch is a no-op
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard",
+                        dynamic_threshold=3) is False
+
+
+def test_dynamic_overwrite_crash_before_ledger_replay_safe(spark, tmp_path):
+    """Kill point on the dynamic path: merge committed, ledger write
+    lost. The replayed wide batch re-applies idempotently."""
+    serving = os.path.join(str(tmp_path), "serving_dyn2")
+    b0 = spark.createDataFrame(
+        [(k, k % 4, float(k)) for k in range(8)], "k long, shard int, v double"
+    )
+    assert upsert_batch(serving, ("k",), b0, 0, partition_col="shard") is True
+    b1 = spark.createDataFrame(
+        [(k, k % 4, 50.0 + k) for k in range(8)], "k long, shard int, v double"
+    )
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard",
+                        dynamic_threshold=2) is True
+    os.remove(os.path.join(_ledger_path(serving), "1"))
+    assert upsert_batch(serving, ("k",), b1, 1, partition_col="shard",
+                        dynamic_threshold=2) is True  # replay re-applies
+    rows = {r.k: r.v for r in read_serving_table(spark, serving).collect()}
+    assert rows == {k: 50.0 + k for k in range(8)}
+
+
+def test_pruned_horizon_batch_treated_as_committed(spark, tmp_path, monkeypatch):
+    """A batch_id at or below max(ledger) - LEDGER_KEEP predates the
+    pruned ledger horizon: absence there is not evidence of non-commit,
+    so the sink must refuse to (re-)apply it — a backup-restored
+    checkpoint replaying ancient batches must not clobber newer values."""
+    from bigdata_processing_spark.streaming import serving
+
+    monkeypatch.setattr(serving, "LEDGER_KEEP", 3)
+    path = os.path.join(str(tmp_path), "serving_hwm")
+    for bid in range(6):
+        b = spark.createDataFrame([(1, float(bid))], "k long, v double")
+        assert serving.upsert_batch(path, ("k",), b, bid) is True
+    # batch 0 and 1 were pruned from the ledger (< 5 - 3)
+    assert committed_batches(path) == {2, 3, 4, 5}
+    stale = spark.createDataFrame([(1, -1.0)], "k long, v double")
+    assert serving.upsert_batch(path, ("k",), stale, 1) is False
+    assert serving.upsert_batch(path, ("k",), stale, 2) is False  # == hwm - KEEP
+    rows = {r.k: r.v for r in read_serving_table(spark, path).collect()}
+    assert rows == {1: 5.0}  # newest value survived
+
+
+def test_degenerate_key_cols_rejected(spark, tmp_path):
+    """key_cols ⊆ {partition_col} would make the survivors anti-join
+    have an empty column list — rejected up front."""
+    import pytest
+
+    b = spark.createDataFrame([(0, 1.0)], "shard int, v double")
+    with pytest.raises(ValueError, match="besides partition_col"):
+        upsert_batch(os.path.join(str(tmp_path), "s"), ("shard",), b, 0,
+                     partition_col="shard")
