@@ -56,22 +56,179 @@ def attach_media(docs: DataFrame) -> DataFrame:
     )
 
 
+# ---------------------------------------------------------------------------
+# Real codecs (no external libs): BMP (24bpp uncompressed) and WAV
+# (PCM16 mono) are header+raw formats a few dozen lines of struct
+# packing away — so the decode_stub=False slot works END-TO-END for
+# these two media types without PIL/ffmpeg. Compressed formats
+# (PNG/JPEG/mp4) still raise NotImplementedError (genuinely env-blocked).
+#
+# Payload content is deterministic in a seed (pixel byte k of image
+# `s`: (s*7 + k*13) % 256; sample k of clip `s`: (s*31 + k*17) % 65536
+# - 32768), so an ANSI-SQL oracle reproduces every decoded stat by
+# arithmetic alone — the driver can hash-verify a real encode→decode
+# roundtrip.
+# ---------------------------------------------------------------------------
+def _bmp_dims(seed: int) -> tuple[int, int]:
+    return seed % 16 + 1, seed % 12 + 1
+
+
+def _wav_n_samples(seed: int) -> int:
+    return seed % 256 + 16
+
+
+WAV_RATE = 8000
+
+
+def encode_bmp(seed: int) -> bytes:
+    """A valid 24bpp .bmp: BITMAPFILEHEADER + BITMAPINFOHEADER + raw
+    bottom-up pixel rows padded to 4-byte boundaries."""
+    import struct
+
+    import numpy as np
+
+    w, h = _bmp_dims(seed)
+    row_size = (w * 3 + 3) & ~3
+    data_size = row_size * h
+    off = 14 + 40
+    fh = struct.pack("<2sIHHI", b"BM", off + data_size, 0, 0, off)
+    ih = struct.pack(
+        "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
+    )
+    k = np.arange(h * w * 3, dtype=np.int64).reshape(h, w * 3)
+    px = ((seed * 7 + k * 13) % 256).astype(np.uint8)
+    pad = np.zeros((h, row_size - w * 3), dtype=np.uint8)
+    return fh + ih + np.hstack([px, pad]).tobytes()
+
+
+def decode_bmp(b: bytes) -> tuple[int, int, int]:
+    """Parse (width, height, pixel_checksum) from a 24bpp BMP. The
+    checksum sums PIXEL bytes only (row padding excluded)."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    bpp = struct.unpack_from("<H", b, 28)[0]
+    if bpp != 24:
+        raise NotImplementedError(f"only 24bpp BMP supported, got {bpp}")
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_size * abs(h), offset=off)
+    px = rows.reshape(abs(h), row_size)[:, : w * 3]
+    return w, abs(h), int(px.astype(np.int64).sum())
+
+
+def encode_wav(seed: int) -> bytes:
+    """A valid RIFF/WAVE file: fmt chunk (PCM16 mono @8kHz) + data
+    chunk of deterministic samples."""
+    import struct
+
+    import numpy as np
+
+    n = _wav_n_samples(seed)
+    k = np.arange(n, dtype=np.int64)
+    samples = ((seed * 31 + k * 17) % 65536 - 32768).astype("<i2")
+    data = samples.tobytes()
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    return b"RIFF" + struct.pack("<I", len(body)) + body
+
+
+def decode_wav(b: bytes) -> tuple[int, int, int]:
+    """Parse (n_samples, sample_rate, sample_checksum) from a PCM16 WAV
+    by walking RIFF chunks (fmt may precede or follow other chunks)."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    pos, rate, samples = 12, None, None
+    while pos + 8 <= len(b):
+        cid, sz = b[pos:pos + 4], struct.unpack_from("<I", b, pos + 4)[0]
+        if cid == b"fmt ":
+            fmt_code, _ch, rate = struct.unpack_from("<HHI", b, pos + 8)
+            bits = struct.unpack_from("<H", b, pos + 22)[0]
+            if fmt_code != 1 or bits != 16:
+                raise NotImplementedError("only PCM16 WAV supported")
+        elif cid == b"data":
+            samples = np.frombuffer(b, dtype="<i2", count=sz // 2,
+                                    offset=pos + 8)
+        pos += 8 + sz + (sz & 1)
+    if rate is None or samples is None:
+        raise ValueError("WAV missing fmt or data chunk")
+    return len(samples), rate, int(samples.astype(np.int64).sum())
+
+
+def attach_encoded_media(docs: DataFrame) -> DataFrame:
+    """Real-codec fixture adapter: even doc_ids become genuine BMP
+    images, odd doc_ids genuine WAV clips (payloads are valid files any
+    external tool could open). Runs in Arrow-batched mapInPandas like
+    every other payload stage."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            seeds = pdf["doc_id"].astype("int64")
+            payloads = [
+                encode_bmp(int(s)) if s % 2 == 0 else encode_wav(int(s))
+                for s in seeds
+            ]
+            types = ["image/bmp" if s % 2 == 0 else "audio/wav" for s in seeds]
+            out = pd.DataFrame(
+                {"doc_id": seeds, "payload": payloads, "media_type": types}
+            )
+            out["declared_w"] = [
+                _bmp_dims(int(s))[0] if s % 2 == 0 else 0 for s in seeds
+            ]
+            out["declared_h"] = [
+                _bmp_dims(int(s))[1] if s % 2 == 0 else 0 for s in seeds
+            ]
+            yield out
+
+    return docs.select("doc_id").mapInPandas(batches, schema=MEDIA_SCHEMA)
+
+
 def decode_media(media: DataFrame, *, decode_stub: bool = True) -> DataFrame:
     """Decode payloads → dimensions/checksum via mapInPandas.
 
     ``decode_stub=True`` runs a deterministic fake decoder (dims derived
     from payload length, checksum = sum of bytes) so the full pipeline is
-    testable without codecs. ``decode_stub=False`` is the real-codec slot:
-    NotImplementedError until PIL/ffmpeg-class libs are provisioned.
+    testable without codecs. ``decode_stub=False`` decodes for REAL:
+    BMP payloads → (width, height, pixel checksum), WAV payloads →
+    (n_samples as width, 1 as height, sample checksum); compressed
+    formats (PNG/JPEG/mp4) raise NotImplementedError — those genuinely
+    need codec libs not present in this environment.
     """
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             if not decode_stub:
-                raise NotImplementedError(
-                    "real media decode requires image/audio codecs not "
-                    "present in this environment"
+                rows = []
+                for did, mt, payload in zip(
+                    pdf["doc_id"], pdf["media_type"], pdf["payload"]
+                ):
+                    b = bytes(payload) if payload is not None else b""
+                    if b[:2] == b"BM":
+                        w, h, csum = decode_bmp(b)
+                    elif b[:4] == b"RIFF":
+                        n, _rate, csum = decode_wav(b)
+                        w, h = n, 1
+                    else:
+                        raise NotImplementedError(
+                            f"no codec for media_type={mt!r} in this "
+                            "environment (BMP/WAV are the lib-free formats)"
+                        )
+                    rows.append((did, mt, w, h, len(b), csum))
+                yield pd.DataFrame(
+                    rows,
+                    columns=["doc_id", "media_type", "width", "height",
+                             "n_bytes", "checksum"],
                 )
+                continue
             payloads = pdf["payload"]
             n = payloads.str.len().fillna(0).astype("int32")
             yield pd.DataFrame(

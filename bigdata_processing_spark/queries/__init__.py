@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "array_functions",
     "salted_supplier_totals",
     "hash_sample_10pct",
+    "multimodal_real_codec",  # NEW r03: non-stub BMP/WAV decode row
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -147,3 +147,59 @@ def multimodal_frame_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     frames = sample_frames(attach_media(docs), frame_size=64, stride=256)
     return frames.select("doc_id", "frame_idx", "frame_len").orderBy("doc_id", "frame_idx")
+
+
+@register(
+    "multimodal_real_codec",
+    oracle="""
+        WITH ks AS (SELECT range AS k FROM range(1024)),
+        m AS (
+            SELECT doc_id,
+                   CASE WHEN doc_id % 2 = 0 THEN 'image/bmp'
+                        ELSE 'audio/wav' END AS media_type,
+                   doc_id % 16 + 1 AS w,
+                   doc_id % 12 + 1 AS h,
+                   doc_id % 256 + 16 AS ns
+            FROM documents WHERE doc_id < 120
+        ),
+        img AS (
+            SELECT m.doc_id, m.media_type,
+                   CAST(m.w AS BIGINT) AS width, CAST(m.h AS BIGINT) AS height,
+                   CAST(54 + (((m.w * 3 + 3) // 4) * 4) * m.h AS BIGINT) AS n_bytes,
+                   CAST(sum((m.doc_id * 7 + ks.k * 13) % 256) AS BIGINT) AS checksum
+            FROM m JOIN ks ON ks.k < m.w * m.h * 3
+            WHERE m.media_type = 'image/bmp'
+            GROUP BY m.doc_id, m.media_type, m.w, m.h
+        ),
+        aud AS (
+            SELECT m.doc_id, m.media_type,
+                   CAST(m.ns AS BIGINT) AS width, CAST(1 AS BIGINT) AS height,
+                   CAST(44 + 2 * m.ns AS BIGINT) AS n_bytes,
+                   CAST(sum((m.doc_id * 31 + ks.k * 17) % 65536 - 32768) AS BIGINT) AS checksum
+            FROM m JOIN ks ON ks.k < m.ns
+            WHERE m.media_type = 'audio/wav'
+            GROUP BY m.doc_id, m.media_type, m.ns
+        )
+        SELECT * FROM img UNION ALL SELECT * FROM aud
+        ORDER BY doc_id
+    """,
+)
+def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL (non-stub) codec roundtrip: encode genuine BMP/WAV files in
+    one mapInPandas stage, parse them back with the lib-free decoders in
+    another (``decode_stub=False``). Payload content is deterministic in
+    doc_id, so the oracle reproduces every decoded stat — dimensions,
+    file size, pixel/sample checksum — by SQL arithmetic alone, making
+    the full byte-level encode→decode path driver-hash-verifiable."""
+    from bigdata_processing_spark.operators.multimodal import attach_encoded_media
+
+    docs = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 120)
+    decoded = decode_media(attach_encoded_media(docs), decode_stub=False)
+    return decoded.select(
+        "doc_id",
+        "media_type",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_bytes").cast("long").alias("n_bytes"),
+        "checksum",
+    ).orderBy("doc_id")

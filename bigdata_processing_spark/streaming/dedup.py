@@ -195,7 +195,10 @@ def streaming_dup_pairs(docs: DataFrame, text_col: str = "text",
     lags the global watermark. ``late_tolerance`` (seconds, default
     ``max_age``) is that delay: raise it to trade state size for fewer
     missed late pairs. Batch mode and the no-retention config have no
-    watermark and never drop rows."""
+    watermark and never drop rows. The drop is silent at runtime —
+    monitor it with :func:`watermark_dropped_rows` on the running query
+    (alerts on a nonzero counter are the operational signal that
+    ``late_tolerance`` is too tight for the stream's lateness)."""
     b = banded(docs, text_col, ts_col=ts_col)
     event_timeout = (
         docs.isStreaming and ts_col is not None and max_age is not None
@@ -212,3 +215,17 @@ def streaming_dup_pairs(docs: DataFrame, text_col: str = "text",
         outputMode="append",
         timeoutConf=timeout,
     )
+
+
+def watermark_dropped_rows(query) -> int:
+    """Total rows silently dropped by the watermark across a streaming
+    query's recorded progress — the operational counter for the
+    late-row trade-off documented on :func:`streaming_dup_pairs`.
+    Nonzero means events arrived more than ``late_tolerance`` behind the
+    stream's max event time and never reached the matcher; raise
+    ``late_tolerance`` (at the cost of state) if those pairs matter."""
+    total = 0
+    for p in query.recentProgress:
+        for op in (p.get("stateOperators") or []):
+            total += int(op.get("numRowsDroppedByWatermark") or 0)
+    return total

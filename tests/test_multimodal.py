@@ -47,13 +47,82 @@ def test_decode_stub_deterministic(spark):
         assert checksum == sum(raw)
 
 
-def test_decode_real_path_is_stubbed(spark):
+def test_decode_real_path_needs_codec_for_compressed_formats(spark):
+    # attach_media fakes png/mp4 payloads from text bytes — the real
+    # decoder has no codec for those and must say so, not guess
     media = attach_media(_docs(spark))
     with pytest.raises(Exception) as exc_info:
         decode_media(media, decode_stub=False).collect()
     assert "NotImplementedError" in str(exc_info.value) or isinstance(
         exc_info.value, NotImplementedError
     )
+
+
+def test_bmp_codec_roundtrip_pure():
+    from bigdata_processing_spark.operators.multimodal import (
+        _bmp_dims,
+        decode_bmp,
+        encode_bmp,
+    )
+
+    for seed in (0, 2, 48, 254):
+        b = encode_bmp(seed)
+        assert b[:2] == b"BM"
+        w, h, csum = decode_bmp(b)
+        assert (w, h) == _bmp_dims(seed)
+        assert csum == sum((seed * 7 + k * 13) % 256 for k in range(w * h * 3))
+        # file size: headers + padded rows
+        assert len(b) == 54 + ((w * 3 + 3) & ~3) * h
+
+
+def test_wav_codec_roundtrip_pure():
+    from bigdata_processing_spark.operators.multimodal import (
+        WAV_RATE,
+        _wav_n_samples,
+        decode_wav,
+        encode_wav,
+    )
+
+    for seed in (1, 3, 255, 1001):
+        b = encode_wav(seed)
+        assert b[:4] == b"RIFF" and b[8:12] == b"WAVE"
+        n, rate, csum = decode_wav(b)
+        assert n == _wav_n_samples(seed)
+        assert rate == WAV_RATE
+        assert csum == sum(
+            (seed * 31 + k * 17) % 65536 - 32768 for k in range(n)
+        )
+
+
+def test_real_codec_decode_end_to_end(spark):
+    """decode_stub=False works end-to-end for BMP and WAV payloads:
+    mapInPandas encode stage → mapInPandas parse stage, values matching
+    the pure-Python decoders on the driver."""
+    from bigdata_processing_spark.operators.multimodal import (
+        attach_encoded_media,
+        decode_bmp,
+        decode_wav,
+        encode_bmp,
+        encode_wav,
+    )
+
+    docs = _docs(spark)
+    decoded = {
+        r.doc_id: r
+        for r in decode_media(
+            attach_encoded_media(docs), decode_stub=False
+        ).collect()
+    }
+    for did in [r.doc_id for r in docs.select("doc_id").collect()]:
+        r = decoded[did]
+        if did % 2 == 0:
+            w, h, csum = decode_bmp(encode_bmp(did))
+            assert (r.media_type, r.width, r.height, r.checksum) == (
+                "image/bmp", w, h, csum)
+        else:
+            n, _rate, csum = decode_wav(encode_wav(did))
+            assert (r.media_type, r.width, r.height, r.checksum) == (
+                "audio/wav", n, 1, csum)
 
 
 def test_feature_extraction_l1_normalized(spark):

@@ -5,6 +5,8 @@ microbatches (the cross-batch state is the whole point)."""
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import functions as F
 
 from conftest import SF_SMALL
@@ -139,9 +141,16 @@ def test_idle_buckets_evicted_by_event_timeout(spark, tmp_path):
     w2 = [mk(4, "yet another unrelated document text", 10_100.0)]
 
     src = tmp_path / "idle"
-    for name, rows in (("w0", w0), ("w1", w1), ("w2", w2)):
+    for i, (name, rows) in enumerate((("w0", w0), ("w1", w1), ("w2", w2))):
         spark.createDataFrame(rows, "doc_id long, text string, ts double") \
             .coalesce(1).write.parquet(str(src / name))
+        # FileStreamSource orders batches by modification time; quick
+        # successive writes can land on the same mtime and reorder the
+        # waves, breaking the watermark-advance sequence — pin them
+        import glob as _glob
+
+        for f in _glob.glob(str(src / name / "*.parquet")):
+            os.utime(f, (1_000_000 + i, 1_000_000 + i))
     stream = (
         spark.readStream.schema("doc_id long, text string, ts double")
         .option("maxFilesPerTrigger", 1)
@@ -169,3 +178,9 @@ def test_idle_buckets_evicted_by_event_timeout(spark, tmp_path):
     assert w0_buckets >= 4                    # w0 really created state
     assert live_buckets <= 8                  # w0's buckets were dropped
     assert live_buckets < w0_buckets + 8      # not monotone accumulation
+
+    # the watermark-drop counter is observable (waves arrive in event-time
+    # order here, so nothing should have been dropped)
+    from bigdata_processing_spark.streaming.dedup import watermark_dropped_rows
+
+    assert watermark_dropped_rows(q) == 0
