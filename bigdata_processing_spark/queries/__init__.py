@@ -66,6 +66,10 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "salted_supplier_totals",
     "hash_sample_10pct",
     "multimodal_real_codec",  # NEW r03: non-stub BMP/WAV decode row
+    # NEW r03 corpus-prep ops (scrubbing.py)
+    "pii_redaction_stats",
+    "url_domain_topk",
+    "mixture_weights",
     # r02-green block
     "global_overhead",
     "map_entries_explode",
@@ -219,5 +223,6 @@ def _load_all() -> None:
         nlp,
         subqueries,
         quality,
+        scrubbing,
     )
     _LOADED = True

@@ -1,0 +1,164 @@
+"""Corpus-preparation ops an LLM training pipeline runs before anything
+else touches the text: PII redaction, URL/domain inventory, and
+source-mixture weighting.
+
+The fixture corpus is synthetic word-salad with no natural PII or URLs,
+so the first two queries INJECT deterministic spans (email, phone, URL
+derived from doc_id) into the text inside BOTH twins — the Spark side
+and the SQL oracle build the identical augmented string, then the
+redaction / extraction logic under test runs against real matches
+instead of vacuous zero-hit data.
+
+All regex work is JVM-side (``regexp_replace`` / ``regexp_extract_all``
+inside whole-stage codegen) — per-doc string ops with no shuffle until
+the final aggregate, the shape that scales to a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.queries import register
+
+EMAIL_RE = "[a-z0-9]+@[a-z0-9]+\\.com"
+PHONE_RE = "555-[0-9]{4}"
+URL_RE = "https://([a-z0-9.]+)/[a-z0-9/]*"
+
+
+def _augmented(doc_id, text):
+    """text + deterministic PII/URL spans (Spark twin of the SQL concat)."""
+    return F.concat(
+        text,
+        F.lit(" contact user"), doc_id.cast("string"),
+        F.lit("@example"), (doc_id % 7).cast("string"), F.lit(".com"),
+        F.lit(" or 555-"), F.lpad((doc_id % 10000).cast("string"), 4, "0"),
+        F.lit(" see https://w"), (doc_id % 13).cast("string"),
+        F.lit(".mirror"), (doc_id % 5).cast("string"),
+        F.lit(".org/p/"), doc_id.cast("string"),
+    )
+
+
+_SQL_AUG = """
+        aug AS (
+            SELECT doc_id, lang,
+                   text || ' contact user' || doc_id
+                        || '@example' || (doc_id % 7) || '.com'
+                        || ' or 555-' || lpad((doc_id % 10000)::VARCHAR, 4, '0')
+                        || ' see https://w' || (doc_id % 13)
+                        || '.mirror' || (doc_id % 5) || '.org/p/' || doc_id
+                   AS t
+            FROM documents
+        )
+"""
+
+
+@register(
+    "pii_redaction_stats",
+    oracle=f"""
+        WITH {_SQL_AUG}
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(len(regexp_extract_all(t, '{EMAIL_RE}'))) AS BIGINT) AS n_emails,
+               CAST(sum(len(regexp_extract_all(t, '{PHONE_RE}'))) AS BIGINT) AS n_phones,
+               CAST(sum(length(t) - length(
+                   regexp_replace(regexp_replace(t, '{EMAIL_RE}', '<EMAIL>', 'g'),
+                                  '{PHONE_RE}', '<PHONE>', 'g'))) AS BIGINT)
+                   AS bytes_redacted
+        FROM aug
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def pii_redaction_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Redact emails/phones and account for what was removed, per
+    language — the audit artifact a scrubbing pass must emit. Redaction
+    and counting are single-pass column expressions; the only shuffle is
+    the per-lang rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _augmented(F.col("doc_id"), F.col("text"))
+    clean = F.regexp_replace(
+        F.regexp_replace(t, EMAIL_RE, "<EMAIL>"), PHONE_RE, "<PHONE>"
+    )
+    return (
+        docs.select(
+            "lang",
+            F.size(F.regexp_extract_all(t, F.lit(EMAIL_RE), F.lit(0))).alias("e"),
+            F.size(F.regexp_extract_all(t, F.lit(PHONE_RE), F.lit(0))).alias("p"),
+            (F.length(t) - F.length(clean)).alias("removed"),
+        )
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("e").cast("long").alias("n_emails"),
+            F.sum("p").cast("long").alias("n_phones"),
+            F.sum("removed").cast("long").alias("bytes_redacted"),
+        )
+        .orderBy("lang")
+    )
+
+
+@register(
+    "url_domain_topk",
+    oracle=f"""
+        WITH {_SQL_AUG}
+        SELECT regexp_extract(t, '{URL_RE}', 1) AS domain,
+               count(*) AS n_docs,
+               CAST(min(doc_id) AS BIGINT) AS first_doc
+        FROM aug
+        GROUP BY domain
+        ORDER BY n_docs DESC, domain
+        LIMIT 20
+    """,
+)
+def url_domain_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain inventory over extracted URLs (the crawl-provenance /
+    blocklist view): extract → groupBy domain → top-k. The top-k is a
+    TakeOrderedAndProject, not a global sort."""
+    docs = load_table(spark, sf_dir, "documents")
+    t = _augmented(F.col("doc_id"), F.col("text"))
+    return (
+        docs.select(
+            F.regexp_extract(t, URL_RE, 1).alias("domain"), "doc_id"
+        )
+        .groupBy("domain")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.min("doc_id").cast("long").alias("first_doc"),
+        )
+        .orderBy(F.desc("n_docs"), "domain")
+        .limit(20)
+    )
+
+
+@register(
+    "mixture_weights",
+    oracle="""
+        WITH src AS (
+            SELECT source, count(*) AS n_docs
+            FROM documents GROUP BY source
+        )
+        SELECT source, n_docs,
+               sqrt(n_docs) / sum(sqrt(n_docs)) OVER () AS weight,
+               10000 * sqrt(n_docs) / sum(sqrt(n_docs)) OVER () AS expected_docs
+        FROM src
+        ORDER BY source
+    """,
+)
+def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing (alpha = 0.5): weight_i =
+    n_i^alpha / sum_j n_j^alpha, plus the expected per-source document
+    count for a 10k-doc sampling budget. The window aggregate runs over
+    #sources rows (tiny), AFTER the corpus-sized groupBy — the
+    heavyweight stage is one count-per-source shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    total = F.sum(F.sqrt("n_docs")).over(Window.partitionBy())
+    return src.select(
+        "source",
+        "n_docs",
+        (F.sqrt("n_docs") / total).alias("weight"),
+        (F.lit(10000) * F.sqrt("n_docs") / total).alias("expected_docs"),
+    ).orderBy("source")
