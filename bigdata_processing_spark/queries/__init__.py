@@ -66,10 +66,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "salted_supplier_totals",
     "hash_sample_10pct",
     "multimodal_real_codec",  # NEW r03: non-stub BMP/WAV decode row
-    # NEW r03 corpus-prep ops (scrubbing.py)
+    # NEW r03 corpus-prep + layout ops (scrubbing.py)
     "pii_redaction_stats",
     "url_domain_topk",
     "mixture_weights",
+    "zorder_curve_sample",
+    "chunk_documents",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -162,3 +162,103 @@ def mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sqrt("n_docs") / total).alias("weight"),
         (F.lit(10000) * F.sqrt("n_docs") / total).alias("expected_docs"),
     ).orderBy("source")
+
+
+def _zorder_oracle() -> str:
+    from bigdata_processing_spark.operators.zorder import zorder_key_sql
+
+    zk = zorder_key_sql("x", "y", 8)
+    return f"""
+        WITH b AS (
+            SELECT event_id,
+                   user_id % 256 AS x,
+                   event_id % 256 AS y
+            FROM events WHERE event_id < 500
+        )
+        SELECT event_id, x, y, CAST({zk} AS BIGINT) AS zkey
+        FROM b
+        ORDER BY event_id
+    """
+
+
+@register("zorder_curve_sample", oracle=_zorder_oracle())
+def zorder_curve_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The Morton-curve kernel behind operators/zorder.py
+    (write_zordered_parquet's layout key), validated value-by-value
+    cross-engine: pure shift/and/or bit arithmetic, so the Spark column
+    expression and the generated SQL twin must agree bit-for-bit."""
+    from bigdata_processing_spark.operators.zorder import zorder_key
+
+    events = load_table(spark, sf_dir, "events")
+    x = (F.col("user_id") % 256).alias("x")
+    y = (F.col("event_id") % 256).alias("y")
+    return (
+        events.filter(F.col("event_id") < 500)
+        .select(
+            "event_id",
+            x,
+            y,
+            zorder_key(F.col("user_id") % 256, F.col("event_id") % 256, 8)
+            .alias("zkey"),
+        )
+        .orderBy("event_id")
+    )
+
+
+CHUNK_WIN = 32     # tokens per context-window chunk
+CHUNK_STRIDE = 24  # overlap = WIN - STRIDE = 8 tokens
+
+
+@register(
+    "chunk_documents",
+    oracle=f"""
+        WITH ks AS (SELECT range AS k FROM range(8)),
+        t AS (
+            SELECT doc_id, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents WHERE doc_id < 200
+        )
+        SELECT t.doc_id,
+               CAST(ks.k AS BIGINT) AS chunk_idx,
+               CAST(len(toks[ks.k*{CHUNK_STRIDE}+1 : ks.k*{CHUNK_STRIDE}+{CHUNK_WIN}]) AS BIGINT)
+                   AS chunk_len,
+               array_to_string(toks[ks.k*{CHUNK_STRIDE}+1 : ks.k*{CHUNK_STRIDE}+{CHUNK_WIN}], ' ')
+                   AS chunk_text
+        FROM t JOIN ks ON ks.k * {CHUNK_STRIDE} < t.n
+        ORDER BY doc_id, chunk_idx
+    """,
+)
+def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Overlapping context-window chunking (win={win}, stride={stride}):
+    every token appears in ≥1 chunk, consecutive chunks share
+    win-stride tokens — the pre-tokenization splitter feeding a training
+    batch assembler. All JVM-side: sequence→transform→explode, no UDF,
+    no shuffle until the presentation sort; chunk count per doc is
+    data-driven (ceil(n/stride)), never a driver loop."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n = F.size(toks)
+    n_chunks = F.ceil(n / F.lit(CHUNK_STRIDE)).cast("int")
+    chunks = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.struct(
+            k.cast("long").alias("chunk_idx"),
+            F.slice(toks, k * CHUNK_STRIDE + 1, CHUNK_WIN).alias("c"),
+        ),
+    )
+    return (
+        docs.filter(F.col("doc_id") < 200)
+        .select("doc_id", F.explode(chunks).alias("ch"))
+        .select(
+            "doc_id",
+            F.col("ch.chunk_idx").alias("chunk_idx"),
+            F.size("ch.c").cast("long").alias("chunk_len"),
+            F.array_join("ch.c", " ").alias("chunk_text"),
+        )
+        .orderBy("doc_id", "chunk_idx")
+    )
+
+
+chunk_documents.__doc__ = chunk_documents.__doc__.format(
+    win=CHUNK_WIN, stride=CHUNK_STRIDE
+)

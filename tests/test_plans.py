@@ -121,3 +121,35 @@ def test_ntz_timestamp_filter_pushdown(spark):
     assert dict(ev.dtypes)["ts"] == "timestamp_ntz"
     f = ev.filter(F.col("ts") >= F.expr("TIMESTAMP_NTZ '1995-06-01 00:00:00'"))
     assert has_pushed_filters(f)
+
+
+def test_scrubbing_queries_plan_shape(spark):
+    """Corpus-prep ops must keep regex work in the scan-stage codegen:
+    pii_redaction_stats shuffles only for the per-lang rollup (+ its
+    presentation sort); url_domain_topk plans the top-k as
+    TakeOrderedAndProject, not a global sort."""
+    from bigdata_processing_spark.plans import explain_str
+    from bigdata_processing_spark.queries.scrubbing import (
+        pii_redaction_stats,
+        url_domain_topk,
+    )
+
+    pii = pii_redaction_stats(spark, SF_SMALL)
+    assert shuffle_count(pii) <= 2  # hash-agg + presentation sort
+    assert wholestage_codegen_spans(pii) >= 1  # regex exprs in codegen
+
+    topk = url_domain_topk(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in explain_str(topk, mode="simple")
+
+
+def test_real_codec_no_shuffle_between_stages(spark):
+    """Encode and parse are chained mapInPandas stages — payloads must
+    not shuffle between them (per-row independence)."""
+    from bigdata_processing_spark.operators.multimodal import (
+        attach_encoded_media,
+        decode_media,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents").limit(50)
+    decoded = decode_media(attach_encoded_media(docs), decode_stub=False)
+    assert shuffle_count(decoded) == 0
