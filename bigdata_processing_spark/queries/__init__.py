@@ -72,6 +72,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "mixture_weights",
     "zorder_curve_sample",
     "chunk_documents",
+    "hard_negatives",
+    "seq_length_histogram",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

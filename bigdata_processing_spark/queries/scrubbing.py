@@ -262,3 +262,38 @@ def chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
 chunk_documents.__doc__ = chunk_documents.__doc__.format(
     win=CHUNK_WIN, stride=CHUNK_STRIDE
 )
+
+
+@register(
+    "seq_length_histogram",
+    oracle="""
+        SELECT CAST(power(2, ceil(log2(greatest(len(string_split(text, ' ')), 1)))) AS BIGINT)
+                   AS bucket_max_tokens,
+               count(*) AS n_docs,
+               CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS total_tokens,
+               CAST(sum(CAST(power(2, ceil(log2(greatest(len(string_split(text, ' ')), 1)))) AS BIGINT)
+                        - len(string_split(text, ' '))) AS BIGINT) AS padding_tokens
+        FROM documents
+        GROUP BY 1
+        ORDER BY bucket_max_tokens
+    """,
+)
+def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length histogram in power-of-2 buckets — the batch-shape
+    planning view: how many documents land in each padded-length class
+    and how many padding tokens that costs. Single groupBy over a
+    codegen expression; at 100 TB this is one count-shuffle over ~20
+    distinct bucket keys."""
+    docs = load_table(spark, sf_dir, "documents")
+    n = F.size(F.split("text", " "))
+    bucket = F.pow(F.lit(2.0), F.ceil(F.log2(F.greatest(n, F.lit(1))))).cast("long")
+    return (
+        docs.select(bucket.alias("bucket_max_tokens"), n.alias("n"))
+        .groupBy("bucket_max_tokens")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n").cast("long").alias("total_tokens"),
+            F.sum(F.col("bucket_max_tokens") - F.col("n")).cast("long").alias("padding_tokens"),
+        )
+        .orderBy("bucket_max_tokens")
+    )

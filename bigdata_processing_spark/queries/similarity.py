@@ -78,6 +78,52 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "hard_negatives",
+    oracle=f"""
+        WITH q AS (
+            SELECT vec_id AS qid, label AS qlabel, embedding::DOUBLE[] AS qe
+            FROM embeddings WHERE vec_id % 100 = 0
+        ),
+        c AS (SELECT vec_id AS cid, label AS clabel, embedding::DOUBLE[] AS ce FROM embeddings),
+        s AS (
+            SELECT qid, cid, clabel, {_COS} AS cos_sim
+            FROM q JOIN c ON clabel <> qlabel
+        )
+        SELECT qid, cid, clabel, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 3
+        ORDER BY qid, rn
+    """,
+)
+def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining for contrastive training: for each anchor,
+    the top-3 most-similar vectors with a DIFFERENT label — the
+    near-misses a triplet/InfoNCE loss learns the most from. Same
+    broadcast-anchor + per-anchor window shape as knn_bruteforce (the
+    label inequality only flips the join predicate), so the 100 TB scale
+    path is identical: anchors broadcast, candidates never shuffle, and
+    at corpus scale the IVF-celled variant prunes candidates the same
+    way knn_ivf_* does for positives."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = _with_norm(
+        emb.filter(F.col("vec_id") % 100 == 0), "qid", "qe", "qn",
+        extra={"label": "qlabel"},
+    )
+    c = _with_norm(emb, "cid", "ce", "cn", extra={"label": "clabel"})
+    joined = c.join(F.broadcast(q), F.col("clabel") != F.col("qlabel"))
+    cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", "cid", "clabel", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
     "knn_ivf_label",
     oracle=f"""
         WITH q AS (
