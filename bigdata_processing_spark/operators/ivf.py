@@ -281,6 +281,70 @@ def write_ivf_index(indexed: DataFrame, centroids: list[list[float]],
     spark.createDataFrame(
         [(i, c) for i, c in enumerate(centroids)], "cell int, cent array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    # drift bookkeeping for append_to_ivf_index: how many vectors the
+    # current quantizer was (re)fit against
+    n_fit = indexed.count()
+    spark.createDataFrame([(n_fit,)], "n_fit long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
+
+
+def append_to_ivf_index(path: str, new_emb: DataFrame,
+                        vec_col: str = "embedding",
+                        refit_threshold: float = 0.3,
+                        n_iter: int = 3) -> tuple[int, bool]:
+    """Incrementally maintain a disk-resident IVF index: assign the new
+    vectors to the EXISTING centroids and append their postings (one
+    job, touches only the assigned cells' directories). When the
+    fraction of vectors added since the last (re)fit exceeds
+    ``refit_threshold``, the quantizer has drifted from the data it
+    summarizes — rebuild it over the full corpus (the k-means refit is
+    the expensive, rare path; appends are the cheap, common one).
+
+    Returns ``(n_appended, refit_performed)``.
+
+    At 100 TB this is the ingest contract for a living ANN index: daily
+    appends assign against frozen centroids (embarrassingly parallel,
+    no shuffle beyond the partitioned write), and the refit runs as an
+    offline job at a cadence set by ``refit_threshold``. The rebuild
+    overwrite is not crash-atomic on its own — production wraps it in
+    the swap discipline of operators/compaction.py (write aside,
+    rename in)."""
+    spark = new_emb.sparkSession
+    _, centroids = read_ivf_index(spark, path)
+    base = new_emb.select(
+        "vec_id",
+        F.col(vec_col).cast("array<double>").alias("e"),
+        V.norm(F.col(vec_col)).alias("nrm"),
+    )
+    assigned = base.withColumn("cell", _assign_udf(centroids)(F.col("e")))
+    n_new = assigned.count()
+    assigned.write.mode("append").partitionBy("cell").parquet(f"{path}/postings")
+
+    n_fit = spark.read.parquet(f"{path}/meta").collect()[0].n_fit
+    total = spark.read.parquet(f"{path}/postings").count()
+    if n_fit > 0 and (total - n_fit) / total > refit_threshold:
+        import os
+        import shutil
+
+        full = spark.read.parquet(f"{path}/postings").select(
+            "vec_id", F.col("e").alias(vec_col)
+        )
+        indexed, cents = build_ivf_index(
+            full, vec_col=vec_col, k_cells=max(len(centroids), 2), n_iter=n_iter
+        )
+        # rebuild ASIDE then swap: writing over {path}/postings while the
+        # plan still lazily reads it would fail mid-job (and a crash
+        # would orphan the index) — same discipline as compaction.py
+        staged = path.rstrip("/") + ".rebuild"
+        old = path.rstrip("/") + ".old"
+        write_ivf_index(indexed, cents, staged)
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(path, old)
+        os.rename(staged, path)
+        shutil.rmtree(old)
+        return n_new, True
+    return n_new, False
 
 
 def read_ivf_index(spark, path: str) -> tuple[DataFrame, list[list[float]]]:

@@ -177,3 +177,47 @@ def test_allpairs_cell_count_policy():
         cur = allpairs_cell_count(n)
         assert cur >= prev
         prev = cur
+
+
+def test_ivf_incremental_append_and_drift_refit(spark, tmp_path):
+    """Living-index contract: appends assign against the frozen quantizer
+    and land in the partitioned postings; once appended volume crosses
+    refit_threshold the quantizer rebuilds over the full corpus. Search
+    must see appended vectors in both regimes."""
+    from bigdata_processing_spark.operators.ivf import (
+        append_to_ivf_index,
+        ivf_search_on_disk,
+        read_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    first = emb.filter(F.col("vec_id") % 5 != 0)   # 80%
+    small = emb.filter(F.col("vec_id") % 5 == 0).filter(F.col("vec_id") % 10 != 0)  # 10%
+    rest = emb.filter(F.col("vec_id") % 10 == 0)   # 10%
+    path = str(tmp_path / "ivf_inc")
+
+    indexed, centroids = build_ivf_index(first, k_cells=8, n_iter=2)
+    write_ivf_index(indexed, centroids, path)
+
+    # small append: below threshold, no refit, centroids frozen
+    n1, refit1 = append_to_ivf_index(path, small, refit_threshold=0.3)
+    assert n1 == small.count() and refit1 is False
+    disk, cents = read_ivf_index(spark, path)
+    assert disk.count() == first.count() + n1
+    assert [[round(x, 9) for x in c] for c in cents] == [
+        [round(x, 9) for x in c] for c in centroids
+    ]
+    # an appended vector must be findable (its own nearest neighbor)
+    probe = disk.filter(F.col("vec_id").isin([r.vec_id for r in small.limit(3).collect()])).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    hits = ivf_search_on_disk(disk, cents, probe, top_k=1, n_probe=1)
+    assert hits.count() == probe.count()  # every appended probe got a neighbor
+
+    # drift append: push past the threshold via a low threshold → refit
+    n2, refit2 = append_to_ivf_index(path, rest, refit_threshold=0.05)
+    assert n2 == rest.count() and refit2 is True
+    disk2, cents2 = read_ivf_index(spark, path)
+    assert disk2.count() == emb.count()          # nothing lost in the rebuild
+    assert len(cents2) >= 2                      # quantizer refit on full corpus
