@@ -74,6 +74,13 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "hard_negatives",
     "seq_length_histogram",
+    # NEW r03 (late-round additions): ANN quantization audits, entropy
+    # quality bands, batch sessionization, canonical dedup selection
+    "matryoshka_knn_recall",
+    "binary_quantized_knn",
+    "word_entropy_bands",
+    "sessionize_events",
+    "dedup_survivors",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -673,3 +673,66 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cos_sim") >= 0.4)
         .orderBy("v1", "v2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Canonical-doc selection: the step that actually EMITS the deduped
+# corpus. Survivor policy: the cluster's min doc_id (which IS the
+# propagated cluster label, so no extra argmin pass); docs outside any
+# near-dup cluster survive unchanged. Reported per source so a corpus
+# owner sees where the duplication lives.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_survivors",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION SELECT d2, d1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+        ),
+        lab AS (
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node
+        )
+        SELECT d.source,
+               count(*) AS docs_total,
+               count(lab.doc_id)::BIGINT AS dup_members,
+               sum(CASE WHEN lab.doc_id IS NOT NULL AND lab.doc_id <> lab.cluster_id
+                        THEN 1 ELSE 0 END)::BIGINT AS removed,
+               (count(*) - sum(CASE WHEN lab.doc_id IS NOT NULL
+                                         AND lab.doc_id <> lab.cluster_id
+                                    THEN 1 ELSE 0 END))::BIGINT AS kept
+        FROM documents d LEFT JOIN lab ON d.doc_id = lab.doc_id
+        GROUP BY d.source
+        ORDER BY d.source
+    """,
+)
+def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source kept/removed accounting for near-dup removal: every doc
+    in a dup cluster except the cluster's min-id canonical is removed.
+    Reuses the memoized verified-pair pipeline through dup_clusters —
+    in a session that already ran any dedup query, this is one broadcast
+    join (cluster labels ≪ corpus) plus a per-source rollup; the corpus
+    itself is scanned once and never shuffled on anything but source."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    labels = dup_clusters(spark, sf_dir)  # (doc_id, cluster_id), pairs memoized
+    joined = docs.join(F.broadcast(labels), "doc_id", "left")
+    removed = F.when(
+        F.col("cluster_id").isNotNull() & (F.col("doc_id") != F.col("cluster_id")),
+        F.lit(1),
+    ).otherwise(F.lit(0))
+    return (
+        joined.groupBy("source")
+        .agg(
+            F.count("*").alias("docs_total"),
+            F.count("cluster_id").alias("dup_members"),
+            F.sum(removed).alias("removed"),
+            (F.count("*") - F.sum(removed)).alias("kept"),
+        )
+        .orderBy("source")
+    )

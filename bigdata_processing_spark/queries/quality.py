@@ -311,3 +311,66 @@ def value_outlier_fences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+@register(
+    "word_entropy_bands",
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+        cnt AS (SELECT doc_id, t, count(*) AS c FROM tok GROUP BY doc_id, t),
+        tot AS (SELECT doc_id, sum(c) AS n FROM cnt GROUP BY doc_id),
+        ent AS (
+            SELECT cnt.doc_id,
+                   -sum((c::DOUBLE / n) * log2(c::DOUBLE / n)) AS h
+            FROM cnt JOIN tot USING (doc_id)
+            GROUP BY cnt.doc_id
+        )
+        SELECT floor(round(h, 6) * 2) / 2 AS band,
+               count(*) AS n_docs,
+               avg(h) AS avg_entropy,
+               min(doc_id) AS first_doc
+        FROM ent
+        GROUP BY band
+        ORDER BY band
+    """,
+)
+def word_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unigram (word-distribution) Shannon entropy per doc, rolled into
+    0.5-bit bands — the complement of the bigram repetition ratio: low
+    entropy flags vocabulary-degenerate text (template spam, keyword
+    stuffing) that a distinct-bigram count alone can miss when the few
+    words are shuffled. Classic Gopher-family quality rule.
+
+    Scale shape: explode -> (doc_id, token) count -> per-doc fold; the
+    only shuffle keyed on (doc_id, token), partial-aggregated map-side.
+    Entropy is rounded to 1e-6 BEFORE banding so the band key (the
+    groupBy key) is stable against float summation-order differences
+    between engines; the residual avg_entropy stays under the driver's
+    relative tolerance."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(T.tokens(F.col("text")), lambda t: t != "")
+    cnt = (
+        docs.select("doc_id", F.explode(tk).alias("t"))
+        .groupBy("doc_id", "t")
+        .agg(F.count("*").alias("c"))
+    )
+    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+    p = F.col("c").cast("double") / F.col("n")
+    ent = (
+        cnt.join(tot, "doc_id")
+        .groupBy("doc_id")
+        .agg((-F.sum(p * F.log2(p))).alias("h"))
+    )
+    return (
+        ent.select(
+            "doc_id", "h", (F.floor(F.round(F.col("h"), 6) * 2) / 2).alias("band")
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("h").alias("avg_entropy"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("band")
+    )

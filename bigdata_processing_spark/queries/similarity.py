@@ -413,6 +413,171 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "matryoshka_knn_recall",
+    oracle="""
+        WITH v AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   (embedding::DOUBLE[])[1:16] AS e16
+            FROM embeddings
+        ),
+        q AS (
+            SELECT vec_id AS qid, e AS qe, e16 AS qe16 FROM v
+            WHERE vec_id % 100 = 0
+        ),
+        s AS (
+            SELECT qid, v.vec_id AS cid,
+                   list_dot_product(qe, e)
+                       / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(e, e))) AS cf,
+                   list_dot_product(qe16, e16)
+                       / (sqrt(list_dot_product(qe16, qe16)) * sqrt(list_dot_product(e16, e16))) AS ct
+            FROM q JOIN v ON v.vec_id <> qid
+        ),
+        tf AS (
+            SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY cf DESC, cid) AS rn
+                FROM s
+            ) WHERE rn <= 5
+        ),
+        tt AS (
+            SELECT qid, cid FROM (
+                SELECT qid, cid, row_number() OVER (PARTITION BY qid ORDER BY ct DESC, cid) AS rn
+                FROM s
+            ) WHERE rn <= 5
+        ),
+        h AS (SELECT qid, count(*) AS hits FROM tf JOIN tt USING (qid, cid) GROUP BY qid)
+        SELECT qs.qid, coalesce(h.hits, 0)::BIGINT AS hits_at_5,
+               coalesce(h.hits, 0) / 5.0 AS recall_at_5
+        FROM (SELECT DISTINCT qid FROM q) qs LEFT JOIN h USING (qid)
+        ORDER BY qid
+    """,
+)
+def matryoshka_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Matryoshka-style dimension truncation audit: recall@5 of top-k
+    computed on the FIRST 16 of 64 embedding dims (cosine re-normalized
+    on the prefix) against full-dimension top-k. This is the standard
+    memory/latency lever for ANN serving — store the prefix, search it,
+    rerank survivors at full precision — and this query is the offline
+    quality gate a pipeline runs before committing to a truncation
+    width. Scale shape: same broadcast-query + single candidate scan as
+    knn_bruteforce (both rankings come from one joined pass; no second
+    scan), recall join is per-(qid,cid) on tiny top-k sets."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    base = emb.select(
+        F.col("vec_id"),
+        F.col("embedding").cast("array<double>").alias("e"),
+        F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("e16"),
+    )
+    q = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("e16").alias("qe16"),
+    )
+    joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        (V.dot(F.col("qe"), F.col("e"))
+         / (V.norm(F.col("qe")) * V.norm(F.col("e")))).alias("cf"),
+        (V.dot(F.col("qe16"), F.col("e16"))
+         / (V.norm(F.col("qe16")) * V.norm(F.col("e16")))).alias("ct"),
+    )
+    wf = Window.partitionBy("qid").orderBy(F.col("cf").desc(), F.col("cid").asc())
+    wt = Window.partitionBy("qid").orderBy(F.col("ct").desc(), F.col("cid").asc())
+    topf = joined.withColumn("rn", F.row_number().over(wf)).filter(
+        F.col("rn") <= 5
+    ).select("qid", "cid")
+    topt = joined.withColumn("rn", F.row_number().over(wt)).filter(
+        F.col("rn") <= 5
+    ).select("qid", "cid")
+    hits = topf.join(topt, ["qid", "cid"]).groupBy("qid").agg(
+        F.count("*").alias("hits")
+    )
+    return (
+        q.select("qid").distinct()
+        .join(hits, "qid", "left")
+        .select(
+            "qid",
+            F.coalesce(F.col("hits"), F.lit(0)).cast("long").alias("hits_at_5"),
+            (F.coalesce(F.col("hits"), F.lit(0)) / F.lit(5.0)).alias("recall_at_5"),
+        )
+        .orderBy("qid")
+    )
+
+
+def _sign_word(e_col: str, lo: int) -> "F.Column":
+    """Pack sign bits lo..lo+31 of a double array into one BIGINT word:
+    bit (i - lo) set iff e[i] > 0. Pure integer fold — bit-exact across
+    engines by construction."""
+    return F.expr(
+        f"aggregate(transform(sequence({lo}, {lo + 31}),"
+        f" i -> IF(element_at({e_col}, i + 1) > CAST(0.0 AS DOUBLE),"
+        f" shiftleft(CAST(1 AS BIGINT), i - {lo}), CAST(0 AS BIGINT))),"
+        f" CAST(0 AS BIGINT), (acc, x) -> acc + x)"
+    )
+
+
+@register(
+    "binary_quantized_knn",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (
+            SELECT vec_id,
+                   list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS w0,
+                   list_sum(list_transform(range(33, 65),
+                       i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END))::BIGINT AS w1
+            FROM v
+        ),
+        q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id % 100 = 0),
+        s AS (
+            SELECT qid, p.vec_id AS cid,
+                   (bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)))::BIGINT AS hamming
+            FROM q JOIN p ON p.vec_id <> qid
+        )
+        SELECT qid, cid, hamming, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
+            FROM s
+        ) WHERE rn <= 5
+        ORDER BY qid, rn
+    """,
+)
+def binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary (sign-bit) quantized kNN: each 64-dim float vector becomes
+    two 32-bit sign words (32x memory cut vs float32; 8 bytes/vector),
+    similarity is Hamming distance = popcount of XOR — integer ops that
+    whole-stage codegen compiles to branch-free bit arithmetic. This is
+    the modern first-pass ANN filter (binary quantization); production
+    reranks the Hamming top-m with full-precision cosine, exactly the
+    two-stage shape matryoshka_knn_recall audits. Scale: the packed
+    index is tiny enough to broadcast at sizes where the float index
+    cannot, and the candidate scan stays one pass, no shuffle."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    packed = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    ).select(
+        "vec_id",
+        _sign_word("e", 0).alias("w0"),
+        _sign_word("e", 32).alias("w1"),
+    )
+    q = packed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    joined = packed.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    ham = (
+        F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+        + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+    ).cast("long")
+    w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), ham.alias("hamming"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
     "embedding_norm_stats",
     oracle="""
         SELECT label,

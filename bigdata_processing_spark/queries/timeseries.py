@@ -8,7 +8,7 @@ first — SURVEY.md §4 'custom Catalyst work needed: none')."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
@@ -326,4 +326,89 @@ def typed_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .orderBy("o_orderkey")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Batch gap-sessionization: the batch twin of the streaming session
+# window (streaming/windows.py session_windows_30m) — lag + cumulative
+# flag-sum assigns session ids, then a two-level rollup. The classic
+# telemetry/clickstream shape.
+# ---------------------------------------------------------------------------
+SESSION_GAP_US = 1_800_000_000  # 30 min
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+        ),
+        flag AS (
+            SELECT user_id, event_id, tus,
+                   CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        sess AS (
+            SELECT user_id, tus,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flag
+        ),
+        agg AS (
+            SELECT user_id, sid, count(*) AS n_events,
+                   max(tus) - min(tus) AS dur_us
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT least(n_events, 10)::BIGINT AS events_per_session,
+               count(*) AS n_sessions,
+               count(DISTINCT user_id) AS n_users,
+               avg(dur_us / 1e6) AS avg_duration_s
+        FROM agg
+        GROUP BY events_per_session
+        ORDER BY events_per_session
+    """,
+)
+def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in batch: per user, a new session starts
+    whenever the gap to the previous event exceeds 30 minutes (lag +
+    running flag-sum), then sessions roll up into an events-per-session
+    histogram (capped at 10+) with average duration. This is the batch
+    twin of the streaming session window — run it to calibrate the gap
+    before committing a streaming job to it.
+
+    Scale shape: ONE shuffle on user_id serves both window functions and
+    the (user_id, sid) aggregate (same partitioning, no re-shuffle); the
+    final histogram is a tiny rollup. Ordering ties on ts are broken by
+    event_id so session boundaries are deterministic across engines."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select("user_id", "event_id", epoch_us(ev, "ts").alias("tus"))
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    flagged = e.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    )
+    sess = flagged.withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    agg = sess.groupBy("user_id", "sid").agg(
+        F.count("*").alias("n_events"),
+        (F.max("tus") - F.min("tus")).alias("dur_us"),
+    )
+    return (
+        agg.select(
+            "user_id",
+            F.least(F.col("n_events"), F.lit(10)).cast("long").alias("events_per_session"),
+            "dur_us",
+        )
+        .groupBy("events_per_session")
+        .agg(
+            F.count("*").alias("n_sessions"),
+            F.countDistinct("user_id").alias("n_users"),
+            F.avg(F.col("dur_us") / 1e6).alias("avg_duration_s"),
+        )
+        .orderBy("events_per_session")
     )
