@@ -90,52 +90,69 @@ def seed_centroids(
     ]
 
 
-def seeded_scores(cents: list[list[float]], e_col: str = "e"):
-    """Per-centroid distance scores as one array Column: element ``i`` is a
+def _scores_sql(cents: list[list[float]], e_col: str) -> str:
+    """SQL text for the per-centroid score array: element ``i`` is a
     struct ``(s, cell)`` where ``s = c_i·c_i − 2·e·c_i`` (squared distance
     minus the per-row constant ``e·e`` — same ordering) and ``cell = i``.
 
-    Bit-exactness contract: ``functions/vectors.dot`` folds doubles in
-    array order, bit-equal to DuckDB ``list_dot_product``; the self-dot
-    is a sequential Python fold (same IEEE ops). Sorting / min over the
-    struct array compares (s, cell) field-wise, matching an oracle's
-    ``ORDER BY s, cell``. So both engines rank cells identically."""
+    Bit-exactness contract: the ``aggregate(zip_with(...))`` fold adds
+    doubles in array order, bit-equal to DuckDB ``list_dot_product``; the
+    self-dot is a sequential Python fold (same IEEE ops), embedded as a
+    shortest-repr double literal (correctly-rounded parse recovers the
+    identical bits). min / array_sort over the struct array compares
+    (s, cell) field-wise, matching an oracle's ``ORDER BY s, cell``. So
+    both engines rank cells identically.
 
-    def _lit_vec(v: list[float]):
-        return F.array(*[F.lit(float(x)) for x in v])
+    Built as ONE SQL string parsed once instead of per-element Column
+    calls: constructing the same tree via ``F.lit``/``F.struct`` costs
+    O(cells × dim) driver round-trips (~3.7s at 51×64, growing with the
+    4·√n cell policy), vs ~1s to parse the equivalent string. Past a few
+    hundred cells no expression form is right — that regime belongs to
+    the Arrow-batched ``_assign_udf`` (build_ivf_index), which trades
+    bit-exact oracle parity for O(1) plan size."""
 
-    def _self_dot(v: list[float]) -> float:
+    def dlit(x: float) -> str:
+        return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+    def self_dot(v: list[float]) -> float:
         acc = 0.0
         for x in v:
             acc += x * x
         return acc
 
-    return F.array(
-        *[
-            F.struct(
-                (F.lit(_self_dot(c)) - 2.0 * V.dot(F.col(e_col), _lit_vec(c))).alias("s"),
-                F.lit(i).alias("cell"),
-            )
-            for i, c in enumerate(cents)
-        ]
-    )
+    parts = []
+    for i, c in enumerate(cents):
+        arr = "array(" + ",".join(dlit(x) for x in c) + ")"
+        s = (
+            f"{dlit(self_dot(c))} - CAST(2.0 AS DOUBLE) * "
+            f"aggregate(zip_with(`{e_col}`, {arr}, (x, y) -> x * y), "
+            f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        parts.append(f"named_struct('s', {s}, 'cell', {i})")
+    return "array(" + ",".join(parts) + ")"
+
+
+def seeded_scores(cents: list[list[float]], e_col: str = "e"):
+    """Per-centroid distance scores as one array Column — see
+    :func:`_scores_sql` for the bit-exactness contract."""
+    return F.expr(_scores_sql(cents, e_col))
 
 
 def seeded_assign_best(cents: list[list[float]], e_col: str = "e"):
     """Argmin assignment (nearest seed centroid) as a pure Column
-    expression — ``F.array_min`` over :func:`seeded_scores`, ties broken
+    expression — ``array_min`` over :func:`_scores_sql`, ties broken
     by lowest cell; matches ``ORDER BY s, cell LIMIT 1`` in an oracle."""
-    return F.array_min(seeded_scores(cents, e_col))
+    return F.expr(f"array_min({_scores_sql(cents, e_col)})")
 
 
 def seeded_probe_cells(cents: list[list[float]], n_probe: int, e_col: str = "e"):
     """The ``n_probe`` nearest cells as an int array Column (closest
     first) — the multi-probe set for seeded IVF search. Same bit-exact
-    ranking as :func:`seeded_scores`; an oracle reproduces it with
+    ranking as :func:`_scores_sql`; an oracle reproduces it with
     ``row_number() OVER (... ORDER BY s, cell) <= n_probe``."""
-    return F.transform(
-        F.slice(F.array_sort(seeded_scores(cents, e_col)), 1, n_probe),
-        lambda st: st.getField("cell"),
+    return F.expr(
+        f"transform(slice(array_sort({_scores_sql(cents, e_col)}), 1, {n_probe}),"
+        f" st -> st.cell)"
     )
 
 
