@@ -393,6 +393,22 @@ _SQL_PAIRS = f"""
     """,
 )
 def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return _cluster_labels(spark, sf_dir).orderBy("doc_id")
+
+
+# Labels memo, mirroring _PAIR_MEMO one level up the pipeline: the
+# propagation fixpoint costs ~20 driver-coordinated joins, and both
+# dup_clusters and dedup_survivors need its output — the second
+# consumer should read the persisted (doc_id, cluster_id) result
+# (≪ corpus), not re-run the loop.
+_LABEL_MEMO: dict[tuple[str, str], DataFrame] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _LABEL_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
     # _verified_dup_pairs is memoized+persisted; projecting off it is cheap
     pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2")
     edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst").persist()
@@ -426,7 +442,9 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         labels = new_labels
         if changed == 0:
             break
-    return labels.select("node", "lbl").toDF("doc_id", "cluster_id").orderBy("doc_id")
+    out = labels.select("node", "lbl").toDF("doc_id", "cluster_id").persist()
+    _LABEL_MEMO[memo_key] = out
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -720,7 +738,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (cluster labels ≪ corpus) plus a per-source rollup; the corpus
     itself is scanned once and never shuffled on anything but source."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
-    labels = dup_clusters(spark, sf_dir)  # (doc_id, cluster_id), pairs memoized
+    labels = _cluster_labels(spark, sf_dir)  # memoized (doc_id, cluster_id)
     joined = docs.join(F.broadcast(labels), "doc_id", "left")
     removed = F.when(
         F.col("cluster_id").isNotNull() & (F.col("doc_id") != F.col("cluster_id")),
