@@ -81,6 +81,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "word_entropy_bands",
     "sessionize_events",
     "dedup_survivors",
+    "unigram_surprisal_bands",
+    "boilerplate_chunk_stats",
+    "cross_source_dup_matrix",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -754,3 +754,45 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplication provenance: which SOURCE pairs the near-duplication lives
+# between. The report a corpus owner reads to find mirror sites /
+# re-crawled feeds before deciding retention policy.
+# ---------------------------------------------------------------------------
+@register(
+    "cross_source_dup_matrix",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS}
+        SELECT least(da.source, db.source) AS source_a,
+               greatest(da.source, db.source) AS source_b,
+               count(*) AS n_pairs
+        FROM pairs p
+        JOIN documents da ON p.d1 = da.doc_id
+        JOIN documents db ON p.d2 = db.doc_id
+        GROUP BY source_a, source_b
+        ORDER BY source_a, source_b
+    """,
+)
+def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pair counts by (source, source) — symmetric pairs folded
+    with least/greatest so each source pair appears once. Reads the
+    memoized verified-pair set (pairs ≪ corpus, broadcast into two
+    doc-metadata lookups; the corpus streams once per lookup and never
+    shuffles)."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2")
+    da = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
+    db = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
+    m = da.join(F.broadcast(pairs), "d1")
+    m = db.join(F.broadcast(m), "d2")
+    return (
+        m.select(
+            F.least("sa", "sb").alias("source_a"),
+            F.greatest("sa", "sb").alias("source_b"),
+        )
+        .groupBy("source_a", "source_b")
+        .agg(F.count("*").alias("n_pairs"))
+        .orderBy("source_a", "source_b")
+    )

@@ -374,3 +374,64 @@ def word_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+@register(
+    "unigram_surprisal_bands",
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        tok AS (SELECT doc_id, unnest(tk) AS t FROM toks),
+        vocab AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        tot AS (SELECT sum(c)::DOUBLE AS n FROM vocab),
+        sur AS (
+            SELECT tok.doc_id, avg(-log2(vocab.c::DOUBLE / tot.n)) AS s
+            FROM tok JOIN vocab USING (t) CROSS JOIN tot
+            GROUP BY tok.doc_id
+        )
+        SELECT floor(round(s, 6) * 2) / 2 AS band,
+               count(*) AS n_docs,
+               avg(s) AS avg_surprisal,
+               min(doc_id) AS first_doc
+        FROM sur
+        GROUP BY band
+        ORDER BY band
+    """,
+)
+def unigram_surprisal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-LM quality filter with a unigram stand-in: fit a unigram
+    language model on the whole corpus (token -> count / total), score
+    every doc by its mean token surprisal avg(-log2 p(w)), and roll into
+    0.5-bit bands. Low-surprisal docs are stuffed with the corpus's most
+    common words (template/spam); high-surprisal docs are noise/garbled —
+    both tails are what an LM-perplexity filter (CCNet-style) trims.
+
+    Scale shape: the vocabulary aggregate is one (token) shuffle with
+    map-side combine; scoring re-joins tokens to the vocab — hinted
+    broadcast here (vocab ≪ corpus after aggregation; a web-scale vocab
+    drops the hint and it becomes a shuffle join on token, still
+    vocab-bounded); the 1-row total rides a broadcast cross join. Mean
+    surprisal is rounded to 1e-6 before banding so the groupBy key is
+    stable against summation-order float differences across engines."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(T.tokens(F.col("text")), lambda t: t != "")
+    tok = docs.select("doc_id", F.explode(tk).alias("t"))
+    vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = vocab.agg(F.sum("c").cast("double").alias("n"))
+    sur = (
+        tok.join(F.broadcast(vocab), "t")
+        .crossJoin(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(F.avg(-F.log2(F.col("c").cast("double") / F.col("n"))).alias("s"))
+    )
+    return (
+        sur.select(
+            "doc_id", "s", (F.floor(F.round(F.col("s"), 6) * 2) / 2).alias("band")
+        )
+        .groupBy("band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.avg("s").alias("avg_surprisal"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .orderBy("band")
+    )

@@ -297,3 +297,72 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket_max_tokens")
     )
+
+
+@register(
+    "boilerplate_chunk_stats",
+    oracle=f"""
+        WITH ks AS (SELECT range AS k FROM range(16)),
+        t AS (
+            SELECT doc_id, source, string_split(text, ' ') AS toks,
+                   len(string_split(text, ' ')) AS n
+            FROM documents
+        ),
+        ch AS (
+            SELECT t.doc_id, t.source,
+                   md5(array_to_string(
+                       toks[ks.k*{CHUNK_STRIDE}+1 : ks.k*{CHUNK_STRIDE}+{CHUNK_WIN}], ' ')) AS ck
+            FROM t JOIN ks ON ks.k * {CHUNK_STRIDE} < t.n
+        ),
+        bp AS (
+            SELECT ck FROM ch GROUP BY ck HAVING count(DISTINCT doc_id) >= 2
+        )
+        SELECT source,
+               count(*) AS n_chunks,
+               sum(CASE WHEN bp.ck IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS bp_chunks,
+               round(sum(CASE WHEN bp.ck IS NOT NULL THEN 1 ELSE 0 END)::DOUBLE
+                     / count(*), 6) AS bp_ratio
+        FROM ch LEFT JOIN bp USING (ck)
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-chunk (boilerplate) detection: chunk every doc with the
+    same overlapping windows as chunk_documents, fingerprint each chunk
+    (md5 — the one hash both engines share), and flag chunks whose
+    fingerprint appears in 2+ distinct docs. The per-source boilerplate
+    ratio is the headline signal line-level dedup pipelines
+    (C4/RefinedWeb-style) act on — here at window granularity because
+    the fixture corpus has no line structure.
+
+    Scale shape: chunks never carry their text past the fingerprint —
+    the repeated-chunk aggregate and the flag join are keyed on the
+    16-byte digest, so shuffle width is O(chunks × 16B) regardless of
+    chunk length. One (ck) shuffle for the boilerplate set, one for the
+    flag join, then a tiny per-source rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    toks = F.split("text", " ")
+    n_chunks = F.ceil(F.size(toks) / F.lit(CHUNK_STRIDE)).cast("int")
+    windows = F.transform(
+        F.sequence(F.lit(0), n_chunks - 1),
+        lambda k: F.md5(F.array_join(F.slice(toks, k * CHUNK_STRIDE + 1, CHUNK_WIN), " ")),
+    )
+    ch = docs.select("doc_id", "source", F.explode(windows).alias("ck"))
+    bp = (
+        ch.groupBy("ck")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .filter(F.col("nd") >= 2)
+        .select("ck", F.lit(1).alias("is_bp"))
+    )
+    flagged = ch.join(bp, "ck", "left")
+    hit = F.when(F.col("is_bp").isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum(hit).alias("bp_chunks"),
+            F.round(F.sum(hit).cast("double") / F.count("*"), 6).alias("bp_ratio"),
+        )
+        .orderBy("source")
+    )
