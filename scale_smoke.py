@@ -44,6 +44,12 @@ QUERIES = [
     "range_join_value_bands",
     "session_windows_30m",
     "token_packing_bins",
+    # late-r03 additions: heaviest of the new surface
+    "dedup_survivors",
+    "boilerplate_chunk_stats",
+    "unigram_surprisal_bands",
+    "binary_quantized_knn",
+    "sessionize_events",
 ]
 
 
