@@ -106,14 +106,25 @@ def interval_stream_join(left: DataFrame, right: DataFrame,
                          key: str = "user_id",
                          left_watermark: str = "1 hour",
                          right_watermark: str = "1 hour",
-                         within: str = "30 minutes") -> DataFrame:
-    """Stream-stream inner join: left rows match right rows with the
-    same key whose timestamp falls in [left.ts - within, left.ts].
+                         within: str = "30 minutes",
+                         how: str = "inner") -> DataFrame:
+    """Stream-stream join: left rows match right rows with the same key
+    whose timestamp falls in [left.ts - within, left.ts].
 
     Both sides carry watermarks + the time-range predicate so Spark can
     bound join state (without them, stream-stream join state grows
     forever). Works identically on batch inputs (parity-tested).
+
+    ``how='left_outer'`` additionally emits NULL-padded rows for left
+    rows that never matched — but only once the watermark passes the
+    point where a match is provably impossible (state eviction), so the
+    stream's outer rows TRAIL the data by watermark + within; rows still
+    inside that horizon at stream end are withheld, not emitted wrong.
+    That eviction-time emission is the semantic difference from a batch
+    left join and is what tests/test_streaming.py pins down.
     """
+    if how not in ("inner", "left_outer"):
+        raise ValueError(f"unsupported join type: {how}")
     l = left.select(
         F.col(key).alias("l_key"),
         F.col("ts").alias("l_ts"),
@@ -134,7 +145,7 @@ def interval_stream_join(left: DataFrame, right: DataFrame,
         & (r.r_ts <= l.l_ts)
         & (r.r_ts >= l.l_ts - F.expr(f"INTERVAL {within}"))
     )
-    return l.join(r, cond, "inner").select(
+    return l.join(r, cond, how).select(
         F.col("l_event_id"),
         F.col("r_event_id"),
         F.col("l_key").alias(key),

@@ -300,3 +300,94 @@ def test_watermark_drops_late_data(spark, tmp_path):
         for p in q.recentProgress
     )
     assert dropped == 1
+
+
+def test_stream_stream_left_outer_emits_nulls_after_eviction(spark, tmp_path):
+    """Left-outer stream-stream join: the matched row flows like the
+    inner join; the UNMATCHED left row's NULL-padded result is emitted
+    only after the watermark proves no future right row can match
+    (state eviction). A far-future sentinel row pushes the watermark
+    well past the real data so the eviction is forced deterministically;
+    the sentinel itself is still inside the horizon and must be
+    withheld."""
+    import datetime as dt
+    import os
+    import shutil
+
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.streaming.windows import interval_stream_join
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stage = os.path.join(str(tmp_path), "lo_stream")
+    os.makedirs(stage)
+
+    def land(name, rows, mtime):
+        scratch = os.path.join(str(tmp_path), f"__{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(stage, name)
+        shutil.copyfile(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def ev(eid, hour, minute, uid, etype):
+        return (eid, dt.datetime(2024, 1, 1, hour, minute), uid, etype, 1.0, "{}")
+
+    now = 1_700_000_000
+    # batch 0: purchase u1@10:00 has a view u1@09:50 inside the 30-min
+    # interval; purchase u2@10:00 has no view at all.
+    land("f1.parquet",
+         [ev(1, 10, 0, 1, "purchase"), ev(2, 10, 0, 2, "purchase"),
+          ev(3, 9, 50, 1, "view")], now)
+    # batch 1: sentinels 10h later on BOTH sides — the join's eviction
+    # clock is the GLOBAL watermark (min over both inputs' watermarks,
+    # multipleWatermarkPolicy=min), so each side must advance past
+    # 19:00 (1h delay), far beyond 10:00 + 30min, to force eviction of
+    # u2's row. Disjoint sentinel users so the sentinels don't match.
+    land("f2.parquet",
+         [ev(99, 20, 0, 99, "purchase"), ev(98, 20, 0, 98, "view")],
+         now + 100)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    joined = interval_stream_join(
+        stream.filter(F.col("event_type") == "purchase"),
+        stream.filter(F.col("event_type") == "view"),
+        how="left_outer",
+    )
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("t_lo")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    rows = {r.l_event_id: r for r in spark.table("t_lo").collect()}
+    # matched pair emitted with the view's id
+    assert rows[1].r_event_id == 3
+    # unmatched left row evicted -> NULL-padded outer result
+    assert rows[2].r_event_id is None
+    # sentinel is newer than the final watermark: withheld, not NULL-padded
+    assert 99 not in rows
+
+    # batch twin on the same rows: a plain left join (no eviction
+    # horizon), so it ALSO carries the sentinel's null row — the
+    # documented semantic gap between the modes.
+    batch = spark.createDataFrame(
+        [ev(1, 10, 0, 1, "purchase"), ev(2, 10, 0, 2, "purchase"),
+         ev(3, 9, 50, 1, "view"), ev(99, 20, 0, 99, "purchase"),
+         ev(98, 20, 0, 98, "view")], schema)
+    b = interval_stream_join(
+        batch.filter(F.col("event_type") == "purchase"),
+        batch.filter(F.col("event_type") == "view"),
+        how="left_outer",
+    )
+    brows = {r.l_event_id: r.r_event_id for r in b.collect()}
+    assert brows == {1: 3, 2: None, 99: None}
