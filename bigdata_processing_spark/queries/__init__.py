@@ -84,6 +84,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "unigram_surprisal_bands",
     "boilerplate_chunk_stats",
     "cross_source_dup_matrix",
+    "containment_dup_pairs",
+    "quality_weighted_sample",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -158,6 +158,7 @@ _SQL_BANDS = (
 # persist()ed so the second consumer reads the materialized pairs
 # (pairs ≪ corpus) instead of re-shuffling the corpus.
 _PAIR_MEMO: dict[tuple[str, str], DataFrame] = {}
+_CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -166,6 +167,29 @@ def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the connected-components clustering (memoized per session+dir)."""
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _PAIR_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    sc = _scored_candidates(spark, sf_dir)
+    jaccard = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    out = (
+        sc.select("d1", "d2", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .persist()
+    )
+    _PAIR_MEMO[memo_key] = out
+    return out
+
+
+def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidate pairs with their exact shingle overlap:
+    (d1, d2, inter, n1, n2). Every set-similarity verifier — Jaccard
+    (minhash_lsh_dup_pairs / dup_clusters) and containment
+    (containment_dup_pairs) — derives from these counts, so the
+    candidate generation + overlap join runs once per session."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _CAND_MEMO.get(memo_key)
     if cached is not None:
         return cached
     # Cache the shingle sets: reused by the signature pass and by both
@@ -210,15 +234,18 @@ def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # these become shuffle joins keyed by doc_id, still candidate-bounded.
     s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    jaccard = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
     out = (
         cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-        .select("d1", "d2", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .select(
+            "d1",
+            "d2",
+            F.size(F.array_intersect("sh1", "sh2")).alias("inter"),
+            F.size("sh1").alias("n1"),
+            F.size("sh2").alias("n2"),
+        )
         .persist()
     )
-    _PAIR_MEMO[memo_key] = out
+    _CAND_MEMO[memo_key] = out
     return out
 
 
@@ -795,4 +822,52 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("source_a", "source_b")
         .agg(F.count("*").alias("n_pairs"))
         .orderBy("source_a", "source_b")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Containment verification: |A∩B| / min(|A|,|B|). Jaccard under-scores a
+# short doc embedded in a longer one (the subset-duplicate: a page
+# re-published inside a digest) because the union is dominated by the
+# long side; containment is the standard second verifier web-dedup
+# pipelines run on the SAME candidate set.
+# ---------------------------------------------------------------------------
+CONTAINMENT_THRESHOLD = 0.9
+
+
+@register(
+    "containment_dup_pairs",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        sc AS (
+            SELECT c.d1, c.d2,
+                   len(list_intersect(s1.sh, s2.sh)) AS inter,
+                   len(s1.sh) AS n1, len(s2.sh) AS n2
+            FROM cand c
+            JOIN shset s1 ON c.d1 = s1.doc_id
+            JOIN shset s2 ON c.d2 = s2.doc_id
+        )
+        SELECT d1, d2,
+               round(inter::DOUBLE / least(n1, n2), 6) AS containment
+        FROM sc
+        WHERE inter::DOUBLE / least(n1, n2) >= {CONTAINMENT_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate pairs whose shingle CONTAINMENT (overlap over the
+    smaller set) clears 0.9 — catches subset-duplicates Jaccard misses.
+    Reads the memoized scored-candidate counts, so in a session that ran
+    any MinHash query this is a filter over persisted pair counts: no
+    corpus scan, no shuffle."""
+    sc = _scored_candidates(spark, sf_dir)
+    containment = F.col("inter").cast("double") / F.least("n1", "n2")
+    return (
+        sc.select("d1", "d2", F.round(containment, 6).alias("containment"))
+        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .orderBy("d1", "d2")
     )

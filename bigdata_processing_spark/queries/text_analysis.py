@@ -197,3 +197,79 @@ def fingerprint_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("fp").asc())
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Quality-weighted sampling: keep each doc with probability equal to its
+# quality score — the soft alternative to a hard threshold filter
+# (gradually down-weights mediocre text instead of cliff-dropping it).
+# Deterministic: the "coin flip" is a content-independent md5 hash of
+# doc_id quantized to 1e-4, so both engines keep exactly the same docs
+# and reruns are reproducible (resampling = change the seed string).
+# ---------------------------------------------------------------------------
+@register(
+    "quality_weighted_sample",
+    oracle=f"""
+        WITH scored AS (
+            SELECT doc_id, source,
+                   least(greatest(
+                       0.5 * least(length(text) / 500.0, 1.0)
+                       + 0.3 * (len(list_filter(string_split(text, ' '), t -> t IN {_SW}))::DOUBLE
+                                / greatest(len(list_filter(string_split(text, ' '), t -> t <> '')), 1))
+                       + 0.2 * (1 - len(regexp_extract_all(text, '[^a-zA-Z0-9 ]'))::DOUBLE
+                                    / greatest(length(text), 1)),
+                   0.0), 1.0) AS w,
+                   (('0x' || substr(md5('q|' || doc_id), 1, 8))::BIGINT % 10000) / 10000.0 AS u
+            FROM documents
+        )
+        SELECT source,
+               count(*) AS n_docs,
+               sum(CASE WHEN u < w THEN 1 ELSE 0 END)::BIGINT AS n_kept,
+               round(sum(w), 6) AS expected_kept,
+               avg(CASE WHEN u < w THEN w END) AS avg_kept_quality
+        FROM scored
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source acceptance report for quality-proportional sampling:
+    keep doc iff hash-uniform(doc_id) < quality(doc). ``expected_kept``
+    (the sum of weights) against ``n_kept`` is the audit a pipeline runs
+    to confirm the sampler is unbiased. One corpus pass, score and coin
+    are codegen'd column exprs, the only shuffle is the per-source
+    rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    w = F.least(
+        F.greatest(
+            0.5 * F.least(F.length("text") / 500.0, F.lit(1.0))
+            + 0.3
+            * (
+                T.stopword_count(F.col("text")).cast("double")
+                / F.greatest(T.token_count(F.col("text")), F.lit(1))
+            )
+            + 0.2
+            * (
+                1
+                - T.punct_count(F.col("text")).cast("double")
+                / F.greatest(F.length("text"), F.lit(1))
+            ),
+            F.lit(0.0),
+        ),
+        F.lit(1.0),
+    )
+    u = (T.hash64(F.col("doc_id").cast("string"), "q") % 10000) / 10000.0
+    scored = docs.select("source", w.alias("w"), u.alias("u"))
+    kept = F.when(F.col("u") < F.col("w"), F.lit(1)).otherwise(F.lit(0))
+    return (
+        scored.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(kept).alias("n_kept"),
+            F.round(F.sum("w"), 6).alias("expected_kept"),
+            F.avg(F.when(F.col("u") < F.col("w"), F.col("w"))).alias(
+                "avg_kept_quality"
+            ),
+        )
+        .orderBy("source")
+    )
