@@ -84,6 +84,27 @@ def sliding_window_agg(events: DataFrame, width: str = "6 hours",
     )
 
 
+def tumbling_window_distinct(events: DataFrame, width: str = "6 hours",
+                             watermark: str = "1 hour",
+                             rsd: float = 0.01) -> DataFrame:
+    """Approximate distinct users per tumbling window
+    (``approx_count_distinct`` = HyperLogLog++). Exact distinct is not
+    incrementally aggregable in append-mode streaming without holding
+    every key in state; the HLL sketch is the standard trade — O(1)
+    mergeable state per window. The sketch is deterministic for a given
+    input SET, so the batch run over the same data gives the identical
+    estimate — the parity invariant the test asserts."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", width).alias("w"))
+        .agg(
+            F.approx_count_distinct("user_id", rsd).alias("approx_users"),
+            F.count("*").alias("n_events"),
+        )
+        .select(F.col("w.start").alias("window_start"), "approx_users", "n_events")
+    )
+
+
 def session_window_agg(events: DataFrame, gap: str = "30 minutes",
                        watermark: str = "1 hour") -> DataFrame:
     """Per-user session windows: events within ``gap`` of each other

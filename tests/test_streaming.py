@@ -18,6 +18,7 @@ from bigdata_processing_spark.streaming.windows import (
     session_window_agg,
     sliding_window_agg,
     tumbling_window_agg,
+    tumbling_window_distinct,
 )
 
 
@@ -38,6 +39,11 @@ def _rows(df, key_cols):
             session_window_agg,
             ["session_start", "user_id", "n_events", "total_value"],
             "t_session",
+        ),
+        (
+            tumbling_window_distinct,
+            ["window_start", "approx_users", "n_events"],
+            "t_distinct",
         ),
     ],
 )
