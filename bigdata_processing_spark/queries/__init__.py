@@ -86,6 +86,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_source_dup_matrix",
     "containment_dup_pairs",
     "quality_weighted_sample",
+    "hot_key_skew_report",
+    "winsorized_value_stats",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

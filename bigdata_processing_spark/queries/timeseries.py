@@ -412,3 +412,100 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("events_per_session")
     )
+
+
+# ---------------------------------------------------------------------------
+# Skew diagnostics: the report you run BEFORE choosing a shuffle
+# strategy (salting / AQE skew-join) — top hot keys with their share of
+# total rows and their multiple of the average key's load.
+# ---------------------------------------------------------------------------
+@register(
+    "hot_key_skew_report",
+    oracle="""
+        WITH k AS (SELECT user_id, count(*) AS n FROM events GROUP BY user_id),
+        g AS (SELECT avg(n) AS avg_n, sum(n) AS total FROM k)
+        SELECT user_id, n,
+               round(n::DOUBLE / g.total, 6) AS share,
+               round(n::DOUBLE / g.avg_n, 6) AS skew_factor
+        FROM k CROSS JOIN g
+        ORDER BY n DESC, user_id
+        LIMIT 5
+    """,
+)
+def hot_key_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-5 hottest shuffle keys with share-of-total and
+    multiple-of-average-load — the input to the salting / AQE decision
+    operators/skew.py encodes. One count shuffle on the key; the global
+    denominators ride a broadcast 1-row cross join; top-k plans as
+    TakeOrderedAndProject (no global sort)."""
+    events = load_table(spark, sf_dir, "events")
+    k = events.groupBy("user_id").agg(F.count("*").alias("n"))
+    g = k.agg(
+        F.avg("n").alias("avg_n"), F.sum("n").cast("double").alias("total")
+    )
+    return (
+        k.crossJoin(F.broadcast(g))
+        .select(
+            "user_id",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("total"), 6).alias("share"),
+            F.round(F.col("n").cast("double") / F.col("avg_n"), 6).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.col("n").desc(), F.col("user_id").asc())
+        .limit(5)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winsorized statistics: clip each type's values at its own p01/p99 and
+# report how much the mean moves — the robust-stats complement of the
+# Tukey fences (which drop outliers; winsorizing caps them).
+# ---------------------------------------------------------------------------
+@register(
+    "winsorized_value_stats",
+    oracle="""
+        WITH q AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.01) AS p01,
+                   quantile_cont(value, 0.99) AS p99
+            FROM events GROUP BY event_type
+        )
+        SELECT e.event_type,
+               count(*) AS n,
+               sum(CASE WHEN e.value < q.p01 OR e.value > q.p99 THEN 1 ELSE 0 END)::BIGINT
+                   AS n_clipped,
+               avg(e.value) AS mean_raw,
+               avg(least(greatest(e.value, q.p01), q.p99)) AS mean_winsorized
+        FROM events e JOIN q USING (event_type)
+        GROUP BY e.event_type
+        ORDER BY e.event_type
+    """,
+)
+def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-type winsorization audit: exact p01/p99 (one percentile
+    aggregate per type — a tiny table), broadcast back onto the events
+    stream, clip, and compare raw vs winsorized means. Two passes over
+    events, both aggregation-only; no sort of the full data — the
+    percentile buffers per (type) group, and types are few."""
+    events = load_table(spark, sf_dir, "events")
+    q = events.groupBy("event_type").agg(
+        F.percentile("value", F.lit(0.01)).alias("p01"),
+        F.percentile("value", F.lit(0.99)).alias("p99"),
+    )
+    j = events.join(F.broadcast(q), "event_type")
+    clipped = F.least(F.greatest(F.col("value"), F.col("p01")), F.col("p99"))
+    out_of_range = F.when(
+        (F.col("value") < F.col("p01")) | (F.col("value") > F.col("p99")), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        j.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(out_of_range).alias("n_clipped"),
+            F.avg("value").alias("mean_raw"),
+            F.avg(clipped).alias("mean_winsorized"),
+        )
+        .orderBy("event_type")
+    )
