@@ -75,3 +75,64 @@ def test_dedup_pipeline_no_dups(spark):
     d = tempfile.mkdtemp()
     docs.write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
     assert _verified_dup_pairs(spark, d).count() == 0
+
+
+def test_word_entropy_single_token_docs(spark, tmp_path):
+    """A one-token doc has zero entropy (p=1, -log2(1)=0) and must land
+    in band 0.0, not crash the log."""
+    import os
+
+    from bigdata_processing_spark.queries.quality import word_entropy_bands
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(0, "hello", "en", "s0", 5), (1, "a a a a", "en", "s0", 7)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    rows = {r.band: r.n_docs for r in word_entropy_bands(spark, d).collect()}
+    assert rows == {0.0: 2}  # both degenerate docs: entropy exactly 0
+
+
+def test_binary_quantized_zero_vector(spark):
+    """The all-zero embedding packs to (0, 0): e[i] > 0 is false on
+    exact zero, no NaN/null leaks from the fold."""
+    from bigdata_processing_spark.queries.similarity import _sign_word
+
+    df = spark.createDataFrame([([0.0] * 64,)], "e: array<double>")
+    r = df.select(
+        _sign_word("e", 0).alias("w0"), _sign_word("e", 32).alias("w1")
+    ).collect()[0]
+    assert (r.w0, r.w1) == (0, 0)
+
+
+def test_boilerplate_no_repeats(spark, tmp_path):
+    """All-distinct docs: zero boilerplate chunks, ratio 0.0."""
+    import os
+
+    from bigdata_processing_spark.queries.scrubbing import boilerplate_chunk_stats
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, f"unique text number {i} with words {i * 7}", "en", "s0", 30)
+         for i in range(4)],
+        "doc_id bigint, text string, lang string, source string, n_chars bigint",
+    ).write.mode("overwrite").parquet(os.path.join(d, "documents.parquet"))
+    r = boilerplate_chunk_stats(spark, d).collect()[0]
+    assert r.bp_chunks == 0 and r.bp_ratio == 0.0
+
+
+def test_winsorized_stats_constant_values(spark, tmp_path):
+    """Constant values: p01 == p99 == value, nothing clips, means equal."""
+    import datetime as dt
+    import os
+
+    from bigdata_processing_spark.queries.timeseries import winsorized_value_stats
+
+    d = str(tmp_path)
+    spark.createDataFrame(
+        [(i, dt.datetime(2024, 1, 1), 1, "click", 5.0, "{}") for i in range(10)],
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+    r = winsorized_value_stats(spark, d).collect()[0]
+    assert r.n_clipped == 0 and r.mean_raw == r.mean_winsorized == 5.0

@@ -224,3 +224,85 @@ def test_epoch_us_matches_python_utc_model(spark, ts):
 
     want = {i: us(t - epoch) for i, t in enumerate(ts)}
     assert got == want
+
+
+@given(
+    a=st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False),
+               min_size=64, max_size=64),
+    b=st.lists(st.floats(min_value=-10, max_value=10, allow_nan=False),
+               min_size=64, max_size=64),
+)
+@settings(**_SETTINGS)
+def test_sign_word_packing_model(spark, a, b):
+    """Packed sign words match the bit model, and popcount-of-XOR
+    Hamming equals the direct sign-mismatch count."""
+    from bigdata_processing_spark.queries.similarity import _sign_word
+
+    def words(v):
+        w0 = sum(1 << i for i in range(32) if v[i] > 0)
+        w1 = sum(1 << i for i in range(32) if v[32 + i] > 0)
+        return w0, w1
+
+    df = spark.createDataFrame([(a,), (b,)], "e: array<double>")
+    got = [
+        (r.w0, r.w1)
+        for r in df.select(
+            _sign_word("e", 0).alias("w0"), _sign_word("e", 32).alias("w1")
+        ).collect()
+    ]
+    assert got == [words(a), words(b)]
+    ham_model = sum((x > 0) != (y > 0) for x, y in zip(a, b))
+    (aw0, aw1), (bw0, bw1) = got
+    ham_packed = bin(aw0 ^ bw0).count("1") + bin(aw1 ^ bw1).count("1")
+    assert ham_packed == ham_model
+
+
+@given(
+    events=st.lists(
+        st.tuples(st.integers(0, 2),              # user
+                  st.integers(0, 5 * 3600)),      # seconds offset
+        min_size=1, max_size=12, unique=True,
+    )
+)
+@settings(**_SETTINGS)
+def test_sessionize_model(spark, events, tmp_path_factory):
+    """sessionize_events' histogram equals a plain-Python gap model."""
+    import collections
+    import datetime as dt
+    import os
+
+    from bigdata_processing_spark.queries.timeseries import (
+        SESSION_GAP_US,
+        sessionize_events,
+    )
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        (i, base + dt.timedelta(seconds=sec), uid, "click", 1.0, "{}")
+        for i, (uid, sec) in enumerate(events)
+    ]
+    d = str(tmp_path_factory.mktemp("sess"))
+    spark.createDataFrame(
+        rows,
+        "event_id bigint, ts timestamp, user_id bigint, event_type string, "
+        "value double, props string",
+    ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
+
+    # model: per user, sort by (ts, event_id); new session on gap > 30min
+    per_user = collections.defaultdict(list)
+    for i, (uid, sec) in enumerate(events):
+        per_user[uid].append((sec, i))
+    sessions = []
+    for uid, evs in per_user.items():
+        evs.sort()
+        cur = [evs[0]]
+        for prev, nxt in zip(evs, evs[1:]):
+            if (nxt[0] - prev[0]) * 1_000_000 > SESSION_GAP_US:
+                sessions.append((uid, cur))
+                cur = []
+            cur.append(nxt)
+        sessions.append((uid, cur))
+    hist = collections.Counter(min(len(s), 10) for _, s in sessions)
+
+    got = {r.events_per_session: r.n_sessions for r in sessionize_events(spark, d).collect()}
+    assert got == dict(hist)
