@@ -153,3 +153,54 @@ def test_real_codec_no_shuffle_between_stages(spark):
     docs = load_table(spark, SF_SMALL, "documents").limit(50)
     decoded = decode_media(attach_encoded_media(docs), decode_stub=False)
     assert shuffle_count(decoded) == 0
+
+
+def test_binary_quantized_knn_plan_shape(spark):
+    """Sign-bit kNN: packed query set broadcast (candidates never
+    shuffle for the join); the only exchange is the per-qid window (+
+    presentation sort)."""
+    from bigdata_processing_spark.plans import explain_str
+    from bigdata_processing_spark.queries.similarity import binary_quantized_knn
+
+    df = binary_quantized_knn(spark, SF_SMALL)
+    # non-equi predicate (cid != qid) → broadcast NESTED-LOOP with the
+    # packed queries on the build side; candidates stream, never shuffle
+    assert "BroadcastNestedLoopJoin BuildRight" in explain_str(df, mode="simple")
+    assert shuffle_count(df) <= 2
+    # top-k is pre-pruned BEFORE the window exchange (partial group limit)
+    assert "WindowGroupLimit" in explain_str(df, mode="simple")
+
+
+def test_sessionize_single_user_exchange(spark):
+    """Both window functions and the (user_id, sid) aggregate must reuse
+    ONE user_id exchange; only the histogram rollup (+ its sort) may
+    re-shuffle."""
+    from bigdata_processing_spark.queries.timeseries import sessionize_events
+
+    df = sessionize_events(spark, SF_SMALL)
+    assert shuffle_count(df) <= 3  # user_id, band rollup, presentation sort
+
+
+def test_hot_key_report_takeordered(spark):
+    """Top-k hot keys must plan as TakeOrderedAndProject, not a global
+    sort of all keys."""
+    from bigdata_processing_spark.plans import explain_str
+    from bigdata_processing_spark.queries.timeseries import hot_key_skew_report
+
+    df = hot_key_skew_report(spark, SF_SMALL)
+    assert "TakeOrderedAndProject" in explain_str(df, mode="simple")
+
+
+def test_boilerplate_shuffles_digests_not_text(spark):
+    """The repeat-detection aggregate and flag join key on the md5
+    digest: chunk TEXT must not appear in any exchange's schema."""
+    from bigdata_processing_spark.plans import explain_str
+    from bigdata_processing_spark.queries.scrubbing import boilerplate_chunk_stats
+
+    plan = explain_str(boilerplate_chunk_stats(spark, SF_SMALL), mode="formatted")
+    exchanges = [b for b in plan.split("\n\n") if b.lstrip().startswith("(")
+                 and "Exchange" in b.split("\n")[0]]
+    # every exchange's output carries ck (the digest) or rollup columns,
+    # never a chunk_text/toks column
+    for b in exchanges:
+        assert "chunk_text" not in b and "ctext" not in b
