@@ -88,6 +88,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_weighted_sample",
     "hot_key_skew_report",
     "winsorized_value_stats",
+    "embedding_drift_by_cell",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

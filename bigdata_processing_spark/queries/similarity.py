@@ -604,3 +604,82 @@ def embedding_norm_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label")
     )
+
+
+@register(
+    "embedding_drift_by_cell",
+    oracle="""
+        WITH seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
+                   embedding::DOUBLE[] AS c
+            FROM (SELECT vec_id, embedding FROM embeddings ORDER BY vec_id LIMIT 8)
+        ),
+        v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        scored AS (
+            SELECT v.vec_id, s.cell,
+                   list_dot_product(s.c, s.c) - 2 * list_dot_product(v.e, s.c) AS sc
+            FROM v CROSS JOIN seeds s
+        ),
+        assign AS (
+            SELECT vec_id, cell FROM (
+                SELECT vec_id, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sc, cell) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        s AS (
+            SELECT cell,
+                   sum(CASE WHEN vec_id % 2 = 0 THEN 1 ELSE 0 END) AS ref_n,
+                   sum(CASE WHEN vec_id % 2 = 1 THEN 1 ELSE 0 END) AS new_n
+            FROM assign GROUP BY cell
+        ),
+        t AS (SELECT sum(ref_n)::DOUBLE AS rt, sum(new_n)::DOUBLE AS nt FROM s)
+        SELECT cell::BIGINT AS cell,
+               ref_n::BIGINT AS ref_n,
+               new_n::BIGINT AS new_n,
+               round(ref_n / rt, 6) AS ref_share,
+               round(new_n / nt, 6) AS new_share,
+               round(abs(ref_n / rt - new_n / nt), 6) AS share_delta
+        FROM s CROSS JOIN t
+        ORDER BY cell
+    """,
+)
+def embedding_drift_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding distribution-shift monitor: split the corpus into a
+    reference slice and a new slice (vec_id parity stands in for the
+    before/after batches), assign BOTH to the same frozen seeded cells,
+    and compare each cell's share of its slice. Summing share_delta / 2
+    gives total-variation distance — the number an ANN-index owner
+    watches to decide when append_to_ivf_index's quantizer refit should
+    fire (drift means the frozen centroids no longer summarize arriving
+    data). One assignment pass, one cell aggregate, totals broadcast
+    back; identical pruned shape to the production index build."""
+    from bigdata_processing_spark.operators.ivf import seed_centroids, seeded_assign_best
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cents = seed_centroids(emb, 8)
+    assigned = emb.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    ).withColumn("cell", seeded_assign_best(cents).getField("cell"))
+    s = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("vec_id") % 2 == 0, 1).otherwise(0)).alias("ref_n"),
+        F.sum(F.when(F.col("vec_id") % 2 == 1, 1).otherwise(0)).alias("new_n"),
+    )
+    t = s.agg(
+        F.sum("ref_n").cast("double").alias("rt"),
+        F.sum("new_n").cast("double").alias("nt"),
+    )
+    ref_share = F.col("ref_n") / F.col("rt")
+    new_share = F.col("new_n") / F.col("nt")
+    return (
+        s.crossJoin(F.broadcast(t))
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.col("ref_n").cast("long").alias("ref_n"),
+            F.col("new_n").cast("long").alias("new_n"),
+            F.round(ref_share, 6).alias("ref_share"),
+            F.round(new_share, 6).alias("new_share"),
+            F.round(F.abs(ref_share - new_share), 6).alias("share_delta"),
+        )
+        .orderBy("cell")
+    )
