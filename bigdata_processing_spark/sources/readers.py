@@ -85,6 +85,17 @@ def read_parquet_evolved(spark: SparkSession, path: str,
     return spark.read.option("mergeSchema", "true").parquet(path, *paths)
 
 
+def read_orc(spark: SparkSession, path: str,
+             schema: StructType | None = None) -> DataFrame:
+    """ORC scan (columnar sibling of the parquet path — same vectorized
+    reader, predicate pushdown, and column pruning; Spark's ORC support
+    is built in). Schema optional: ORC footers carry types."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.orc(path)
+
+
 def non_empty(col_name: str) -> Column:
     """F4-style non-empty-string constraint."""
     return F.col(col_name).isNotNull() & (F.col(col_name) != "")

@@ -204,3 +204,27 @@ def test_boilerplate_shuffles_digests_not_text(spark):
     # never a chunk_text/toks column
     for b in exchanges:
         assert "chunk_text" not in b and "ctext" not in b
+
+
+def test_dynamic_partition_pruning_fires(spark, tmp_path):
+    """A partitioned fact joined to a filtered small dim must plan a
+    dynamicpruning expression on the fact's partition column — at 100 TB
+    this is the difference between scanning one event type's directories
+    and scanning all of them when the filter value is only known at
+    run time (via the dim)."""
+    import os
+
+    from bigdata_processing_spark.plans import explain_str
+
+    fact_path = os.path.join(str(tmp_path), "events_by_type")
+    load_table(spark, SF_SMALL, "events").write.partitionBy(
+        "event_type"
+    ).parquet(fact_path)
+    fact = spark.read.parquet(fact_path)
+    dim = spark.createDataFrame(
+        [("purchase", 1), ("view", 0)], "event_type string, is_conversion int"
+    )
+    joined = fact.join(dim.filter(F.col("is_conversion") == 1), "event_type").agg(
+        F.count("*").alias("n")
+    )
+    assert "dynamicpruning" in explain_str(joined, mode="formatted").lower()

@@ -205,3 +205,26 @@ def test_read_parquet_evolved_merges_schemas(spark, tmp_path):
            for f in glob.glob(os.path.join(root, "batch=1", "*.parquet"))]
     md = next(m for m in mds if m.num_rows > 0)
     assert md.row_group(0).column(0).compression.lower() == "zstd"
+
+
+def test_orc_roundtrip(spark, tmp_path):
+    """write_orc → read_orc preserves rows and types; the ORC scan
+    pushes filters like the parquet path."""
+    import os
+
+    from bigdata_processing_spark.plans import has_pushed_filters
+    from bigdata_processing_spark.sources import read_orc, write_orc
+
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(1, "a", 1.5), (2, "b", 2.5), (3, "c", 3.5)], "id bigint, s string, v double"
+    )
+    path = os.path.join(str(tmp_path), "orc_out")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert dict(back.dtypes) == dict(df.dtypes)
+    assert sorted(tuple(r) for r in back.collect()) == sorted(
+        tuple(r) for r in df.collect()
+    )
+    assert has_pushed_filters(back.filter(F.col("id") > 1))
