@@ -89,6 +89,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hot_key_skew_report",
     "winsorized_value_stats",
     "embedding_drift_by_cell",
+    "binary_rerank_knn",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -683,3 +683,99 @@ def embedding_drift_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "binary_rerank_knn",
+    oracle="""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        p AS (
+            SELECT vec_id,
+                   list_sum(list_transform(range(1, 33),
+                       i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS w0,
+                   list_sum(list_transform(range(33, 65),
+                       i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END))::BIGINT AS w1
+            FROM v
+        ),
+        q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id % 100 = 0),
+        ham AS (
+            SELECT qid, p.vec_id AS cid,
+                   (bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)))::BIGINT AS hamming
+            FROM q JOIN p ON p.vec_id <> qid
+        ),
+        shortlist AS (
+            SELECT qid, cid FROM (
+                SELECT qid, cid,
+                       row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS hrn
+                FROM ham
+            ) WHERE hrn <= 32
+        ),
+        rer AS (
+            SELECT s.qid, s.cid,
+                   list_dot_product(vq.e, vc.e)
+                       / (sqrt(list_dot_product(vq.e, vq.e)) * sqrt(list_dot_product(vc.e, vc.e))) AS cos_sim
+            FROM shortlist s
+            JOIN v vq ON vq.vec_id = s.qid
+            JOIN v vc ON vc.vec_id = s.cid
+        )
+        SELECT qid, cid, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM rer
+        ) WHERE rn <= 5
+        ORDER BY qid, rn
+    """,
+)
+def binary_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two-stage ANN serving pattern end-to-end: a cheap Hamming
+    prefilter over packed sign bits shortlists 32 candidates per query
+    (integer popcount over 8 bytes/vector — the stage that scans the
+    corpus), then exact cosine reranks only the shortlist to the final
+    top-5. At 100 TB the corpus-wide stage touches 32x less memory
+    bandwidth than float scoring and the expensive float math runs on
+    32 rows per query. Full-precision vectors are fetched for the
+    shortlist by vec_id join — at scale, a point-lookup against the
+    (tiny) per-query candidate set, with shortlists broadcast."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
+    packed = v.select(
+        "vec_id", _sign_word("e", 0).alias("w0"), _sign_word("e", 32).alias("w1")
+    )
+    q = packed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        packed.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            (
+                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+            ).cast("long").alias("hamming"),
+        )
+    )
+    wh = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("cid").asc())
+    shortlist = (
+        ham.withColumn("hrn", F.row_number().over(wh))
+        .filter(F.col("hrn") <= 32)
+        .select("qid", "cid")
+    )
+    vq = v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
+    vc = v.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
+    rer = (
+        vc.join(F.broadcast(shortlist.join(vq, "qid")), "cid")
+        .select(
+            "qid",
+            "cid",
+            (V.dot(F.col("qe"), F.col("ce"))
+             / (V.norm(F.col("qe")) * V.norm(F.col("ce")))).alias("cos_sim"),
+        )
+    )
+    wr = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        rer.withColumn("rn", F.row_number().over(wr).cast("long"))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )
