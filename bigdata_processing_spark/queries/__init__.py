@@ -90,6 +90,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorized_value_stats",
     "embedding_drift_by_cell",
     "binary_rerank_knn",
+    "resample_hourly_ffill",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -509,3 +509,86 @@ def winsorized_value_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Regular-grid resampling with forward fill: the gap between event logs
+# and time-series models (which want one row per (series, step), gaps
+# filled). Grid generation is sequence+explode — data-driven, no driver
+# loop; the fill is a running last-non-null window.
+# ---------------------------------------------------------------------------
+@register(
+    "resample_hourly_ffill",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS h, value
+            FROM events
+        ),
+        bounds AS (SELECT min(h) AS h0, max(h) AS h1 FROM e),
+        grid AS (
+            SELECT t.event_type, gs.h
+            FROM (SELECT DISTINCT event_type FROM e) t
+            CROSS JOIN (
+                SELECT unnest(generate_series((SELECT h0 FROM bounds),
+                                              (SELECT h1 FROM bounds))) AS h
+            ) gs
+        ),
+        obs AS (
+            SELECT event_type, h, count(*) AS n_obs, avg(value) AS avg_v
+            FROM e GROUP BY event_type, h
+        )
+        SELECT g.event_type, g.h AS hour_idx,
+               coalesce(o.n_obs, 0)::BIGINT AS n_obs,
+               last_value(o.avg_v IGNORE NULLS)
+                   OVER (PARTITION BY g.event_type ORDER BY g.h
+                         ROWS UNBOUNDED PRECEDING) AS value_ffill
+        FROM grid g
+        LEFT JOIN obs o ON g.event_type = o.event_type AND g.h = o.h
+        ORDER BY g.event_type, hour_idx
+    """,
+)
+def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resample the event stream onto a dense hourly grid per type,
+    forward-filling empty hours with the last observed hourly average
+    (leading hours before a type's first observation stay NULL — no
+    invented data). Hour indices are integer epoch-hour buckets, so the
+    grid is timezone-proof and the grid join is an integer equi-join.
+
+    Scale shape: the grid is types × hours — generated by
+    sequence+explode off a broadcast 1-row bounds aggregate, never a
+    driver loop; observations aggregate BEFORE joining the grid (the
+    join is grid-sized, not event-sized); the fill is one running
+    window per series, partition-parallel across series."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "event_type",
+        F.floor(epoch_us(ev, "ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+        "value",
+    )
+    bounds = e.agg(F.min("h").alias("h0"), F.max("h").alias("h1"))
+    grid = (
+        e.select("event_type").distinct()
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("h0"), F.col("h1"))).alias("h"),
+        )
+    )
+    obs = e.groupBy("event_type", "h").agg(
+        F.count("*").alias("n_obs"), F.avg("value").alias("avg_v")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    return (
+        grid.join(obs, ["event_type", "h"], "left")
+        .select(
+            "event_type",
+            F.col("h").alias("hour_idx"),
+            F.coalesce(F.col("n_obs"), F.lit(0)).cast("long").alias("n_obs"),
+            F.last("avg_v", ignorenulls=True).over(w).alias("value_ffill"),
+        )
+        .orderBy("event_type", "hour_idx")
+    )
