@@ -91,6 +91,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "embedding_drift_by_cell",
     "binary_rerank_knn",
     "resample_hourly_ffill",
+    "edit_distance_dup_pairs",
+    "session_funnel",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -871,3 +871,59 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(containment >= CONTAINMENT_THRESHOLD)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# Edit-distance verification on the LSH candidates: Levenshtein is the
+# right verifier for short near-identical records (titles, URLs, code
+# lines) where token shingles are too coarse — a one-character edit is
+# 1 - 1/len similar here but can flip several shingles. O(len²) per
+# pair, so it ONLY ever runs on the candidate set, never the corpus.
+# ---------------------------------------------------------------------------
+EDIT_SIM_THRESHOLD = 0.8
+
+
+@register(
+    "edit_distance_dup_pairs",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        sc AS (
+            SELECT c.d1, c.d2,
+                   levenshtein(t1.text, t2.text) AS dist,
+                   greatest(length(t1.text), length(t2.text)) AS maxlen
+            FROM cand c
+            JOIN documents t1 ON c.d1 = t1.doc_id
+            JOIN documents t2 ON c.d2 = t2.doc_id
+        )
+        SELECT d1, d2, dist,
+               round(1 - dist::DOUBLE / maxlen, 6) AS edit_sim
+        FROM sc
+        WHERE 1 - dist::DOUBLE / maxlen >= {EDIT_SIM_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def edit_distance_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH candidates verified by normalized Levenshtein similarity
+    (1 - dist/maxlen >= 0.8). Candidate generation is shared with the
+    whole MinHash family; only the verifier differs — the raw texts are
+    fetched for the candidate set by doc_id join (broadcast: candidates
+    ≪ corpus) and the integer edit distance is bit-exact across
+    engines."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    cand = _scored_candidates(spark, sf_dir).select("d1", "d2")
+    t1 = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("x1"))
+    t2 = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("x2"))
+    j = t1.join(F.broadcast(cand), "d1")
+    j = t2.join(F.broadcast(j), "d2")
+    dist = F.levenshtein("x1", "x2")
+    maxlen = F.greatest(F.length("x1"), F.length("x2"))
+    sim = 1 - dist.cast("double") / maxlen
+    return (
+        j.filter(sim >= EDIT_SIM_THRESHOLD)
+        .select("d1", "d2", dist.alias("dist"), F.round(sim, 6).alias("edit_sim"))
+        .orderBy("d1", "d2")
+    )

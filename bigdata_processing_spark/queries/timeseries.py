@@ -592,3 +592,84 @@ def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type", "hour_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Funnel analysis inside gap-sessions: of the sessions that VIEWED, how
+# many went on to CLICK after the view, and then PURCHASE after the
+# click — ordered-step conversion, the canonical product-analytics ask.
+# Reuses the sessionization shuffle: window + per-session min-ts
+# aggregate share the user_id partitioning.
+# ---------------------------------------------------------------------------
+@register(
+    "session_funnel",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
+        ),
+        flag AS (
+            SELECT user_id, event_id, event_type, tus,
+                   CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w > {SESSION_GAP_US}
+                        THEN 1 ELSE 0 END AS new_s
+            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
+        ),
+        sess AS (
+            SELECT user_id, event_type, tus,
+                   sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS sid
+            FROM flag
+        ),
+        steps AS (
+            SELECT user_id, sid,
+                   min(CASE WHEN event_type = 'view' THEN tus END) AS t_view,
+                   min(CASE WHEN event_type = 'click' THEN tus END) AS t_click,
+                   min(CASE WHEN event_type = 'purchase' THEN tus END) AS t_buy
+            FROM sess GROUP BY user_id, sid
+        )
+        SELECT count(*) AS n_sessions,
+               sum(CASE WHEN t_view IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS viewed,
+               sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                        THEN 1 ELSE 0 END)::BIGINT AS clicked_after_view,
+               sum(CASE WHEN t_view IS NOT NULL AND t_click > t_view
+                             AND t_buy > t_click
+                        THEN 1 ELSE 0 END)::BIGINT AS purchased_after_click
+        FROM steps
+    """,
+)
+def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered view → click → purchase conversion counted per
+    gap-session: a step counts only if its first occurrence follows the
+    previous step's first occurrence inside the SAME session (NULL
+    comparisons fall out false in both engines, so sessions missing a
+    step never count). Same single user_id exchange as
+    sessionize_events; the funnel itself is a global 1-row rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_us(ev, "ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    sess = e.withColumn(
+        "new_s",
+        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
+    ).withColumn(
+        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+    )
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("tus")))
+    steps = sess.groupBy("user_id", "sid").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+    as_int = lambda c: F.sum(F.when(c, 1).otherwise(0))  # noqa: E731
+    return steps.agg(
+        F.count("*").alias("n_sessions"),
+        as_int(viewed).alias("viewed"),
+        as_int(clicked).alias("clicked_after_view"),
+        as_int(bought).alias("purchased_after_click"),
+    )
