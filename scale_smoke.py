@@ -50,6 +50,10 @@ QUERIES = [
     "unigram_surprisal_bands",
     "binary_quantized_knn",
     "sessionize_events",
+    "edit_distance_dup_pairs",
+    "session_funnel",
+    "resample_hourly_ffill",
+    "binary_rerank_knn",
 ]
 
 
