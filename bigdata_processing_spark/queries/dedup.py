@@ -942,7 +942,12 @@ def edit_distance_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     dist = F.levenshtein("x1", "x2")
     sim = 1 - dist.cast("double") / maxlen
     scored = pre.select(
-        "d1", "d2", dist.alias("dist"), F.round(sim, 6).alias("edit_sim")
+        "d1",
+        "d2",
+        # DuckDB levenshtein returns BIGINT; Spark's returns int — align
+        # the dtype so the driver's value hash encodes identically
+        dist.cast("long").alias("dist"),
+        F.round(sim, 6).alias("edit_sim"),
     )
     return (
         scored.filter(F.col("edit_sim") >= EDIT_SIM_THRESHOLD)
