@@ -302,11 +302,16 @@ def seq_length_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "boilerplate_chunk_stats",
     oracle=f"""
-        WITH ks AS (SELECT range AS k FROM range(16)),
-        t AS (
+        WITH t AS (
             SELECT doc_id, source, string_split(text, ' ') AS toks,
                    len(string_split(text, ' ')) AS n
             FROM documents
+        ),
+        -- chunk indices sized from the data (max doc's chunk count),
+        -- matching the Spark side's per-doc ceil(n/stride) — a frozen
+        -- literal cap would silently diverge on longer docs
+        ks AS (
+            SELECT unnest(range((SELECT CAST(ceil(max(n)::DOUBLE / {CHUNK_STRIDE}) AS BIGINT) FROM t))) AS k
         ),
         ch AS (
             SELECT t.doc_id, t.source,

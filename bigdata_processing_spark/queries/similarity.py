@@ -515,10 +515,11 @@ def _sign_word(e_col: str, lo: int) -> "F.Column":
     )
 
 
-@register(
-    "binary_quantized_knn",
-    oracle="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+# Shared sign-bit Hamming stage: ONE definition of the packing, query
+# selection, and popcount scoring serves both the pure binary kNN and
+# the binary-prefilter+rerank pipeline — the prefilter audit is only
+# meaningful if both run the identical first stage.
+_SQL_HAM = """v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
         p AS (
             SELECT vec_id,
                    list_sum(list_transform(range(1, 33),
@@ -528,14 +529,45 @@ def _sign_word(e_col: str, lo: int) -> "F.Column":
             FROM v
         ),
         q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id % 100 = 0),
-        s AS (
+        ham AS (
             SELECT qid, p.vec_id AS cid,
                    (bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)))::BIGINT AS hamming
             FROM q JOIN p ON p.vec_id <> qid
-        )
+        )"""
+
+
+def _hamming_pairs(emb: DataFrame) -> DataFrame:
+    """(qid, cid, hamming) for every query × candidate — the Spark twin
+    of _SQL_HAM: sign-bit pack into two 32-bit words, broadcast the
+    packed query set, popcount-of-XOR against the streaming candidates."""
+    packed = emb.select(
+        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
+    ).select(
+        "vec_id",
+        _sign_word("e", 0).alias("w0"),
+        _sign_word("e", 32).alias("w1"),
+    )
+    q = packed.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("w0").alias("qw0"),
+        F.col("w1").alias("qw1"),
+    )
+    ham = (
+        F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
+        + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
+    ).cast("long")
+    return packed.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
+        "qid", F.col("vec_id").alias("cid"), ham.alias("hamming")
+    )
+
+
+@register(
+    "binary_quantized_knn",
+    oracle=f"""
+        WITH {_SQL_HAM}
         SELECT qid, cid, hamming, rn FROM (
             SELECT *, row_number() OVER (PARTITION BY qid ORDER BY hamming, cid) AS rn
-            FROM s
+            FROM ham
         ) WHERE rn <= 5
         ORDER BY qid, rn
     """,
@@ -550,28 +582,10 @@ def binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage shape matryoshka_knn_recall audits. Scale: the packed
     index is tiny enough to broadcast at sizes where the float index
     cannot, and the candidate scan stays one pass, no shuffle."""
-    emb = load_table(spark, sf_dir, "embeddings")
-    packed = emb.select(
-        F.col("vec_id"), F.col("embedding").cast("array<double>").alias("e")
-    ).select(
-        "vec_id",
-        _sign_word("e", 0).alias("w0"),
-        _sign_word("e", 32).alias("w1"),
-    )
-    q = packed.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("w0").alias("qw0"),
-        F.col("w1").alias("qw1"),
-    )
-    joined = packed.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    ham = (
-        F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
-        + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
-    ).cast("long")
+    ham = _hamming_pairs(load_table(spark, sf_dir, "embeddings"))
     w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("cid").asc())
     return (
-        joined.select("qid", F.col("vec_id").alias("cid"), ham.alias("hamming"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
+        ham.withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
@@ -687,22 +701,8 @@ def embedding_drift_by_cell(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "binary_rerank_knn",
-    oracle="""
-        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
-        p AS (
-            SELECT vec_id,
-                   list_sum(list_transform(range(1, 33),
-                       i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i - 1)) ELSE 0::BIGINT END))::BIGINT AS w0,
-                   list_sum(list_transform(range(33, 65),
-                       i -> CASE WHEN e[i] > 0 THEN (1::BIGINT << (i - 33)) ELSE 0::BIGINT END))::BIGINT AS w1
-            FROM v
-        ),
-        q AS (SELECT vec_id AS qid, w0 AS qw0, w1 AS qw1 FROM p WHERE vec_id % 100 = 0),
-        ham AS (
-            SELECT qid, p.vec_id AS cid,
-                   (bit_count(xor(qw0, w0)) + bit_count(xor(qw1, w1)))::BIGINT AS hamming
-            FROM q JOIN p ON p.vec_id <> qid
-        ),
+    oracle=f"""
+        WITH {_SQL_HAM},
         shortlist AS (
             SELECT qid, cid FROM (
                 SELECT qid, cid,
@@ -737,25 +737,7 @@ def binary_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     (tiny) per-query candidate set, with shortlists broadcast."""
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
-    packed = v.select(
-        "vec_id", _sign_word("e", 0).alias("w0"), _sign_word("e", 32).alias("w1")
-    )
-    q = packed.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("w0").alias("qw0"),
-        F.col("w1").alias("qw1"),
-    )
-    ham = (
-        packed.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-        .select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            (
-                F.bit_count(F.col("qw0").bitwiseXOR(F.col("w0")))
-                + F.bit_count(F.col("qw1").bitwiseXOR(F.col("w1")))
-            ).cast("long").alias("hamming"),
-        )
-    )
+    ham = _hamming_pairs(emb)
     wh = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("cid").asc())
     shortlist = (
         ham.withColumn("hrn", F.row_number().over(wh))

@@ -337,26 +337,52 @@ def typed_casts(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 SESSION_GAP_US = 1_800_000_000  # 30 min
 
-
-@register(
-    "sessionize_events",
-    oracle=f"""
-        WITH e AS (
-            SELECT user_id, event_id, epoch_us(ts) AS tus FROM events
+# Shared sessionization CTEs: ONE definition of the gap rule / session-id
+# assignment serves every session-scoped query (histogram, funnel) — the
+# session boundary must never be allowed to drift between them.
+_SQL_SESS = f"""e AS (
+            SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
         ),
         flag AS (
-            SELECT user_id, event_id, tus,
+            SELECT user_id, event_id, event_type, tus,
                    CASE WHEN lag(tus) OVER w IS NULL
                              OR tus - lag(tus) OVER w > {SESSION_GAP_US}
                         THEN 1 ELSE 0 END AS new_s
             FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
         ),
         sess AS (
-            SELECT user_id, tus,
+            SELECT user_id, event_type, tus,
                    sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
                                     ROWS UNBOUNDED PRECEDING) AS sid
             FROM flag
-        ),
+        )"""
+
+
+def _sessionized(ev: DataFrame) -> DataFrame:
+    """(user_id, event_type, tus, sid) — the Spark twin of _SQL_SESS."""
+    e = ev.select(
+        "user_id", "event_id", "event_type", epoch_us(ev, "ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    return (
+        e.withColumn(
+            "new_s",
+            F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(
+                F.lit(0)
+            ),
+        )
+        .withColumn(
+            "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
+        )
+        .select("user_id", "event_type", "tus", "sid")
+    )
+
+
+@register(
+    "sessionize_events",
+    oracle=f"""
+        WITH {_SQL_SESS},
         agg AS (
             SELECT user_id, sid, count(*) AS n_events,
                    max(tus) - min(tus) AS dur_us
@@ -383,17 +409,7 @@ def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
     the (user_id, sid) aggregate (same partitioning, no re-shuffle); the
     final histogram is a tiny rollup. Ordering ties on ts are broken by
     event_id so session boundaries are deterministic across engines."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select("user_id", "event_id", epoch_us(ev, "ts").alias("tus"))
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    gap = F.col("tus") - F.lag("tus").over(w)
-    flagged = e.withColumn(
-        "new_s",
-        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
-    )
-    sess = flagged.withColumn(
-        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sess = _sessionized(load_table(spark, sf_dir, "events"))
     agg = sess.groupBy("user_id", "sid").agg(
         F.count("*").alias("n_events"),
         (F.max("tus") - F.min("tus")).alias("dur_us"),
@@ -604,22 +620,7 @@ def resample_hourly_ffill(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "session_funnel",
     oracle=f"""
-        WITH e AS (
-            SELECT user_id, event_id, event_type, epoch_us(ts) AS tus FROM events
-        ),
-        flag AS (
-            SELECT user_id, event_id, event_type, tus,
-                   CASE WHEN lag(tus) OVER w IS NULL
-                             OR tus - lag(tus) OVER w > {SESSION_GAP_US}
-                        THEN 1 ELSE 0 END AS new_s
-            FROM e WINDOW w AS (PARTITION BY user_id ORDER BY tus, event_id)
-        ),
-        sess AS (
-            SELECT user_id, event_type, tus,
-                   sum(new_s) OVER (PARTITION BY user_id ORDER BY tus, event_id
-                                    ROWS UNBOUNDED PRECEDING) AS sid
-            FROM flag
-        ),
+        WITH {_SQL_SESS},
         steps AS (
             SELECT user_id, sid,
                    min(CASE WHEN event_type = 'view' THEN tus END) AS t_view,
@@ -644,18 +645,7 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     comparisons fall out false in both engines, so sessions missing a
     step never count). Same single user_id exchange as
     sessionize_events; the funnel itself is a global 1-row rollup."""
-    ev = load_table(spark, sf_dir, "events")
-    e = ev.select(
-        "user_id", "event_id", "event_type", epoch_us(ev, "ts").alias("tus")
-    )
-    w = Window.partitionBy("user_id").orderBy("tus", "event_id")
-    gap = F.col("tus") - F.lag("tus").over(w)
-    sess = e.withColumn(
-        "new_s",
-        F.when(gap.isNull() | (gap > SESSION_GAP_US), F.lit(1)).otherwise(F.lit(0)),
-    ).withColumn(
-        "sid", F.sum("new_s").over(w.rowsBetween(Window.unboundedPreceding, 0))
-    )
+    sess = _sessionized(load_table(spark, sf_dir, "events"))
     def first_ts(t: str):
         return F.min(F.when(F.col("event_type") == t, F.col("tus")))
     steps = sess.groupBy("user_id", "sid").agg(

@@ -200,10 +200,12 @@ def test_boilerplate_shuffles_digests_not_text(spark):
     plan = explain_str(boilerplate_chunk_stats(spark, SF_SMALL), mode="formatted")
     exchanges = [b for b in plan.split("\n\n") if b.lstrip().startswith("(")
                  and "Exchange" in b.split("\n")[0]]
+    assert exchanges  # the digest aggregate and flag join do shuffle
     # every exchange's output carries ck (the digest) or rollup columns,
-    # never a chunk_text/toks column
+    # never the raw document text or its token array (the columns the
+    # query actually reads from the scan)
     for b in exchanges:
-        assert "chunk_text" not in b and "ctext" not in b
+        assert "text#" not in b and "toks#" not in b, b
 
 
 def test_dynamic_partition_pruning_fires(spark, tmp_path):
