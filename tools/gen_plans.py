@@ -107,6 +107,16 @@ ENTRIES: dict[str, str] = {
         "digests in the scan stage; both the repeat-detection aggregate "
         "and the flag join are keyed on the 16-byte digest."
     ),
+    "edit_distance_dup_pairs": (
+        "Edit-distance verify: integer length-gap prune + memoized "
+        "InMemoryTableScan barrier ahead of the O(len^2) DP, so "
+        "levenshtein runs once per surviving pair (105s -> 2.4s)."
+    ),
+    "binary_rerank_knn": (
+        "Two-stage ANN: popcount Hamming shortlist (broadcast packed "
+        "queries, candidates stream) feeds an exact-cosine rerank over "
+        "32 rows/query — float math never touches the full corpus."
+    ),
 }
 
 
