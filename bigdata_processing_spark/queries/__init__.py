@@ -93,6 +93,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "resample_hourly_ffill",
     "edit_distance_dup_pairs",
     "session_funnel",
+    "anomalous_hours_by_type",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

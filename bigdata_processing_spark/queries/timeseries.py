@@ -663,3 +663,84 @@ def session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         as_int(clicked).alias("clicked_after_view"),
         as_int(bought).alias("purchased_after_click"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling z-score anomaly screen on the hourly series: each hour scored
+# against the TRAILING 24-hour window (exclusive of itself — the value
+# under test must not contaminate its own baseline). The monitoring
+# query a pipeline runs over ingest-volume / metric series.
+# ---------------------------------------------------------------------------
+@register(
+    "anomalous_hours_by_type",
+    oracle="""
+        WITH e AS (
+            SELECT event_type, epoch_us(ts) // 3600000000 AS h, value
+            FROM events
+        ),
+        obs AS (
+            SELECT event_type, h, avg(value) AS v
+            FROM e GROUP BY event_type, h
+        ),
+        stats AS (
+            SELECT event_type, h, v,
+                   avg(v) OVER w AS mu,
+                   stddev_samp(v) OVER w AS sd,
+                   count(*) OVER w AS n_win
+            FROM obs
+            WINDOW w AS (PARTITION BY event_type ORDER BY h
+                         ROWS BETWEEN 24 PRECEDING AND 1 PRECEDING)
+        )
+        SELECT event_type,
+               count(*) AS n_hours,
+               sum(CASE WHEN n_win >= 12 AND sd > 1e-9
+                             AND round(abs((v - mu) / sd), 6) > 2.0
+                        THEN 1 ELSE 0 END)::BIGINT AS n_anomalous,
+               max(CASE WHEN n_win >= 12 AND sd > 1e-9
+                        THEN round(abs((v - mu) / sd), 6) END) AS max_abs_z
+        FROM stats
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def anomalous_hours_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hours whose mean value sits more than 2 trailing-window standard
+    deviations from the previous 24 hours' mean, per type — warm-up
+    hours (window < 12 obs) and flat windows (sd ~ 0) never flag. The
+    z-score is rounded before the threshold compare so the flag
+    decision is stable against float summation-order differences
+    between engines.
+
+    Scale shape: raw events collapse to (type, hour) BEFORE any window
+    (the rolling stats run over series-length rows, not event-length);
+    one shuffle keyed on type serves the window and the final rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    obs = (
+        ev.select(
+            "event_type",
+            F.floor(epoch_us(ev, "ts") / F.lit(3_600_000_000)).cast("long").alias("h"),
+            "value",
+        )
+        .groupBy("event_type", "h")
+        .agg(F.avg("value").alias("v"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h").rowsBetween(-24, -1)
+    stats = obs.select(
+        "event_type",
+        "h",
+        "v",
+        F.avg("v").over(w).alias("mu"),
+        F.stddev_samp("v").over(w).alias("sd"),
+        F.count("*").over(w).alias("n_win"),
+    )
+    ok = (F.col("n_win") >= 12) & (F.col("sd") > 1e-9)
+    z = F.round(F.abs((F.col("v") - F.col("mu")) / F.col("sd")), 6)
+    return (
+        stats.groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_hours"),
+            F.sum(F.when(ok & (z > 2.0), 1).otherwise(0)).alias("n_anomalous"),
+            F.max(F.when(ok, z)).alias("max_abs_z"),
+        )
+        .orderBy("event_type")
+    )
