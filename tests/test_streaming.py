@@ -397,3 +397,63 @@ def test_stream_stream_left_outer_emits_nulls_after_eviction(spark, tmp_path):
     )
     brows = {r.l_event_id: r.r_event_id for r in b.collect()}
     assert brows == {1: 3, 2: None, 99: None}
+
+
+def test_drop_duplicates_within_watermark(spark, tmp_path):
+    """dropDuplicatesWithinWatermark: duplicate keys arriving within the
+    watermark delay are emitted once; state for a key is bounded by the
+    watermark (unlike plain dropDuplicates, whose streaming state grows
+    forever). A later re-send below the advanced watermark is late data
+    and must not re-emit."""
+    import datetime as dt
+    import os
+    import shutil
+
+    schema = ("event_id bigint, ts timestamp, user_id bigint, "
+              "event_type string, value double, props string")
+    stage = os.path.join(str(tmp_path), "ddw_stream")
+    os.makedirs(stage)
+
+    def land(name, rows, mtime):
+        scratch = os.path.join(str(tmp_path), f"__{name}")
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(scratch)
+        part = next(f for f in os.listdir(scratch) if f.endswith(".parquet"))
+        dst = os.path.join(stage, name)
+        shutil.copyfile(os.path.join(scratch, part), dst)
+        os.utime(dst, (mtime, mtime))
+
+    def ev(eid, hour):
+        return (eid, dt.datetime(2024, 1, 1, hour, 0), 1, "click", 1.0, "{}")
+
+    now = 1_700_000_000
+    # batch 0: first occurrence of key 1, twice in the same batch
+    land("f1.parquet", [ev(1, 10), ev(1, 10)], now)
+    # batch 1: key 1 again within the watermark (dropped as duplicate);
+    # sentinel advances the watermark to 19:00
+    land("f2.parquet", [ev(1, 10), ev(99, 20)], now + 100)
+    # batch 2: key 1 re-sent at its original 10:00 event time — now LATE
+    # (watermark 19:00): discarded by the watermark, not re-emitted
+    land("f3.parquet", [ev(1, 10)], now + 200)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    dedup = (
+        stream.withWatermark("ts", "1 hour")
+        .dropDuplicatesWithinWatermark(["event_id"])
+        .select("event_id")
+    )
+    q = (
+        dedup.writeStream.format("memory")
+        .queryName("t_ddw")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    got = sorted(r.event_id for r in spark.table("t_ddw").collect())
+    assert got == [1, 99], got
