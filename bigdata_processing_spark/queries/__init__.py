@@ -94,6 +94,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "edit_distance_dup_pairs",
     "session_funnel",
     "anomalous_hours_by_type",
+    "lsh_recall_audit",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

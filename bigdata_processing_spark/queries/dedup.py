@@ -983,3 +983,68 @@ def edit_distance_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         scored.filter(F.col("edit_sim") >= EDIT_SIM_THRESHOLD)
         .orderBy("d1", "d2")
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH recall audit: on a bounded doc sample, compute the TRUE near-dup
+# pair set by exhaustive verification and measure what fraction the
+# banding surfaced as candidates. The dedup family's own quality gate —
+# banding trades recall for the collision-bounded shuffle, and this
+# query puts a number on that trade (8 hashes x 4 bands here).
+# ---------------------------------------------------------------------------
+AUDIT_SAMPLE_DOCS = 200  # all-pairs ground truth is quadratic: sample-bounded
+
+
+@register(
+    "lsh_recall_audit",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            WHERE a.doc_id < {AUDIT_SAMPLE_DOCS} AND b.doc_id < {AUDIT_SAMPLE_DOCS}
+        ),
+        truth AS (
+            SELECT s1.doc_id AS d1, s2.doc_id AS d2
+            FROM shset s1
+            JOIN shset s2 ON s1.doc_id < s2.doc_id
+            WHERE s1.doc_id < {AUDIT_SAMPLE_DOCS} AND s2.doc_id < {AUDIT_SAMPLE_DOCS}
+              AND len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                  >= {JACCARD_THRESHOLD}
+        )
+        SELECT count(*) AS n_true_pairs,
+               sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found_by_lsh,
+               round(avg(CASE WHEN c.d1 IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS lsh_recall
+        FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+    """,
+)
+def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall of the LSH candidate generator against exhaustive
+    all-pairs verification on the first AUDIT_SAMPLE_DOCS docs. The
+    sample bound is what makes the quadratic ground truth runnable at
+    ANY corpus scale — the audit's cost is fixed while the audited
+    banding ran over everything; the candidate set itself comes from
+    the session-memoized full-corpus pipeline, filtered to the sample."""
+    sh = _shingle_df(spark, sf_dir).filter(F.col("doc_id") < AUDIT_SAMPLE_DOCS)
+    s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jaccard = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    truth = (
+        s1.join(F.broadcast(s2), F.col("d1") < F.col("d2"))
+        .filter(jaccard >= JACCARD_THRESHOLD)
+        .select("d1", "d2")
+    )
+    cand = (
+        _scored_candidates(spark, sf_dir)
+        .filter((F.col("d1") < AUDIT_SAMPLE_DOCS) & (F.col("d2") < AUDIT_SAMPLE_DOCS))
+        .select("d1", "d2", F.lit(1).alias("hit"))
+    )
+    joined = truth.join(F.broadcast(cand), ["d1", "d2"], "left")
+    found = F.when(F.col("hit").isNotNull(), 1).otherwise(0)
+    return joined.agg(
+        F.count("*").alias("n_true_pairs"),
+        F.sum(found).alias("n_found_by_lsh"),
+        F.round(F.avg(found.cast("double")), 6).alias("lsh_recall"),
+    )
