@@ -95,6 +95,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "session_funnel",
     "anomalous_hours_by_type",
     "lsh_recall_audit",
+    "data_quality_checks",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

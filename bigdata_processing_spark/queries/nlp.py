@@ -114,3 +114,75 @@ def profile_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(prof("o_totalprice", as_money))
         .orderBy("col")
     )
+
+
+# ---------------------------------------------------------------------------
+# Declarative data-quality checks (dbt-test / expectations style): each
+# named rule counts its violations in ONE pass over the table, then the
+# 1-row aggregate unpivots to a row per check — the contract report a
+# pipeline gates ingestion on.
+# ---------------------------------------------------------------------------
+@register(
+    "data_quality_checks",
+    oracle="""
+        WITH m AS (
+            SELECT count(*) AS n,
+                   sum(CASE WHEN o_totalprice <= 0 THEN 1 ELSE 0 END) AS bad_price,
+                   sum(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS null_cust,
+                   sum(CASE WHEN o_orderstatus NOT IN ('O', 'F', 'P') THEN 1 ELSE 0 END) AS bad_status,
+                   sum(CASE WHEN o_orderdate < DATE '1992-01-01'
+                                 OR o_orderdate > DATE '1998-12-31' THEN 1 ELSE 0 END) AS bad_date
+            FROM orders
+        )
+        SELECT check_name, n AS n_checked, n_violations, n_violations = 0 AS passed
+        FROM (
+            SELECT n, 'price_positive' AS check_name, bad_price::BIGINT AS n_violations FROM m
+            UNION ALL SELECT n, 'custkey_not_null', null_cust::BIGINT FROM m
+            UNION ALL SELECT n, 'status_in_domain', bad_status::BIGINT FROM m
+            UNION ALL SELECT n, 'orderdate_in_range', bad_date::BIGINT FROM m
+        )
+        ORDER BY check_name
+    """,
+)
+def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract checks over orders — positivity, non-null key, status
+    domain, date range — as ONE keyless aggregate (each rule a
+    conditional sum, all map-side combined) whose single row unpivots
+    via stack() into a per-check report. Adding a rule is one
+    expression, never another scan: at 100 TB the table is read once
+    regardless of how many expectations it carries."""
+    orders = load_table(spark, sf_dir, "orders")
+
+    def bad(cond) -> "F.Column":
+        return F.sum(F.when(cond, 1).otherwise(0))
+
+    m = orders.agg(
+        F.count("*").alias("n"),
+        bad(F.col("o_totalprice") <= 0).alias("bad_price"),
+        bad(F.col("o_custkey").isNull()).alias("null_cust"),
+        bad(~F.col("o_orderstatus").isin("O", "F", "P")).alias("bad_status"),
+        bad(
+            (F.col("o_orderdate") < F.lit("1992-01-01").cast("date"))
+            | (F.col("o_orderdate") > F.lit("1998-12-31").cast("date"))
+        ).alias("bad_date"),
+    )
+    return (
+        m.select(
+            F.col("n").alias("n_checked"),
+            F.expr(
+                "stack(4,"
+                " 'price_positive', CAST(bad_price AS BIGINT),"
+                " 'custkey_not_null', CAST(null_cust AS BIGINT),"
+                " 'status_in_domain', CAST(bad_status AS BIGINT),"
+                " 'orderdate_in_range', CAST(bad_date AS BIGINT)"
+                ") AS (check_name, n_violations)"
+            ),
+        )
+        .select(
+            "check_name",
+            "n_checked",
+            "n_violations",
+            (F.col("n_violations") == 0).alias("passed"),
+        )
+        .orderBy("check_name")
+    )
