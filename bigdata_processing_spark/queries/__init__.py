@@ -96,6 +96,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "anomalous_hours_by_type",
     "lsh_recall_audit",
     "data_quality_checks",
+    "windowed_event_dedup",
+    "monthly_revenue_mom_change",
     # r02-green block
     "global_overhead",
     "map_entries_explode",

@@ -744,3 +744,105 @@ def anomalous_hours_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# ---------------------------------------------------------------------------
+# Windowed event dedup (batch twin of streaming
+# dropDuplicatesWithinWatermark): a (user, type) event is a re-delivery
+# if the SAME key fired within the previous 5 minutes; only the first
+# of such a burst survives. lag over the key partition — one shuffle.
+# ---------------------------------------------------------------------------
+DEDUP_WINDOW_US = 300_000_000  # 5 min
+
+
+@register(
+    "windowed_event_dedup",
+    oracle=f"""
+        WITH e AS (
+            SELECT user_id, event_type, event_id, epoch_us(ts) AS tus FROM events
+        ),
+        flag AS (
+            SELECT event_type,
+                   CASE WHEN lag(tus) OVER w IS NULL
+                             OR tus - lag(tus) OVER w > {DEDUP_WINDOW_US}
+                        THEN 1 ELSE 0 END AS keep
+            FROM e WINDOW w AS (PARTITION BY user_id, event_type
+                                ORDER BY tus, event_id)
+        )
+        SELECT event_type,
+               count(*) AS n_events,
+               sum(keep)::BIGINT AS n_kept,
+               (count(*) - sum(keep))::BIGINT AS n_dropped
+        FROM flag
+        GROUP BY event_type
+        ORDER BY event_type
+    """,
+)
+def windowed_event_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Suppress re-deliveries: an event whose (user, type) key fired
+    within the previous 5 minutes is a duplicate; the first of each
+    burst survives. This is the BATCH definition of the streaming
+    dropDuplicatesWithinWatermark contract (tests/test_streaming.py) —
+    run it to size the dedup window and forecast state volume before
+    deploying the stream. One shuffle on the key serves the lag window
+    and the rollup."""
+    ev = load_table(spark, sf_dir, "events")
+    e = ev.select(
+        "user_id", "event_type", "event_id", epoch_us(ev, "ts").alias("tus")
+    )
+    w = Window.partitionBy("user_id", "event_type").orderBy("tus", "event_id")
+    gap = F.col("tus") - F.lag("tus").over(w)
+    keep = F.when(gap.isNull() | (gap > DEDUP_WINDOW_US), 1).otherwise(0)
+    return (
+        e.select("event_type", keep.alias("keep"))
+        .groupBy("event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("keep").alias("n_kept"),
+            (F.count("*") - F.sum("keep")).alias("n_dropped"),
+        )
+        .orderBy("event_type")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Month-over-month deltas ON an aggregate: lag applied to the rolled-up
+# series (12-ish rows), not raw orders — the standard reporting idiom.
+# ---------------------------------------------------------------------------
+@register(
+    "monthly_revenue_mom_change",
+    oracle="""
+        WITH m AS (
+            SELECT strftime(o_orderdate, '%Y-%m') AS month,
+                   sum(o_totalprice) AS revenue
+            FROM orders GROUP BY month
+        )
+        SELECT month, revenue,
+               lag(revenue) OVER (ORDER BY month) AS prev_revenue,
+               round((revenue - lag(revenue) OVER (ORDER BY month))
+                     / lag(revenue) OVER (ORDER BY month) * 100, 6) AS pct_change
+        FROM m
+        ORDER BY month
+    """,
+)
+def monthly_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Month-over-month revenue change: aggregate first (months ≪
+    orders), THEN window over the tiny series — the lag never touches
+    raw rows, so the global-ordering window is harmless at any scale.
+    First month's change is NULL (no fabricated baseline)."""
+    orders = load_table(spark, sf_dir, "orders")
+    m = (
+        orders.groupBy(F.date_format("o_orderdate", "yyyy-MM").alias("month"))
+        .agg(F.sum("o_totalprice").alias("revenue"))
+    )
+    w = Window.orderBy("month")
+    prev = F.lag("revenue").over(w)
+    return (
+        m.select(
+            "month",
+            "revenue",
+            prev.alias("prev_revenue"),
+            F.round((F.col("revenue") - prev) / prev * 100, 6).alias("pct_change"),
+        )
+        .orderBy("month")
+    )
