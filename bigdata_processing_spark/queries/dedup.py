@@ -159,6 +159,34 @@ _SQL_BANDS = (
 # (pairs ≪ corpus) instead of re-shuffling the corpus.
 _PAIR_MEMO: dict[tuple[str, str], DataFrame] = {}
 _CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
+# per-call persists consumed lazily by callers (can't be unpersisted at
+# create time) — evicted by clear_dedup_memos()
+_LOOSE_PERSISTS: list[DataFrame] = []
+
+
+def clear_dedup_memos() -> None:
+    """Unpersist and drop every session memo + loose persist.
+
+    Long-lived sessions that touch many sf_dirs (pytest tmp dirs,
+    multi-scale sweeps, bench cold passes) would otherwise accumulate
+    persisted DataFrames in executor storage indefinitely. Also the
+    bench's cold-attribution switch: clearing between queries makes each
+    memoized-family query pay its own full pipeline cost."""
+    from bigdata_processing_spark.queries import dedup as _self
+
+    for memo in (_PAIR_MEMO, _CAND_MEMO, _self._LABEL_MEMO, _self._EDIT_PRE_MEMO):
+        for df in memo.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass  # a stopped session's cache is already gone
+        memo.clear()
+    for df in _LOOSE_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass
+    _LOOSE_PERSISTS.clear()
 
 
 def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -245,6 +273,8 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
+    out.count()  # materialize the counts (pairs ≪ corpus) ...
+    shset.unpersist()  # ... so the corpus-sized shingle cache can go now
     _CAND_MEMO[memo_key] = out
     return out
 
@@ -332,6 +362,10 @@ def minhash_pruned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     FULL shingle sets (pruning only affects candidate generation, never
     the reported jaccard)."""
     shset = _shingle_df(spark, sf_dir).persist()
+    # per-call persist consumed lazily by the caller: tracked for
+    # clear_dedup_memos() so repeated invocations (bench, sweeps over
+    # many sf_dirs) don't accumulate executor storage indefinitely
+    _LOOSE_PERSISTS.append(shset)
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
 
     # document frequency per shingle; vocabulary-sized, broadcast back
@@ -432,47 +466,26 @@ _LABEL_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
 def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, cluster_id) for every doc in the verified dup-pair graph,
+    cluster_id = the component's min doc_id — via large-star/small-star
+    connected components (operators/graph.py), which converges in
+    O(log² n) rounds instead of min-label propagation's O(diameter),
+    so driver coordination stops scaling with cluster shape."""
+    import logging
+
     memo_key = (spark.sparkContext.applicationId, sf_dir)
     cached = _LABEL_MEMO.get(memo_key)
     if cached is not None:
         return cached
+    from bigdata_processing_spark.operators.graph import connected_components
+
     # _verified_dup_pairs is memoized+persisted; projecting off it is cheap
     pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2")
-    edges = pairs.union(pairs.select(F.col("d2"), F.col("d1"))).toDF("src", "dst").persist()
-    labels = edges.select(F.col("src").alias("node")).distinct().withColumn(
-        "lbl", F.col("node")
+    labels, rounds = connected_components(pairs, src="d1", dst="d2")
+    logging.getLogger(__name__).info(
+        "dup_clusters: connected components converged in %d star rounds", rounds
     )
-    # min-label propagation to fixpoint (dup clusters are near-cliques,
-    # so this converges in 2-3 rounds; bounded for safety)
-    labels = labels.persist()
-    for _ in range(20):
-        neighbor_min = (
-            labels.join(edges, labels.node == edges.src)
-            .groupBy("dst")
-            .agg(F.min("lbl").alias("nlbl"))
-        )
-        new_labels = (
-            labels.join(neighbor_min, labels.node == neighbor_min.dst, "left")
-            .select(
-                "node",
-                F.least(F.col("lbl"), F.coalesce("nlbl", F.col("lbl"))).alias("lbl"),
-            )
-            .persist()
-        )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.lbl") != F.col("o.lbl"))
-            .count()
-        )
-        labels.unpersist()  # release the superseded iteration's cache
-        labels = new_labels
-        if changed == 0:
-            break
-    out = labels.select("node", "lbl").toDF("doc_id", "cluster_id").persist()
-    out.count()  # materialize (labels ≪ corpus) so the parents can go
-    labels.unpersist()  # release the final iteration's cache
-    edges.unpersist()  # the memoized labels no longer need the edge set
+    out = labels.toDF("doc_id", "cluster_id")  # already persisted+materialized
     _LABEL_MEMO[memo_key] = out
     return out
 
@@ -919,11 +932,14 @@ def _edit_pruned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Integer form (5·|Δlen| <= maxlen) so the boundary decision matches
     # the oracle bit-for-bit; the DP is CPU-bound per pair, so spread
     # the survivors before verifying.
+    # the DP is CPU-bound per pair: spread survivors across every core
+    # (2× defaultParallelism, not a literal — at small scale this still
+    # collapses to one wave; on a big cluster it scales with the rig)
     pre = (
         j.filter(
             EDIT_LEN_GAP_MULT * F.abs(F.length("x1") - F.length("x2")) <= maxlen
         )
-        .repartition(64)
+        .repartition(2 * spark.sparkContext.defaultParallelism)
         .persist()
     )
     _EDIT_PRE_MEMO[memo_key] = pre
@@ -1025,7 +1041,13 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     sample bound is what makes the quadratic ground truth runnable at
     ANY corpus scale — the audit's cost is fixed while the audited
     banding ran over everything; the candidate set itself comes from
-    the session-memoized full-corpus pipeline, filtered to the sample."""
+    the session-memoized full-corpus pipeline, filtered to the sample.
+
+    Sample contract: ``doc_id < AUDIT_SAMPLE_DOCS`` assumes the dense
+    0-based doc_id space the fixtures guarantee (TESTDATA.md) — on a
+    sparse/offset id space it silently under-samples. The hash-sampled
+    variant that makes no id-space assumption is ``lsh_band_sweep``
+    (same ground-truth method, ``hash64(doc_id) % k`` sampling)."""
     sh = _shingle_df(spark, sf_dir).filter(F.col("doc_id") < AUDIT_SAMPLE_DOCS)
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))

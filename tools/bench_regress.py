@@ -35,11 +35,22 @@ MIN_DELTA = 0.75
 
 
 def main() -> int:
-    cur = json.load(open(DETAIL))["queries"]
-    if "--update" in sys.argv or not os.path.exists(BASE):
+    detail = json.load(open(DETAIL))
+    # gate on the cold (memo-cleared) timings where bench recorded them:
+    # the shared-pipeline numbers attribute the dedup family's common
+    # subtree to whichever query ran first, so they move with execution
+    # order, not with code changes (VERDICT r03 watch item #3)
+    cur = dict(detail["queries"])
+    cur.update(detail.get("queries_cold", {}))
+    if "--update" in sys.argv:
         json.dump(cur, open(BASE, "w"), indent=1, sort_keys=True)
         print(f"baseline updated: {len(cur)} queries -> {BASE}")
         return 0
+    if not os.path.exists(BASE):
+        # a missing baseline must FAIL, not silently self-baseline —
+        # otherwise deleting the file makes the gate vacuously pass
+        print(f"ERROR: baseline {BASE} missing; run with --update to create it")
+        return 1
     base = json.load(open(BASE))
 
     added = sorted(set(cur) - set(base))
