@@ -23,10 +23,19 @@ from pyspark.sql import functions as F
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import text as T
 from bigdata_processing_spark.queries import register
-
-N_HASHES = 8          # minhash signature length
-N_BANDS = 4           # LSH bands (rows per band = 2)
-JACCARD_THRESHOLD = 0.8
+from bigdata_processing_spark.thresholds import (
+    AUDIT_SAMPLE_DOCS,
+    CONTAINMENT_THRESHOLD,
+    COSINE_NEARDUP_THRESHOLD,
+    EDIT_LEN_GAP_MULT,
+    EDIT_SIM_THRESHOLD,
+    JACCARD_THRESHOLD,
+    MAX_BUCKET,
+    MAX_DF,
+    N_BANDS,
+    N_HASHES,
+    edit_len_gap_mult,
+)
 
 # Shared SQL fragments for the DuckDB oracles -------------------------------
 
@@ -189,11 +198,15 @@ def clear_dedup_memos() -> None:
     _LOOSE_PERSISTS.clear()
 
 
-def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _verified_dup_pairs(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
     """The full MinHash→LSH→verify pipeline, returning (d1, d2, jaccard)
-    for pairs above JACCARD_THRESHOLD. Shared by minhash_lsh_dup_pairs
-    and the connected-components clustering (memoized per session+dir)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    for pairs at/above ``jaccard_threshold``. Shared by
+    minhash_lsh_dup_pairs and the connected-components clustering
+    (memoized per session+dir+threshold)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, jaccard_threshold)
     cached = _PAIR_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -203,7 +216,7 @@ def _verified_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = (
         sc.select("d1", "d2", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= jaccard_threshold)
         .persist()
     )
     _PAIR_MEMO[memo_key] = out
@@ -300,8 +313,11 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d1, d2
     """,
 )
-def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _verified_dup_pairs(spark, sf_dir).orderBy("d1", "d2")
+def minhash_lsh_dup_pairs(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    return _verified_dup_pairs(spark, sf_dir, jaccard_threshold).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------------------
@@ -313,9 +329,6 @@ def minhash_lsh_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Both guards are relational, so the whole hardened pipeline remains
 # value-checkable against the DuckDB oracle.
 # ---------------------------------------------------------------------------
-MAX_DF = 40           # shingles in more docs than this are pruned
-MAX_BUCKET = 25       # LSH buckets larger than this are skipped
-
 _SQL_PRUNED_PIPE = f"""
         dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM shex GROUP BY s),
         shex_p AS (
@@ -356,7 +369,12 @@ _SQL_PRUNED_PIPE = f"""
         ORDER BY d1, d2
     """,
 )
-def minhash_pruned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def minhash_pruned_dup_pairs(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_df: int = MAX_DF,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
     """MinHash near-dup with DF pruning + bucket cap — the configuration
     you'd actually run at corpus scale. Verification still scores the
     FULL shingle sets (pruning only affects candidate generation, never
@@ -370,7 +388,7 @@ def minhash_pruned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # document frequency per shingle; vocabulary-sized, broadcast back
     dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
-    shex_p = shex.join(F.broadcast(dfreq.filter(F.col("df") <= MAX_DF)), "s").select(
+    shex_p = shex.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), "s").select(
         "doc_id", "s"
     )
     sig = _sig_from_shex(shex_p)
@@ -393,7 +411,7 @@ def minhash_pruned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        members.filter((F.size("ds") > 1) & (F.size("ds") <= MAX_BUCKET))
+        members.filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
@@ -405,7 +423,7 @@ def minhash_pruned_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
         .select("d1", "d2", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= JACCARD_THRESHOLD)
+        .filter(F.col("jaccard") >= jaccard_threshold)
         .orderBy("d1", "d2")
     )
 
@@ -453,8 +471,11 @@ _SQL_PAIRS = f"""
         ORDER BY doc_id
     """,
 )
-def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return _cluster_labels(spark, sf_dir).orderBy("doc_id")
+def dup_clusters(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    return _cluster_labels(spark, sf_dir, jaccard_threshold).orderBy("doc_id")
 
 
 # Labels memo, mirroring _PAIR_MEMO one level up the pipeline: the
@@ -465,7 +486,10 @@ def dup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 _LABEL_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _cluster_labels(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
     """(doc_id, cluster_id) for every doc in the verified dup-pair graph,
     cluster_id = the component's min doc_id — via large-star/small-star
     connected components (operators/graph.py), which converges in
@@ -473,14 +497,14 @@ def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
     so driver coordination stops scaling with cluster shape."""
     import logging
 
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, jaccard_threshold)
     cached = _LABEL_MEMO.get(memo_key)
     if cached is not None:
         return cached
     from bigdata_processing_spark.operators.graph import connected_components
 
     # _verified_dup_pairs is memoized+persisted; projecting off it is cheap
-    pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2")
+    pairs = _verified_dup_pairs(spark, sf_dir, jaccard_threshold).select("d1", "d2")
     labels, rounds = connected_components(pairs, src="d1", dst="d2")
     logging.getLogger(__name__).info(
         "dup_clusters: connected components converged in %d star rounds", rounds
@@ -638,7 +662,8 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Embedding-cosine near-dup over IVF cells: candidates are pairs sharing
-# BOTH the label partition and a geometric cell, cosine ≥ 0.4.
+# BOTH the label partition and a geometric cell, cosine ≥
+# thresholds.COSINE_NEARDUP_THRESHOLD.
 #
 # Scale design: within-label pairing alone is quadratic in the label size
 # (measured 4.3× time at 3× data in round 1). The cell count C grows with
@@ -658,7 +683,7 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 @register(
     "embedding_neardup_pairs",
-    oracle="""
+    oracle=f"""
         WITH cents AS (
             -- LIMIT = allpairs_cell_count(n): max(ivf_cell_count(n), n//128)
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
@@ -687,11 +712,14 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM assigned a
         JOIN assigned b
           ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
-        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= 0.4
+        WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm) >= {COSINE_NEARDUP_THRESHOLD}
         ORDER BY v1, v2
     """,
 )
-def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def embedding_neardup_pairs(
+    spark: SparkSession, sf_dir: str,
+    cosine_threshold: float = COSINE_NEARDUP_THRESHOLD,
+) -> DataFrame:
     from bigdata_processing_spark.functions import vectors as V
 
     from bigdata_processing_spark.operators.ivf import (
@@ -731,7 +759,7 @@ def embedding_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     cos = V.dot_vectorized(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         pairs.select("v1", "v2", "label", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= 0.4)
+        .filter(F.col("cos_sim") >= cosine_threshold)
         .orderBy("v1", "v2")
     )
 
@@ -848,9 +876,6 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 # long side; containment is the standard second verifier web-dedup
 # pipelines run on the SAME candidate set.
 # ---------------------------------------------------------------------------
-CONTAINMENT_THRESHOLD = 0.9
-
-
 @register(
     "containment_dup_pairs",
     oracle=f"""
@@ -874,9 +899,13 @@ CONTAINMENT_THRESHOLD = 0.9
         ORDER BY d1, d2
     """,
 )
-def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def containment_dup_pairs(
+    spark: SparkSession, sf_dir: str,
+    containment_threshold: float = CONTAINMENT_THRESHOLD,
+) -> DataFrame:
     """Candidate pairs whose shingle CONTAINMENT (overlap over the
-    smaller set) clears 0.9 — catches subset-duplicates Jaccard misses.
+    smaller set) clears the threshold (default 0.9) — catches
+    subset-duplicates Jaccard misses.
     Reads the memoized scored-candidate counts, so in a session that ran
     any MinHash query this is a filter over persisted pair counts: no
     corpus scan, no shuffle."""
@@ -884,7 +913,7 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = F.col("inter").cast("double") / F.least("n1", "n2")
     return (
         sc.select("d1", "d2", F.round(containment, 6).alias("containment"))
-        .filter(containment >= CONTAINMENT_THRESHOLD)
+        .filter(containment >= containment_threshold)
         .orderBy("d1", "d2")
     )
 
@@ -896,14 +925,6 @@ def containment_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # 1 - 1/len similar here but can flip several shingles. O(len²) per
 # pair, so it ONLY ever runs on the candidate set, never the corpus.
 # ---------------------------------------------------------------------------
-EDIT_SIM_THRESHOLD = 0.8
-# the length-gap prune, in INTEGER form: |Δlen| <= (1-θ)·maxlen with
-# θ = 0.8 is 5·|Δlen| <= maxlen. Pure-integer so both engines decide the
-# boundary identically (Python float 1-0.8 and a SQL decimal 0.2 round
-# differently at exactly |Δlen| = 0.2·maxlen).
-EDIT_LEN_GAP_MULT = 5  # = round(1 / (1 - EDIT_SIM_THRESHOLD))
-
-
 # Pruned (pair, texts) set feeding the DP — memoized+persisted like the
 # other dedup-family intermediates so repeated calls (bench min-of-2,
 # scale smoke, verify sweeps) share one cache entry instead of leaking a
@@ -914,8 +935,12 @@ EDIT_LEN_GAP_MULT = 5  # = round(1 / (1 - EDIT_SIM_THRESHOLD))
 _EDIT_PRE_MEMO: dict[tuple[str, str], DataFrame] = {}
 
 
-def _edit_pruned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+def _edit_pruned_pairs(
+    spark: SparkSession, sf_dir: str,
+    edit_sim_threshold: float = EDIT_SIM_THRESHOLD,
+) -> DataFrame:
+    gap_mult = edit_len_gap_mult(edit_sim_threshold)
+    memo_key = (spark.sparkContext.applicationId, sf_dir, edit_sim_threshold)
     cached = _EDIT_PRE_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -937,7 +962,7 @@ def _edit_pruned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     # collapses to one wave; on a big cluster it scales with the rig)
     pre = (
         j.filter(
-            EDIT_LEN_GAP_MULT * F.abs(F.length("x1") - F.length("x2")) <= maxlen
+            gap_mult * F.abs(F.length("x1") - F.length("x2")) <= maxlen
         )
         .repartition(2 * spark.sparkContext.defaultParallelism)
         .persist()
@@ -976,14 +1001,17 @@ def _edit_pruned_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY d1, d2
     """,
 )
-def edit_distance_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+def edit_distance_dup_pairs(
+    spark: SparkSession, sf_dir: str,
+    edit_sim_threshold: float = EDIT_SIM_THRESHOLD,
+) -> DataFrame:
     """LSH candidates verified by normalized Levenshtein similarity
-    (1 - dist/maxlen >= 0.8). Candidate generation is shared with the
+    (1 - dist/maxlen >= threshold, default 0.8). Candidate generation is shared with the
     whole MinHash family; only the verifier differs — the raw texts are
     fetched for the candidate set by doc_id join (broadcast: candidates
     ≪ corpus) and the integer edit distance is bit-exact across
     engines."""
-    pre = _edit_pruned_pairs(spark, sf_dir)
+    pre = _edit_pruned_pairs(spark, sf_dir, edit_sim_threshold)
     maxlen = F.greatest(F.length("x1"), F.length("x2"))
     dist = F.levenshtein("x1", "x2")
     sim = 1 - dist.cast("double") / maxlen
@@ -996,7 +1024,7 @@ def edit_distance_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(sim, 6).alias("edit_sim"),
     )
     return (
-        scored.filter(F.col("edit_sim") >= EDIT_SIM_THRESHOLD)
+        scored.filter(F.col("edit_sim") >= edit_sim_threshold)
         .orderBy("d1", "d2")
     )
 
@@ -1008,9 +1036,6 @@ def edit_distance_dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # banding trades recall for the collision-bounded shuffle, and this
 # query puts a number on that trade (8 hashes x 4 bands here).
 # ---------------------------------------------------------------------------
-AUDIT_SAMPLE_DOCS = 200  # all-pairs ground truth is quadratic: sample-bounded
-
-
 @register(
     "lsh_recall_audit",
     oracle=f"""

@@ -1,0 +1,48 @@
+"""Shared dedup/similarity tuning constants.
+
+Single source of truth consumed by BOTH sides of every twin: the Spark
+query builders (queries/dedup.py, queries/similarity.py) interpolate
+these into DataFrame expressions, and the DuckDB oracle SQL strings
+interpolate the SAME names into their text at import time — so a
+threshold change cannot drift one engine away from the other.
+
+They are also the DEFAULTS, not hardwired behavior: every dedup /
+near-dup operator takes them as keyword arguments (e.g.
+``minhash_lsh_dup_pairs(spark, sf_dir, jaccard_threshold=0.9)``), so a
+reuser tunes per-call while the registered driver-facing queries pin
+the defaults their oracles were generated from.
+"""
+
+from __future__ import annotations
+
+# MinHash / LSH geometry
+N_HASHES = 8          # minhash signature length
+N_BANDS = 4           # LSH bands (rows per band = N_HASHES // N_BANDS)
+
+# Verification thresholds
+JACCARD_THRESHOLD = 0.8        # bigram-set Jaccard for near-dup pairs
+CONTAINMENT_THRESHOLD = 0.9    # |A∩B| / min(|A|,|B|) for subset dups
+EDIT_SIM_THRESHOLD = 0.8       # 1 - levenshtein/maxlen for short-record dups
+COSINE_NEARDUP_THRESHOLD = 0.4  # embedding cosine for semantic near-dups
+
+# Corpus-scale candidate-generation guards
+MAX_DF = 40           # shingles present in more docs than this are pruned
+MAX_BUCKET = 25       # LSH buckets larger than this are skipped
+
+# Audit sampling
+AUDIT_SAMPLE_DOCS = 200  # all-pairs ground truth is quadratic: sample-bounded
+
+
+def edit_len_gap_mult(threshold: float) -> int:
+    """Integer length-gap prune factor for edit similarity ``threshold``:
+    ``dist >= |Δlen|`` exactly, so ``sim >= θ`` forces
+    ``|Δlen| <= (1-θ)·maxlen``, i.e. ``mult·|Δlen| <= maxlen`` with
+    ``mult = 1/(1-θ)``. Floored so the prune stays CONSERVATIVE (never
+    drops a qualifying pair) for thresholds where 1/(1-θ) is fractional;
+    the default θ=0.8 gives exactly 5. Integer form so both engines
+    decide the boundary identically (float 1-θ rounds differently
+    across engines at exactly |Δlen| = (1-θ)·maxlen)."""
+    return max(1, int(1.0 / (1.0 - threshold)))
+
+
+EDIT_LEN_GAP_MULT = edit_len_gap_mult(EDIT_SIM_THRESHOLD)
