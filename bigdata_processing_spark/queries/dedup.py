@@ -1070,9 +1070,9 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Sample contract: ``doc_id < AUDIT_SAMPLE_DOCS`` assumes the dense
     0-based doc_id space the fixtures guarantee (TESTDATA.md) — on a
-    sparse/offset id space it silently under-samples. The hash-sampled
-    variant that makes no id-space assumption is ``lsh_band_sweep``
-    (same ground-truth method, ``hash64(doc_id) % k`` sampling)."""
+    sparse/offset id space it silently under-samples. The id-space-
+    agnostic audit is ``lsh_band_sweep`` (pooled-reference truth over
+    the full corpus, no sampling at all)."""
     sh = _shingle_df(spark, sf_dir).filter(F.col("doc_id") < AUDIT_SAMPLE_DOCS)
     s1 = sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
@@ -1095,3 +1095,195 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(found).alias("n_found_by_lsh"),
         F.round(F.avg(found.cast("double")), 6).alias("lsh_recall"),
     )
+
+
+# ---------------------------------------------------------------------------
+# LSH banding-parameter sweep: recall AND precision of every banding of
+# the 8-hash signature over the FULL corpus, scored against a POOLED
+# reference truth — the union of all configs' (bucket-capped) candidates,
+# exactly verified by bigram Jaccard. Pooling is the IR-evaluation
+# trick that makes a full-corpus audit affordable: exhaustive all-pairs
+# truth is quadratic, but the union of candidates across bandings
+# misses a j>=0.8 pair only if EVERY config misses it
+# (P < 1% at j = 0.8, vanishing as j -> 1), so pooled recall is a tight
+# upper-bound estimate, comparable ACROSS configs by construction.
+# No sampling, no doc_id-space assumption (ADVICE r03), any corpus size:
+# cost is 4 linear bandings + verification on pooled candidates only.
+# The bucket cap mirrors production (minhash_pruned_dup_pairs): 1-row
+# bands collapse into vocabulary-sized buckets the cap must skip, and
+# the sweep row shows that config's resulting recall collapse.
+# ---------------------------------------------------------------------------
+LSH_SWEEP_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))  # (bands, rows), b·r = 8
+
+
+def _sweep_band_keys_sql(b: int) -> str:
+    r = N_HASHES // b
+    return ", ".join(
+        "md5(concat_ws('_', "
+        + ", ".join([str(bi)] + [f"h{r * bi + j}" for j in range(r)])
+        + "))"
+        for bi in range(b)
+    )
+
+
+def _sweep_cand_sql(b: int) -> str:
+    return f"""bands_{b} AS (
+            SELECT doc_id, unnest([{_sweep_band_keys_sql(b)}]) AS bk FROM sig),
+        bsz_{b} AS (SELECT bk, count(*) AS n FROM bands_{b} GROUP BY bk),
+        cand_{b} AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands_{b} a
+            JOIN bands_{b} b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            JOIN bsz_{b} z ON a.bk = z.bk
+            WHERE z.n <= {MAX_BUCKET})"""
+
+
+def _sweep_stat_sql(b: int) -> str:
+    r = N_HASHES // b
+    found = (
+        f"(SELECT count(*) FROM ver v JOIN cand_{b} c"
+        f" ON v.d1 = c.d1 AND v.d2 = c.d2)"
+    )
+    return f"""
+        SELECT {b} AS n_bands, {r} AS rows_per_band,
+               (SELECT count(*) FROM cand_{b}) AS n_candidates,
+               (SELECT count(*) FROM ver) AS n_pool_true,
+               {found} AS n_true_found,
+               CASE WHEN (SELECT count(*) FROM ver) = 0 THEN NULL
+                    ELSE round({found}::DOUBLE
+                               / (SELECT count(*) FROM ver), 6) END AS pool_recall,
+               CASE WHEN (SELECT count(*) FROM cand_{b}) = 0 THEN NULL
+                    ELSE round({found}::DOUBLE
+                               / (SELECT count(*) FROM cand_{b}), 6) END AS precision
+    """
+
+
+_SQL_SWEEP = (
+    f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG},
+        """
+    + ",\n        ".join(_sweep_cand_sql(b) for b, _ in LSH_SWEEP_CONFIGS)
+    + """,
+        pool AS ("""
+    + " UNION ".join(f"SELECT d1, d2 FROM cand_{b}" for b, _ in LSH_SWEEP_CONFIGS)
+    + f"""),
+        ver AS (
+            SELECT p.d1, p.d2
+            FROM pool p
+            JOIN shset s1 ON p.d1 = s1.doc_id
+            JOIN shset s2 ON p.d2 = s2.doc_id
+            WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                      / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                  >= {JACCARD_THRESHOLD}
+        )
+        SELECT * FROM ("""
+    + " UNION ALL ".join(_sweep_stat_sql(b) for b, _ in LSH_SWEEP_CONFIGS)
+    + """) ORDER BY n_bands
+    """
+)
+
+
+@register("lsh_band_sweep", oracle=_SQL_SWEEP)
+def lsh_band_sweep(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """Per-banding candidate count, pooled-reference recall, and exact
+    precision for every (bands × rows) factorization of the 8-hash
+    signature, full corpus, production bucket cap applied.
+
+    Shapes: the signature is computed ONCE and re-banded 4 ways (banding
+    is a per-row projection); each config's candidates are bounded by
+    the bucket cap; exact Jaccard verification runs only on the pooled
+    candidate union. Everything shuffles pair-ids and counts, never
+    documents."""
+    shset = _shingle_df(spark, sf_dir).persist()
+    _LOOSE_PERSISTS.append(shset)
+    sig = _sig_from_shex(
+        shset.select("doc_id", F.explode("sh").alias("s"))
+    ).persist()
+    _LOOSE_PERSISTS.append(sig)
+
+    cands = {}
+    for b, r in LSH_SWEEP_CONFIGS:
+        keys = F.array(
+            *[
+                F.md5(
+                    F.concat_ws(
+                        "_", F.lit(bi), *[F.col(f"h{r * bi + j}") for j in range(r)]
+                    )
+                )
+                for bi in range(b)
+            ]
+        )
+        bands = sig.select("doc_id", F.explode(keys).alias("bk"))
+        bsz = bands.groupBy("bk").agg(F.count("*").alias("n"))
+        ok = bands.join(bsz.filter(F.col("n") <= max_bucket), "bk").select(
+            "doc_id", "bk"
+        )
+        cand = (
+            ok.select(F.col("doc_id").alias("d1"), "bk")
+            .join(ok.select(F.col("doc_id").alias("d2"), "bk"), ["bk"])
+            .filter(F.col("d1") < F.col("d2"))
+            .select("d1", "d2")
+            .distinct()
+            .persist()
+        )
+        _LOOSE_PERSISTS.append(cand)
+        cands[b] = cand
+
+    pool = None
+    for cand in cands.values():
+        pool = cand if pool is None else pool.union(cand)
+    pool = pool.distinct()
+    s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    ver = (
+        pool.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .filter(jac >= jaccard_threshold)
+        .select("d1", "d2")
+        .persist()
+    )
+    _LOOSE_PERSISTS.append(ver)
+    pool_cnt = ver.agg(F.count("*").alias("n_pool_true"))
+
+    rows = []
+    for b, r in LSH_SWEEP_CONFIGS:
+        cand = cands[b]
+        cand_cnt = cand.agg(F.count("*").alias("n_candidates"))
+        found_cnt = ver.join(cand, ["d1", "d2"]).agg(
+            F.count("*").alias("n_true_found")
+        )
+        rows.append(
+            cand_cnt.crossJoin(pool_cnt)
+            .crossJoin(found_cnt)
+            .select(
+                F.lit(b).alias("n_bands"),
+                F.lit(r).alias("rows_per_band"),
+                "n_candidates",
+                "n_pool_true",
+                "n_true_found",
+                F.when(
+                    F.col("n_pool_true") > 0,
+                    F.round(
+                        F.col("n_true_found").cast("double") / F.col("n_pool_true"),
+                        6,
+                    ),
+                ).alias("pool_recall"),
+                F.when(
+                    F.col("n_candidates") > 0,
+                    F.round(
+                        F.col("n_true_found").cast("double") / F.col("n_candidates"),
+                        6,
+                    ),
+                ).alias("precision"),
+            )
+        )
+    out = rows[0]
+    for r_ in rows[1:]:
+        out = out.unionByName(r_)
+    return out.orderBy("n_bands")
