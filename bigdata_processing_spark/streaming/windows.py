@@ -123,6 +123,64 @@ def session_window_agg(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+def session_funnel_steps(events: DataFrame, gap: str = "30 minutes",
+                         watermark: str = "1 hour") -> DataFrame:
+    """Per-(user, session) FIRST-occurrence timestamps of the funnel
+    steps view → click → purchase — the streaming twin of the batch
+    ``session_funnel`` sessionization stage (queries/timeseries.py:641),
+    built on the native ``session_window`` state merge like
+    :func:`session_window_agg`.
+
+    This is deliberately only the STATEFUL half of the funnel: the
+    global conversion rollup is a second aggregation over the session
+    rows, which append-mode streaming cannot chain after a session
+    window — so the rollup stays a stateless batch step
+    (:func:`funnel_rollup`) run over the sink via ``foreachBatch`` or
+    on the sink table after the fact. Batch-stream parity of the
+    composed pipeline is pinned in tests/test_streaming.py."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    return (
+        src.groupBy(F.session_window("ts", gap).alias("w"), F.col("user_id"))
+        .agg(
+            first_ts("view").alias("t_view"),
+            first_ts("click").alias("t_click"),
+            first_ts("purchase").alias("t_buy"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_buy",
+        )
+    )
+
+
+def funnel_rollup(steps: DataFrame) -> DataFrame:
+    """Stateless global rollup over :func:`session_funnel_steps` rows —
+    same ordered-step semantics and column names as the batch
+    ``session_funnel`` query (a step counts only when its first
+    occurrence follows the previous step's first occurrence in the same
+    session; NULL comparisons fall out false)."""
+    viewed = F.col("t_view").isNotNull()
+    clicked = viewed & (F.col("t_click") > F.col("t_view"))
+    bought = clicked & (F.col("t_buy") > F.col("t_click"))
+
+    def as_int(c):
+        return F.sum(F.when(c, 1).otherwise(0))
+
+    return steps.agg(
+        F.count("*").alias("n_sessions"),
+        as_int(viewed).alias("viewed"),
+        as_int(clicked).alias("clicked_after_view"),
+        as_int(bought).alias("purchased_after_click"),
+    )
+
+
 def interval_stream_join(left: DataFrame, right: DataFrame,
                          key: str = "user_id",
                          left_watermark: str = "1 hour",

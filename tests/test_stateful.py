@@ -22,7 +22,10 @@ except ImportError:
 
 pytestmark = pytest.mark.skipif(
     not _HAS_PROTOBUF,
-    reason="transformWithState requires google.protobuf (not in this environment)",
+    reason="transformWithState requires google.protobuf (re-checked absent "
+           "2026-08-14/r04: `import google.protobuf` -> ModuleNotFoundError; "
+           "applyInPandasWithState in streaming/dedup.py is the runnable "
+           "custom-stateful path here)",
 )
 
 from conftest import SF_SMALL

@@ -457,3 +457,68 @@ def test_drop_duplicates_within_watermark(spark, tmp_path):
     q.awaitTermination()
     got = sorted(r.event_id for r in spark.table("t_ddw").collect())
     assert got == [1, 99], got
+
+
+def test_session_funnel_stream_parity(spark, tmp_path):
+    """Streaming funnel (session_window steps + foreachBatch sink +
+    stateless rollup) must reproduce the batch session_funnel query's
+    single conversion row exactly (VERDICT r03 item 5).
+
+    The foreachBatch sink snapshots the complete-mode session table per
+    micro-batch (overwrite = upsert-to-latest); the rollup then runs as
+    a plain batch agg over the final snapshot — the two-stage shape that
+    sidesteps append-mode's one-stateful-agg limit."""
+    import os
+
+    from bigdata_processing_spark.queries.timeseries import session_funnel
+    from bigdata_processing_spark.streaming.windows import (
+        funnel_rollup,
+        session_funnel_steps,
+    )
+
+    batch = session_funnel(spark, SF_SMALL).collect()[0]
+
+    out_dir = os.path.join(str(tmp_path), "funnel_steps")
+
+    def sink(batch_df, _batch_id):
+        batch_df.write.mode("overwrite").parquet(out_dir)
+
+    stream = read_events_stream(spark, SF_SMALL)
+    q = (
+        session_funnel_steps(stream)
+        .writeStream.outputMode("complete")
+        .foreachBatch(sink)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    got = funnel_rollup(spark.read.parquet(out_dir)).collect()[0]
+    assert (
+        got.n_sessions,
+        got.viewed,
+        got.clicked_after_view,
+        got.purchased_after_click,
+    ) == (
+        batch.n_sessions,
+        batch.viewed,
+        batch.clicked_after_view,
+        batch.purchased_after_click,
+    )
+    assert got.n_sessions > 0
+
+
+def test_session_funnel_batch_twin_same_functions(spark):
+    """The same session_funnel_steps/funnel_rollup bodies run on a plain
+    batch frame (watermark no-op) — the batch-stream one-source-of-truth
+    invariant the other window aggs keep."""
+    from bigdata_processing_spark.queries.timeseries import session_funnel
+    from bigdata_processing_spark.streaming.windows import (
+        funnel_rollup,
+        session_funnel_steps,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    got = funnel_rollup(session_funnel_steps(events)).collect()[0]
+    want = session_funnel(spark, SF_SMALL).collect()[0]
+    assert tuple(got) == tuple(want)
