@@ -33,6 +33,12 @@ from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.operators.clustering import kmeans_centroids, _assign_udf
 
 
+# fraction of post-fit vectors that triggers a quantizer rebuild in
+# append_to_ivf_index; shared with the oracle-checked relational twin
+# (queries/similarity.ivf_append_assignment)
+REFIT_THRESHOLD = 0.3
+
+
 def ivf_cell_count(
     n_vectors: int,
     coeff: float = 4.0,
@@ -308,7 +314,7 @@ def write_ivf_index(indexed: DataFrame, centroids: list[list[float]],
 
 def append_to_ivf_index(path: str, new_emb: DataFrame,
                         vec_col: str = "embedding",
-                        refit_threshold: float = 0.3,
+                        refit_threshold: float = REFIT_THRESHOLD,
                         n_iter: int = 3) -> tuple[int, bool]:
     """Incrementally maintain a disk-resident IVF index: assign the new
     vectors to the EXISTING centroids and append their postings (one

@@ -761,3 +761,125 @@ def binary_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
+
+
+# ---------------------------------------------------------------------------
+# Incremental-index append, relational twin: assignment of a NEW batch of
+# vectors against FROZEN centroids plus the drift bookkeeping that
+# decides a refit — the exact semantics of the disk operator
+# operators/ivf.append_to_ivf_index, made SQL-expressible with the
+# seeded quantizer (seed_centroids over the base slice) in place of the
+# k-means-refined one. tests/test_ivf.py additionally pins the real
+# disk operator to these per-cell counts when given the same frozen
+# centroid list, so the driver row verifies the operator's arithmetic,
+# not a lookalike.
+# ---------------------------------------------------------------------------
+APPEND_SPLIT_MOD = 10      # hash-split: ~80% base index, ~20% appended batch
+APPEND_SPLIT_BASE = 8
+APPEND_K = 16              # frozen quantizer size for the append scenario
+
+_SQL_APPEND_BASE = (
+    "('0x' || substr(md5('append|' || CAST(vec_id AS VARCHAR)), 1, 8))::BIGINT"
+    f" % {APPEND_SPLIT_MOD} < {APPEND_SPLIT_BASE}"
+)
+
+
+@register(
+    "ivf_append_assignment",
+    oracle=f"""
+        WITH emb AS (
+            SELECT vec_id, embedding::DOUBLE[] AS e,
+                   {_SQL_APPEND_BASE} AS is_base
+            FROM embeddings
+        ),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e AS c
+            FROM (SELECT vec_id, e FROM emb WHERE is_base
+                  ORDER BY vec_id LIMIT {APPEND_K})
+        ),
+        scored AS (
+            SELECT emb.vec_id, emb.is_base, s.cell,
+                   list_dot_product(s.c, s.c) - 2 * list_dot_product(emb.e, s.c) AS sc
+            FROM emb CROSS JOIN seeds s
+        ),
+        assign AS (
+            SELECT vec_id, is_base, cell FROM (
+                SELECT vec_id, is_base, cell,
+                       row_number() OVER (PARTITION BY vec_id ORDER BY sc, cell) AS rn
+                FROM scored
+            ) WHERE rn = 1
+        ),
+        counts AS (
+            SELECT cell,
+                   sum(CASE WHEN is_base THEN 1 ELSE 0 END)::BIGINT AS n_base_vecs,
+                   sum(CASE WHEN is_base THEN 0 ELSE 1 END)::BIGINT AS n_appended_vecs
+            FROM assign GROUP BY cell
+        ),
+        tot AS (
+            SELECT sum(CASE WHEN is_base THEN 0 ELSE 1 END)::DOUBLE / count(*) AS af
+            FROM emb
+        )
+        SELECT s.cell::BIGINT AS cell,
+               coalesce(c.n_base_vecs, 0)::BIGINT AS n_base_vecs,
+               coalesce(c.n_appended_vecs, 0)::BIGINT AS n_appended_vecs,
+               round(tot.af, 6) AS appended_fraction,
+               tot.af > 0.3 AS refit_triggered
+        FROM seeds s LEFT JOIN counts c ON s.cell = c.cell CROSS JOIN tot
+        ORDER BY cell
+    """,
+)
+def ivf_append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frozen-quantizer append scenario: hash-split the corpus into a
+    base index (~80%) and an arriving batch (~20%); seed {APPEND_K}
+    centroids from the base slice; assign EVERYTHING against those
+    frozen centroids; report per-cell base/appended postings plus the
+    appended fraction and whether it crosses the refit threshold
+    (operators/ivf.REFIT_THRESHOLD).
+
+    Scale shape: identical to the production append path — one
+    assignment pass over the new batch (embarrassingly parallel, the
+    centroid set is a broadcast-sized literal), counts shuffle only
+    (cell, flag) pairs. With an 80/20 split the refit must NOT trigger
+    (0.2 < 0.3) — the row pins the decision logic, not just counts."""
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.operators.ivf import (
+        REFIT_THRESHOLD,
+        seed_centroids,
+        seeded_assign_best,
+    )
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        (
+            T.hash64(F.col("vec_id").cast("string"), "append") % APPEND_SPLIT_MOD
+            < APPEND_SPLIT_BASE
+        ).alias("is_base"),
+    )
+    cents = seed_centroids(emb.filter(F.col("is_base")), APPEND_K, vec_col="e")
+    assigned = emb.withColumn("cell", seeded_assign_best(cents).getField("cell"))
+    counts = assigned.groupBy("cell").agg(
+        F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base_vecs"),
+        F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("n_appended_vecs"),
+    )
+    tot = emb.agg(
+        (
+            F.sum(F.when(F.col("is_base"), 0).otherwise(1)).cast("double")
+            / F.count("*")
+        ).alias("af")
+    )
+    cells = spark.createDataFrame([(i,) for i in range(len(cents))], "cell int")
+    return (
+        cells.join(counts, "cell", "left")
+        .crossJoin(tot)
+        .select(
+            F.col("cell").cast("long").alias("cell"),
+            F.coalesce("n_base_vecs", F.lit(0)).cast("long").alias("n_base_vecs"),
+            F.coalesce("n_appended_vecs", F.lit(0))
+            .cast("long")
+            .alias("n_appended_vecs"),
+            F.round("af", 6).alias("appended_fraction"),
+            (F.col("af") > REFIT_THRESHOLD).alias("refit_triggered"),
+        )
+        .orderBy("cell")
+    )

@@ -221,3 +221,67 @@ def test_ivf_incremental_append_and_drift_refit(spark, tmp_path):
     disk2, cents2 = read_ivf_index(spark, path)
     assert disk2.count() == emb.count()          # nothing lost in the rebuild
     assert len(cents2) >= 2                      # quantizer refit on full corpus
+
+
+def test_append_assignment_query_matches_disk_operator(spark, tmp_path):
+    """The driver-facing relational twin (queries/similarity.
+    ivf_append_assignment) must agree with the REAL disk operator
+    (append_to_ivf_index) on per-cell postings when both use the same
+    frozen centroid list — proving the oracle row verifies the
+    operator's arithmetic, not a lookalike."""
+    import os
+
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.operators.ivf import (
+        append_to_ivf_index,
+        seed_centroids,
+        seeded_assign_best,
+        write_ivf_index,
+    )
+    from bigdata_processing_spark.queries.similarity import (
+        APPEND_K,
+        APPEND_SPLIT_BASE,
+        APPEND_SPLIT_MOD,
+        ivf_append_assignment,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
+        (
+            T.hash64(F.col("vec_id").cast("string"), "append") % APPEND_SPLIT_MOD
+            < APPEND_SPLIT_BASE
+        ).alias("is_base"),
+    )
+    base = emb.filter("is_base")
+    new = emb.filter("NOT is_base")
+    cents = seed_centroids(base, APPEND_K, vec_col="e")
+
+    path = os.path.join(str(tmp_path), "ivf_append")
+    indexed = base.select(
+        "vec_id", "e", "nrm", seeded_assign_best(cents).getField("cell").alias("cell")
+    )
+    write_ivf_index(indexed, cents, path)
+
+    n_appended, refit = append_to_ivf_index(
+        path, new.select("vec_id", F.col("e").alias("embedding"))
+    )
+    assert refit is False  # 20% appended < 30% threshold
+
+    got = {
+        r.cell: r.cnt
+        for r in spark.read.parquet(f"{path}/postings")
+        .groupBy("cell")
+        .agg(F.count("*").alias("cnt"))
+        .collect()
+    }
+    want_rows = ivf_append_assignment(spark, SF).collect()
+    assert n_appended == sum(r.n_appended_vecs for r in want_rows)
+    assert all(not r.refit_triggered for r in want_rows)
+    want = {
+        r.cell: r.n_base_vecs + r.n_appended_vecs
+        for r in want_rows
+        if r.n_base_vecs + r.n_appended_vecs > 0
+    }
+    assert got == want
