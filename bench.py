@@ -87,6 +87,27 @@ def main() -> None:
         shuffle_mb[name] = round(sum(v[0] for v in new) / 1e6, 3)
         spill_mb[name] = round(sum(v[1] for v in new) / 1e6, 3)
 
+    # Cold re-timing of the memoized dedup family: the shared-pipeline
+    # numbers above attribute the common MinHash subtree to whichever
+    # family member ran first (execution-order-dependent), so each is
+    # re-run with the session memos cleared — the number a standalone
+    # invocation would pay, and the one the regression gate reads.
+    from bigdata_processing_spark.queries.dedup import MEMO_FAMILY, clear_dedup_memos
+
+    timings_cold: dict[str, float] = {}
+    for name in MEMO_FAMILY:
+        fn = queries.get(name)
+        if fn is None:
+            continue
+        best = float("inf")
+        for _ in range(2):
+            clear_dedup_memos()
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings_cold[name] = round(best, 3)
+    clear_dedup_memos()
+
     total = round(sum(timings.values()), 3)
     ordered = sorted(timings.values())
     median = round(ordered[len(ordered) // 2], 3) if ordered else 0.0
@@ -97,6 +118,7 @@ def main() -> None:
     with open(detail_path, "w") as f:
         json.dump({
             "queries": timings,
+            "queries_cold": timings_cold,
             "shuffle_write_mb": shuffle_mb,
             "spill_mb": spill_mb,
             "sf": sf,
@@ -109,6 +131,7 @@ def main() -> None:
         "queries": slowest5,
         "median_sec": median,
         "n_queries": len(timings),
+        "cold_dedup_family_sec": round(sum(timings_cold.values()), 3),
         "shuffle_write_mb_total": round(sum(shuffle_mb.values()), 3),
         "spill_mb_total": round(sum(spill_mb.values()), 3),
         "sf": sf,

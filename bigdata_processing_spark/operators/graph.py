@@ -39,13 +39,16 @@ _MAX_ROUNDS = 50  # safety bound ≫ log²(any real graph)
 
 def _canonical(edges: DataFrame) -> DataFrame:
     """Undirected edge set as distinct (lo, hi) pairs, self-loops dropped."""
-    return (
-        edges.select(
-            F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
-        )
-        .filter(F.col("lo") != F.col("hi"))
-        .distinct()
-    )
+    return _reorient(edges).distinct()
+
+
+def _reorient(edges: DataFrame) -> DataFrame:
+    """(src, dst) → (lo, hi) orientation WITHOUT dedup — groupBy/min
+    downstream is duplicate-insensitive, so the mid-round distinct would
+    be a pure extra shuffle."""
+    return edges.select(
+        F.least("src", "dst").alias("lo"), F.greatest("src", "dst").alias("hi")
+    ).filter(F.col("lo") != F.col("hi"))
 
 
 def _large_star(canon: DataFrame) -> DataFrame:
@@ -87,40 +90,52 @@ def connected_components(
     edge set reached fixpoint (logged — the observable that shows
     wall-time tracking graph structure, not driver round-trips).
 
-    Only the fixpoint test runs on the driver (a 2-scalar agg per
-    round); all rewiring is joins/groupBys. Each round's canonical edge
-    set is persisted and the superseded round unpersisted, so executor
-    storage holds exactly one generation.
+    Only the fixpoint test runs on the driver (two limit(1) probes per
+    round — is the edge set a disjoint star forest yet); all rewiring is
+    joins/groupBys. Each round's canonical edge set is persisted and the
+    superseded round unpersisted, so executor storage holds exactly one
+    generation.
     """
     canon = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).persist()
-    # order-independent signature of the edge set: count + hash sum
-    def _sig(df):
-        # count + xor-fold of per-edge hashes: order-independent, no
-        # overflow under ANSI mode (edges are distinct, so xor is a
-        # faithful set signature)
-        return df.agg(
-            F.count("*").alias("n"),
-            F.expr("bit_xor(xxhash64(lo, hi))").alias("h"),
-        ).collect()[0]
 
-    sig = _sig(canon)
+    def _is_star_forest(df) -> bool:
+        # Fixpoint ⇔ the edges form disjoint stars rooted at their lo:
+        # (a) no node has two parents (duplicate hi), and (b) no parent
+        # is itself a child (a lo appearing as a hi = a 2-hop chain).
+        # Exact — unlike a same-as-last-round signature compare, this
+        # detects convergence ON the converged round, saving the whole
+        # confirmation round the signature approach needs.
+        dup_hi = (
+            df.groupBy("hi").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+        )
+        if dup_hi.limit(1).count() > 0:
+            return False
+        chain = df.alias("a").join(
+            df.alias("b"), F.col("a.hi") == F.col("b.lo"), "left_semi"
+        )
+        return chain.limit(1).count() == 0
+
     rounds = 0
-    for rounds in range(1, max_rounds + 1):
-        # localCheckpoint (eager), not persist: each round references the
-        # previous edge set ~4×, so lineage grows exponentially and the
-        # plan alone OOMs the driver by round ~6; checkpointing truncates
-        # the plan to the materialized partitions. On a multi-executor
-        # cluster prefer reliable checkpoint() (HDFS) — localCheckpoint
-        # trades executor-loss tolerance for speed.
-        nxt = _canonical(_small_star(_canonical(_large_star(canon)))).localCheckpoint()
-        nsig = _sig(nxt)
-        canon.unpersist()
-        canon = nxt
-        if (nsig.n, nsig.h) == (sig.n, sig.h):
-            break
-        sig = nsig
+    if _is_star_forest(canon):
+        log.info("connected_components: input already a star forest")
+    else:
+        for rounds in range(1, max_rounds + 1):
+            # localCheckpoint (eager), not persist: each round references
+            # the previous edge set ~4×, so lineage grows exponentially
+            # and the plan alone OOMs the driver by round ~6;
+            # checkpointing truncates the plan to the materialized
+            # partitions. On a multi-executor cluster prefer reliable
+            # checkpoint() (HDFS) — localCheckpoint trades executor-loss
+            # tolerance for speed.
+            nxt = _canonical(
+                _small_star(_reorient(_large_star(canon)))
+            ).localCheckpoint()
+            canon.unpersist()
+            canon = nxt
+            if _is_star_forest(canon):
+                break
     log.info("connected_components: fixpoint after %d rounds", rounds)
 
     # at fixpoint the canonical edges ARE the star forest (hi → lo=root);

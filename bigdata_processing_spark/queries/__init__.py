@@ -58,9 +58,24 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-3 rotation: the 2 r02 canonicalizer-err redos (arrays now
-    # string-serialized) + the 2 queries never yet driver-checked lead;
-    # everything r01/r02-green keeps its recorded rows and follows.
+    # round-4 rotation: the round's NEW queries lead (LSH banding sweep,
+    # incremental-IVF append twin), then the heavily-reworked dedup
+    # family re-confirms under the new connected-components labeling +
+    # parameterized thresholds; everything union-green follows.
+    "lsh_band_sweep",
+    "ivf_append_assignment",
+    "winnowing_dup_passages",
+    "minhash_estimate_audit",
+    "dup_clusters",
+    "dedup_survivors",
+    "cross_source_dup_matrix",
+    "minhash_lsh_dup_pairs",
+    "minhash_pruned_dup_pairs",
+    "containment_dup_pairs",
+    "edit_distance_dup_pairs",
+    "lsh_recall_audit",
+    "embedding_neardup_pairs",
+    # round-3 rotation block (recorded rows retained)
     "collect_sorted_lists",
     "array_functions",
     "salted_supplier_totals",

@@ -173,6 +173,21 @@ _CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
 _LOOSE_PERSISTS: list[DataFrame] = []
 
 
+# Registered queries that read the shared session memos: their
+# pipeline-order bench timing attributes the common subtree to whichever
+# ran first, so bench.py re-times them COLD (memos cleared) and the
+# regression gate reads the cold column (VERDICT r03 watch item #3).
+MEMO_FAMILY = (
+    "minhash_lsh_dup_pairs",
+    "dup_clusters",
+    "dedup_survivors",
+    "cross_source_dup_matrix",
+    "containment_dup_pairs",
+    "edit_distance_dup_pairs",
+    "lsh_recall_audit",
+)
+
+
 def clear_dedup_memos() -> None:
     """Unpersist and drop every session memo + loose persist.
 
@@ -1287,3 +1302,204 @@ def lsh_band_sweep(
     for r_ in rows[1:]:
         out = out.unionByName(r_)
     return out.orderBy("n_bands")
+
+
+# ---------------------------------------------------------------------------
+# Winnowing passage fingerprints (Schleimer/Wilkerson/Aiken, SIGMOD'03
+# "Winnowing: Local Algorithms for Document Fingerprinting"): hash every
+# token k-gram, slide a w-gram window, keep each window's MINIMUM hash.
+# Guarantee: two docs sharing any token run of >= w+k-1 tokens share at
+# least one fingerprint — so this catches COPIED PASSAGES between
+# otherwise-different documents, the duplication mode whole-doc MinHash
+# (global jaccard) structurally misses. Fingerprint density is ~2/(w+1)
+# of positions, so the index is a sparse (doc, fp) set.
+#
+# Scale shape: the window-min is a per-doc sequence op (partitions are
+# doc-sized); the pair join shuffles fingerprints, never text, and the
+# document-frequency prune drops boilerplate fingerprints (a fp shared
+# by >40 docs identifies a template, not a copied passage) BEFORE the
+# pair expansion — the same guard minhash_pruned_dup_pairs uses.
+# ---------------------------------------------------------------------------
+from bigdata_processing_spark.thresholds import (  # noqa: E402
+    WIN_K,
+    WIN_MAX_DF,
+    WIN_MIN_SHARED,
+    WIN_W,
+)
+
+_SQL_WIN_GRAM = " || '_' || ".join(f"tk[pos + {j}]" for j in range(WIN_K))
+
+
+@register(
+    "winnowing_dup_passages",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents
+        ),
+        pos0 AS (
+            SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - {WIN_K - 1}, 0) + 1)) AS pos
+            FROM toks
+        ),
+        grams AS (
+            SELECT doc_id, pos,
+                   ('0x' || substr(md5('win|' || {_SQL_WIN_GRAM}), 1, 8))::BIGINT AS h
+            FROM pos0
+        ),
+        wmin AS (
+            SELECT doc_id, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN {WIN_W - 1} PRECEDING AND CURRENT ROW)
+                       AS fp
+            FROM grams
+        ),
+        fps AS (
+            SELECT DISTINCT doc_id, fp FROM wmin WHERE pos >= {WIN_W}
+        ),
+        dfq AS (SELECT fp, count(DISTINCT doc_id) AS df FROM fps GROUP BY fp),
+        fpp AS (
+            SELECT fps.doc_id, fps.fp FROM fps JOIN dfq USING (fp)
+            WHERE df <= {WIN_MAX_DF}
+        )
+        SELECT a.doc_id AS d1, b.doc_id AS d2, count(*) AS n_shared
+        FROM fpp a JOIN fpp b ON a.fp = b.fp AND a.doc_id < b.doc_id
+        GROUP BY d1, d2
+        HAVING count(*) >= {WIN_MIN_SHARED}
+        ORDER BY d1, d2
+    """,
+)
+def winnowing_dup_passages(
+    spark: SparkSession, sf_dir: str,
+    min_shared: int = WIN_MIN_SHARED,
+    max_df: int = WIN_MAX_DF,
+) -> DataFrame:
+    """Doc pairs sharing >= ``min_shared`` winnowed passage fingerprints
+    (k={WIN_K} token grams, window w={WIN_W}; any shared run of
+    w+k-1 tokens is guaranteed caught). Positions are 1-based in both
+    engines (Spark ``element_at`` / DuckDB list indexing) so window
+    boundaries align bit-for-bit."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(T.tokens(F.col("text")), lambda t: t != "")
+    n_pos = F.greatest(F.size("tk") - (WIN_K - 1), F.lit(0))
+    # sequence(1, 0) would generate a DESCENDING [1, 0] — guard empties
+    seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    gram = lambda i: F.concat_ws(  # noqa: E731
+        "_", *[F.element_at(F.col("tk"), i + j) for j in range(WIN_K)]
+    )
+    grams = (
+        docs.select("doc_id", tk.alias("tk"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.transform(seq, lambda i: F.struct(i.alias("pos"), gram(i).alias("g")))
+            ).alias("pg"),
+        )
+        .select("doc_id", F.col("pg.pos").alias("pos"), T.hash64(F.col("pg.g"), "win").alias("h"))
+    )
+    w = W.partitionBy("doc_id").orderBy("pos").rowsBetween(-(WIN_W - 1), 0)
+    fps = (
+        grams.select("doc_id", "pos", F.min("h").over(w).alias("fp"))
+        .filter(F.col("pos") >= WIN_W)
+        .select("doc_id", "fp")
+        .distinct()
+    )
+    dfq = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("df"))
+    fpp = fps.join(F.broadcast(dfq.filter(F.col("df") <= max_df)), "fp").select(
+        "doc_id", "fp"
+    )
+    a = fpp.select(F.col("doc_id").alias("d1"), "fp")
+    b = fpp.select(F.col("doc_id").alias("d2"), "fp")
+    return (
+        a.join(b, ["fp"])
+        .filter(F.col("d1") < F.col("d2"))
+        .groupBy("d1", "d2")
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+        .orderBy("d1", "d2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator accuracy audit: on the LSH candidate pairs, compare
+# the SIGNATURE-estimated jaccard (fraction of agreeing minhash
+# components — the unbiased classic estimator, granularity 1/8 at 8
+# hashes) against the EXACT shingle jaccard, banded by exact similarity.
+# Quantifies what the signature length buys: the per-band MAE is the
+# number to read before shrinking/growing N_HASHES.
+# ---------------------------------------------------------------------------
+_SQL_EST = (
+    "("
+    + " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    + f")::DOUBLE / {N_HASHES}"
+)
+
+
+@register(
+    "minhash_estimate_audit",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        scored AS (
+            SELECT c.d1, c.d2,
+                   {_SQL_EST} AS est_j,
+                   len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                       / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                       AS exact_j
+            FROM cand c
+            JOIN sig a ON c.d1 = a.doc_id
+            JOIN sig b ON c.d2 = b.doc_id
+            JOIN shset s1 ON c.d1 = s1.doc_id
+            JOIN shset s2 ON c.d2 = s2.doc_id
+        )
+        SELECT floor(exact_j * 5) / 5 AS j_band,
+               count(*) AS n_pairs,
+               round(avg(est_j), 6) AS avg_est,
+               round(avg(exact_j), 6) AS avg_exact,
+               round(avg(abs(est_j - exact_j)), 6) AS mae
+        FROM scored
+        GROUP BY j_band
+        ORDER BY j_band
+    """,
+)
+def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-exact-jaccard-band accuracy of the 8-hash MinHash estimator
+    over the LSH candidate set: mean estimated vs mean exact similarity
+    and mean absolute error. Exact overlap counts ride free off the
+    memoized candidate pipeline; signatures join back by doc_id
+    (candidate-bounded, broadcast)."""
+    sc = _scored_candidates(spark, sf_dir)
+    exact = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    sig = _signature_df(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("d1"), *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("d2"), *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    est = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        est = term if est is None else est + term
+    est = est.cast("double") / N_HASHES
+    scored = (
+        sc.select("d1", "d2", exact.alias("exact_j"))
+        .join(a, "d1")
+        .join(b, "d2")
+        .select("d1", "d2", "exact_j", est.alias("est_j"))
+    )
+    return (
+        scored.groupBy((F.floor(F.col("exact_j") * 5) / 5).alias("j_band"))
+        .agg(
+            F.count("*").alias("n_pairs"),
+            F.round(F.avg("est_j"), 6).alias("avg_est"),
+            F.round(F.avg("exact_j"), 6).alias("avg_exact"),
+            F.round(F.avg(F.abs(F.col("est_j") - F.col("exact_j"))), 6).alias("mae"),
+        )
+        .orderBy("j_band")
+    )

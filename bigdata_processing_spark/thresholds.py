@@ -32,6 +32,14 @@ MAX_BUCKET = 25       # LSH buckets larger than this are skipped
 # Audit sampling
 AUDIT_SAMPLE_DOCS = 200  # all-pairs ground truth is quadratic: sample-bounded
 
+# Winnowing (passage-level fingerprinting, Schleimer et al. SIGMOD'03)
+WIN_K = 3            # token-gram size
+WIN_W = 4            # winnowing window (in grams)
+# guarantee: any shared token run of length >= WIN_W + WIN_K - 1 (= 6
+# tokens) shares at least one selected fingerprint
+WIN_MIN_SHARED = 2   # doc pairs reported at >= this many shared fingerprints
+WIN_MAX_DF = MAX_DF  # fingerprints in more docs than this are boilerplate
+
 
 def edit_len_gap_mult(threshold: float) -> int:
     """Integer length-gap prune factor for edit similarity ``threshold``:

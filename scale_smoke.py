@@ -54,6 +54,10 @@ QUERIES = [
     "session_funnel",
     "resample_hourly_ffill",
     "binary_rerank_knn",
+    # round-4 additions
+    "lsh_band_sweep",
+    "winnowing_dup_passages",
+    "ivf_append_assignment",
 ]
 
 
@@ -99,7 +103,11 @@ def main() -> None:
     )
 
     q = bench_queries()
-    for name in QUERIES:
+    # optional focus list: SCALE_SMOKE_QUERIES=a,b,c restricts the run
+    # (used for targeted deep-scale rows, e.g. the 30x dup_clusters smoke)
+    focus = os.environ.get("SCALE_SMOKE_QUERIES")
+    names = [s for s in focus.split(",") if s] if focus else QUERIES
+    for name in names:
         row = {"query": name, "n": n}
         for label, d in (("sec_1x", sf_dir), (f"sec_{n}x", scaled_dir)):
             t0 = time.monotonic()

@@ -74,4 +74,4 @@ def test_cc_pseudorandom_graph(spark):
 def test_cc_empty_and_selfloop_edges(spark):
     got, rounds = _run(spark, [(7, 7)])  # self-loop only → no components
     assert got == {}
-    assert rounds == 1
+    assert rounds == 0  # empty edge set is trivially a star forest
