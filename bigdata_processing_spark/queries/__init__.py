@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "ivf_append_assignment",
     "winnowing_dup_passages",
     "minhash_estimate_audit",
+    "dup_cluster_size_histogram",
     "dup_clusters",
     "dedup_survivors",
     "cross_source_dup_matrix",

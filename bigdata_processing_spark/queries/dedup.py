@@ -1375,8 +1375,8 @@ def winnowing_dup_passages(
     max_df: int = WIN_MAX_DF,
 ) -> DataFrame:
     """Doc pairs sharing >= ``min_shared`` winnowed passage fingerprints
-    (k={WIN_K} token grams, window w={WIN_W}; any shared run of
-    w+k-1 tokens is guaranteed caught). Positions are 1-based in both
+    (k=WIN_K token grams, window w=WIN_W; any shared run of w+k-1
+    tokens is guaranteed caught). Positions are 1-based in both
     engines (Spark ``element_at`` / DuckDB list indexing) so window
     boundaries align bit-for-bit."""
     from pyspark.sql import Window as W
@@ -1502,4 +1502,58 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.abs(F.col("est_j") - F.col("exact_j"))), 6).alias("mae"),
         )
         .orderBy("j_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Cluster-size histogram over the near-dup components: how big dup
+# clusters get is the number that sizes everything downstream (survivor
+# selection fan-in, LSH bucket caps, CC round expectations). Rides the
+# memoized connected-components labels.
+# ---------------------------------------------------------------------------
+@register(
+    "dup_cluster_size_histogram",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION SELECT d2, d1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+        ),
+        lab AS (
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM lab GROUP BY cluster_id)
+        SELECT cluster_size,
+               count(*) AS n_clusters,
+               (cluster_size * count(*))::BIGINT AS n_docs
+        FROM sz
+        GROUP BY cluster_size
+        ORDER BY cluster_size
+    """,
+)
+def dup_cluster_size_histogram(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """(cluster size → number of clusters, docs covered) over the
+    near-dup components. Two tiny keyed rollups on the memoized label
+    set — in a session that ran any dedup query this never touches the
+    corpus."""
+    labels = _cluster_labels(spark, sf_dir, jaccard_threshold)
+    sz = labels.groupBy("cluster_id").agg(F.count("*").alias("cluster_size"))
+    return (
+        sz.groupBy("cluster_size")
+        .agg(F.count("*").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters")).alias("n_docs"),
+        )
+        .orderBy("cluster_size")
     )

@@ -830,7 +830,7 @@ _SQL_APPEND_BASE = (
 )
 def ivf_append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frozen-quantizer append scenario: hash-split the corpus into a
-    base index (~80%) and an arriving batch (~20%); seed {APPEND_K}
+    base index (~80%) and an arriving batch (~20%); seed APPEND_K=16
     centroids from the base slice; assign EVERYTHING against those
     frozen centroids; report per-cell base/appended postings plus the
     appended fraction and whether it crosses the refit threshold
