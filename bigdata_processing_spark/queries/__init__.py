@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winnowing_dup_passages",
     "minhash_estimate_audit",
     "dup_cluster_size_histogram",
+    "dedup_verifier_matrix",
     "dup_clusters",
     "dedup_survivors",
     "cross_source_dup_matrix",

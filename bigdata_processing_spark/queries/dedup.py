@@ -1557,3 +1557,105 @@ def dup_cluster_size_histogram(
         )
         .orderBy("cluster_size")
     )
+
+
+# ---------------------------------------------------------------------------
+# Verifier-ensemble matrix: the three exact verifiers that all run on
+# the SAME LSH candidate set — global Jaccard, containment (subset
+# dups), normalized edit similarity (short-record dups) — with each
+# one's pair count and overlap against the Jaccard baseline. The
+# one-glance report for choosing which verifier(s) a corpus needs:
+# containment surfacing pairs Jaccard misses means digest/subset
+# duplication; edit-only pairs mean token-shingle granularity is too
+# coarse for the record shape.
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_verifier_matrix",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        ),
+        sc AS (
+            SELECT c.d1, c.d2,
+                   len(list_intersect(s1.sh, s2.sh)) AS inter,
+                   len(s1.sh) AS n1, len(s2.sh) AS n2
+            FROM cand c
+            JOIN shset s1 ON c.d1 = s1.doc_id
+            JOIN shset s2 ON c.d2 = s2.doc_id
+        ),
+        jac AS (
+            SELECT d1, d2 FROM sc
+            WHERE inter::DOUBLE / (n1 + n2 - inter) >= {JACCARD_THRESHOLD}
+        ),
+        con AS (
+            SELECT d1, d2 FROM sc
+            WHERE inter::DOUBLE / least(n1, n2) >= {CONTAINMENT_THRESHOLD}
+        ),
+        edt AS (
+            SELECT c.d1, c.d2
+            FROM cand c
+            JOIN documents t1 ON c.d1 = t1.doc_id
+            JOIN documents t2 ON c.d2 = t2.doc_id
+            WHERE {EDIT_LEN_GAP_MULT} * abs(length(t1.text) - length(t2.text))
+                      <= greatest(length(t1.text), length(t2.text))
+              AND round(1 - levenshtein(t1.text, t2.text)::DOUBLE
+                            / greatest(length(t1.text), length(t2.text)), 6)
+                  >= {EDIT_SIM_THRESHOLD}
+        )
+        SELECT * FROM (
+            SELECT 'candidates' AS verifier,
+                   (SELECT count(*) FROM cand) AS n_pairs,
+                   (SELECT count(*) FROM jac) AS n_also_jaccard
+            UNION ALL
+            SELECT 'containment',
+                   (SELECT count(*) FROM con),
+                   (SELECT count(*) FROM con c JOIN jac j
+                     ON c.d1 = j.d1 AND c.d2 = j.d2)
+            UNION ALL
+            SELECT 'edit_distance',
+                   (SELECT count(*) FROM edt),
+                   (SELECT count(*) FROM edt e JOIN jac j
+                     ON e.d1 = j.d1 AND e.d2 = j.d2)
+            UNION ALL
+            SELECT 'jaccard',
+                   (SELECT count(*) FROM jac),
+                   (SELECT count(*) FROM jac)
+        ) ORDER BY verifier
+    """,
+)
+def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-verifier pair counts over the shared candidate set and each
+    verifier's overlap with the Jaccard baseline. Every branch reads
+    the memoized candidate/edit intermediates, so in a warm session
+    this is four count-aggregations over persisted pair sets."""
+    sc = _scored_candidates(spark, sf_dir)
+    jaccard = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    containment = F.col("inter").cast("double") / F.least("n1", "n2")
+    jac = sc.filter(jaccard >= JACCARD_THRESHOLD).select("d1", "d2")
+    con = sc.filter(containment >= CONTAINMENT_THRESHOLD).select("d1", "d2")
+    pre = _edit_pruned_pairs(spark, sf_dir)
+    maxlen = F.greatest(F.length("x1"), F.length("x2"))
+    esim = F.round(1 - F.levenshtein("x1", "x2").cast("double") / maxlen, 6)
+    edt = pre.filter(esim >= EDIT_SIM_THRESHOLD).select("d1", "d2")
+
+    def row(name: str, pairs: DataFrame) -> DataFrame:
+        n = pairs.agg(F.count("*").alias("n_pairs"))
+        overlap = pairs.join(jac, ["d1", "d2"]).agg(
+            F.count("*").alias("n_also_jaccard")
+        )
+        return n.crossJoin(overlap).select(
+            F.lit(name).alias("verifier"), "n_pairs", "n_also_jaccard"
+        )
+
+    cand = sc.select("d1", "d2")
+    out = (
+        row("candidates", cand)
+        .unionByName(row("containment", con))
+        .unionByName(row("edit_distance", edt))
+        .unionByName(row("jaccard", jac))
+    )
+    return out.orderBy("verifier")

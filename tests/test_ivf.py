@@ -285,3 +285,68 @@ def test_append_assignment_query_matches_disk_operator(spark, tmp_path):
         if r.n_base_vecs + r.n_appended_vecs > 0
     }
     assert got == want
+
+
+def test_streaming_ingest_into_disk_ivf_index(spark, tmp_path):
+    """Structured-Streaming ingest into a disk-resident IVF index: each
+    micro-batch of arriving vectors is assigned against the FROZEN
+    centroids via append_to_ivf_index inside foreachBatch — the
+    living-ANN-index contract (streaming/dedup.py is the dedup analog).
+    Two micro-batches (maxFilesPerTrigger=1 over two files) prove the
+    per-batch append path; postings must equal base + both batches with
+    no refit."""
+    import os
+
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.operators.ivf import (
+        append_to_ivf_index,
+        seed_centroids,
+        seeded_assign_best,
+        write_ivf_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
+        (T.hash64(F.col("vec_id").cast("string"), "stream") % 2 == 0).alias("is_base"),
+    )
+    base, new = emb.filter("is_base"), emb.filter("NOT is_base")
+    cents = seed_centroids(base, 8, vec_col="e")
+    idx_path = os.path.join(str(tmp_path), "ivf_stream")
+    write_ivf_index(
+        base.select(
+            "vec_id", "e", "nrm",
+            seeded_assign_best(cents).getField("cell").alias("cell"),
+        ),
+        cents,
+        idx_path,
+    )
+    n_base = spark.read.parquet(f"{idx_path}/postings").count()
+
+    # stage the arriving batch as TWO parquet files -> two micro-batches
+    stage = os.path.join(str(tmp_path), "arrivals")
+    new.select("vec_id", F.col("e").cast("array<float>").alias("embedding")) \
+        .repartition(2).write.parquet(stage)
+
+    appended_per_batch = []
+
+    def sink(batch_df, _bid):
+        n, refit = append_to_ivf_index(
+            idx_path, batch_df, refit_threshold=1.0  # never refit: deterministic
+        )
+        appended_per_batch.append(n)
+        assert not refit
+
+    stream = (
+        spark.readStream.schema("vec_id bigint, embedding array<float>")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination()
+
+    assert len(appended_per_batch) == 2
+    n_new = new.count()
+    assert sum(appended_per_batch) == n_new
+    assert spark.read.parquet(f"{idx_path}/postings").count() == n_base + n_new
