@@ -162,6 +162,53 @@ def seeded_probe_cells(cents: list[list[float]], n_probe: int, e_col: str = "e")
     )
 
 
+def seeded_assign_cells(
+    emb: DataFrame, cents: list[list[float]], id_col: str = "vec_id",
+    e_col: str = "e",
+) -> DataFrame:
+    """(id, cell) assignment against seed centroids via a broadcast
+    join + min-struct aggregation — bit-identical to
+    :func:`seeded_assign_best` but with an O(1)-size plan.
+
+    The literal-SQL form embeds cells×dim double literals: at 51 cells ×
+    64 dims that is a 135 KB expression costing ~1.2 s to parse and a
+    codegen blow-up to execute per invocation. Here the centroids are
+    DATA (a k-row broadcast DataFrame carrying the presummed c·c), and
+    the argmin is ``min(struct(sc, cell))`` grouped by id — field-wise
+    struct comparison, the same (s, cell) ordering as ``array_min`` over
+    the literal score array. The per-pair score uses the identical
+    ``aggregate(zip_with(e, cent))`` IEEE fold, and c·c is the same
+    sequential Python fold stored exactly as a double, so assignments
+    match the SQL oracle bit-for-bit (asserted in tests/test_ivf.py).
+
+    Shuffle: the crossJoin is broadcast (k rows); the argmin agg
+    combines map-side to one struct per id before any exchange."""
+
+    def self_dot(v: list[float]) -> float:
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc
+
+    spark = emb.sparkSession
+    cdf = spark.createDataFrame(
+        [(i, c, self_dot(c)) for i, c in enumerate(cents)],
+        "cell int, cent array<double>, cc double",
+    )
+    sc_expr = F.col("cc") - 2.0 * F.aggregate(
+        F.zip_with(e_col, "cent", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    return (
+        emb.select(id_col, e_col)
+        .crossJoin(F.broadcast(cdf))
+        .select(id_col, F.struct(sc_expr.alias("s"), F.col("cell")).alias("sc"))
+        .groupBy(id_col)
+        .agg(F.min("sc").getField("cell").alias("cell"))
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     vec_col: str = "embedding",

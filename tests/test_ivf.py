@@ -350,3 +350,28 @@ def test_streaming_ingest_into_disk_ivf_index(spark, tmp_path):
     n_new = new.count()
     assert sum(appended_per_batch) == n_new
     assert spark.read.parquet(f"{idx_path}/postings").count() == n_base + n_new
+
+
+def test_seeded_assign_join_matches_literal_sql_form(spark):
+    """seeded_assign_cells (broadcast-join argmin) must produce exactly
+    the same cell per vector as seeded_assign_best (literal-SQL score
+    array) — the bit-exactness contract that lets queries swap in the
+    O(1)-plan-size form while their DuckDB oracles keep the SQL form."""
+    from bigdata_processing_spark.operators.ivf import (
+        seed_centroids,
+        seeded_assign_best,
+        seeded_assign_cells,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("e")
+    )
+    cents = seed_centroids(emb, 13, vec_col="e")
+    lit = {
+        r.vec_id: r.cell
+        for r in emb.withColumn(
+            "cell", seeded_assign_best(cents).getField("cell")
+        ).select("vec_id", "cell").collect()
+    }
+    join = {r.vec_id: r.cell for r in seeded_assign_cells(emb, cents).collect()}
+    assert lit == join and len(lit) == emb.count()
