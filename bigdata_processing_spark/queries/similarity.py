@@ -845,7 +845,7 @@ def ivf_append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.operators.ivf import (
         REFIT_THRESHOLD,
         seed_centroids,
-        seeded_assign_best,
+        seeded_assign_cells,
     )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
@@ -857,7 +857,9 @@ def ivf_append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("is_base"),
     )
     cents = seed_centroids(emb.filter(F.col("is_base")), APPEND_K, vec_col="e")
-    assigned = emb.withColumn("cell", seeded_assign_best(cents).getField("cell"))
+    # join-form assigner: bit-equal to the oracle's literal score array
+    # with an O(1)-size plan (operators/ivf.seeded_assign_cells)
+    assigned = emb.join(seeded_assign_cells(emb, cents), "vec_id")
     counts = assigned.groupBy("cell").agg(
         F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base_vecs"),
         F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("n_appended_vecs"),
