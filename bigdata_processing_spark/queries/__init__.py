@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_estimate_audit",
     "dup_cluster_size_histogram",
     "dedup_verifier_matrix",
+    "dedup_survivors_by_quality",
     "dup_clusters",
     "dedup_survivors",
     "cross_source_dup_matrix",

@@ -1664,3 +1664,120 @@ def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionByName(row("jaccard", jac))
     )
     return out.orderBy("verifier")
+
+
+# ---------------------------------------------------------------------------
+# Quality-aware survivor selection: keep-BEST instead of keep-first.
+# Real pipelines keep the highest-quality member of a dup cluster (the
+# clean original, not a truncated mirror) — min-doc_id is an arbitrary
+# tie-break. Survivor = argmax quality score (the same len/stopword/
+# punct heuristic as quality_scores), doc_id-ascending on ties; the
+# policy-delta column counts docs whose keep/remove decision differs
+# from the min-id policy (what switching policies actually changes).
+# ---------------------------------------------------------------------------
+@register(
+    "dedup_survivors_by_quality",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION SELECT d2, d1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+        ),
+        lab AS (
+            SELECT node AS doc_id, min(r) AS cluster_id
+            FROM reach GROUP BY node
+        ),
+        members AS (
+            SELECT d.doc_id, d.source, lab.cluster_id,
+                   0.5 * least(length(d.text) / 500.0, 1.0)
+                   + 0.3 * (len(list_filter(string_split(d.text, ' '),
+                                            t -> t IN ('a','and','in','is','of','the','to')))::DOUBLE
+                            / greatest(len(list_filter(string_split(d.text, ' '), t -> t <> '')), 1))
+                   + 0.2 * (1 - len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]'))::DOUBLE
+                                / greatest(length(d.text), 1)) AS score
+            FROM documents d JOIN lab ON d.doc_id = lab.doc_id
+        ),
+        surv AS (
+            SELECT cluster_id, doc_id AS survivor FROM (
+                SELECT cluster_id, doc_id,
+                       row_number() OVER (PARTITION BY cluster_id
+                                          ORDER BY score DESC, doc_id ASC) AS rn
+                FROM members
+            ) WHERE rn = 1
+        ),
+        perdoc AS (
+            SELECT m.source,
+                   CASE WHEN m.doc_id <> s.survivor THEN 1 ELSE 0 END AS removed_q,
+                   CASE WHEN m.doc_id <> m.cluster_id THEN 1 ELSE 0 END AS removed_minid
+            FROM members m JOIN surv s ON m.cluster_id = s.cluster_id
+        )
+        SELECT source,
+               count(*) AS dup_members,
+               sum(removed_q)::BIGINT AS removed,
+               (count(*) - sum(removed_q))::BIGINT AS kept,
+               sum(CASE WHEN removed_q <> removed_minid THEN 1 ELSE 0 END)::BIGINT
+                   AS policy_changed_docs
+        FROM perdoc
+        GROUP BY source
+        ORDER BY source
+    """,
+)
+def dedup_survivors_by_quality(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Per-source dup accounting under keep-best-quality survivor
+    policy, with the count of docs whose decision flips vs keep-first.
+
+    Scale shape: quality scores are computed ONLY for dup-cluster
+    members (labels broadcast into the docs scan — members ≪ corpus);
+    the argmax is one window over cluster-sized partitions."""
+    from pyspark.sql import Window as W
+
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir, jaccard_threshold)
+    score = (
+        0.5 * F.least(F.length("text") / 500.0, F.lit(1.0))
+        + 0.3
+        * (
+            T.stopword_count(F.col("text")).cast("double")
+            / F.greatest(T.token_count(F.col("text")), F.lit(1))
+        )
+        + 0.2
+        * (
+            1
+            - T.punct_count(F.col("text")).cast("double")
+            / F.greatest(F.length("text"), F.lit(1))
+        )
+    )
+    members = docs.join(F.broadcast(labels), "doc_id").select(
+        "doc_id", "source", "cluster_id", score.alias("score")
+    )
+    w = W.partitionBy("cluster_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    surv = (
+        members.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("cluster_id", F.col("doc_id").alias("survivor"))
+    )
+    perdoc = members.join(surv, "cluster_id").select(
+        "source",
+        F.when(F.col("doc_id") != F.col("survivor"), 1).otherwise(0).alias("removed_q"),
+        F.when(F.col("doc_id") != F.col("cluster_id"), 1).otherwise(0).alias("removed_minid"),
+    )
+    return (
+        perdoc.groupBy("source")
+        .agg(
+            F.count("*").alias("dup_members"),
+            F.sum("removed_q").alias("removed"),
+            (F.count("*") - F.sum("removed_q")).alias("kept"),
+            F.sum(
+                F.when(F.col("removed_q") != F.col("removed_minid"), 1).otherwise(0)
+            ).alias("policy_changed_docs"),
+        )
+        .orderBy("source")
+    )
