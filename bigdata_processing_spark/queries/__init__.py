@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dup_cluster_size_histogram",
     "dedup_verifier_matrix",
     "dedup_survivors_by_quality",
+    "doc_novelty_bands",
     "dup_clusters",
     "dedup_survivors",
     "cross_source_dup_matrix",

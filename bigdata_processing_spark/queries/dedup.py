@@ -1781,3 +1781,77 @@ def dedup_survivors_by_quality(
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Document novelty: the share of a doc's distinct bigrams that are
+# corpus-COMMON (document frequency >= NOVELTY_COMMON_DF). Low-novelty
+# docs are templates/recombinations of corpus-wide phrasing; high-
+# novelty docs carry unique content — the doc-grain complement to the
+# chunk-grain boilerplate detector and the dedup family's pair grain.
+# ---------------------------------------------------------------------------
+NOVELTY_COMMON_DF = 10
+
+
+@register(
+    "doc_novelty_bands",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM shex GROUP BY s),
+        perdoc AS (
+            SELECT shex.doc_id,
+                   count(*) AS n_shingles,
+                   sum(CASE WHEN dfreq.df >= {NOVELTY_COMMON_DF} THEN 1 ELSE 0 END)
+                       AS n_common
+            FROM shex JOIN dfreq USING (s)
+            GROUP BY shex.doc_id
+        ),
+        banded AS (
+            SELECT doc_id, n_shingles,
+                   1 - n_common::DOUBLE / n_shingles AS novelty,
+                   least(floor((1 - n_common::DOUBLE / n_shingles) * 5), 4)::BIGINT
+                       AS novelty_band
+            FROM perdoc
+        )
+        SELECT novelty_band,
+               count(*) AS n_docs,
+               round(avg(novelty), 6) AS avg_novelty,
+               round(avg(n_shingles), 6) AS avg_shingles
+        FROM banded
+        GROUP BY novelty_band
+        ORDER BY novelty_band
+    """,
+)
+def doc_novelty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs banded by bigram novelty (share of the doc's distinct
+    bigrams with corpus df < NOVELTY_COMMON_DF), 5 bands. One shingle
+    explode + a vocabulary-sized df table broadcast back — the same
+    two-pass shape as the DF-pruned MinHash pipeline; nothing but
+    (doc_id, counters) ever shuffles. Docs with no bigrams (single-token
+    texts) drop out in both engines (no shex rows)."""
+    shex = _shingle_df(spark, sf_dir).select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    perdoc = (
+        shex.join(F.broadcast(dfreq), "s")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_shingles"),
+            F.sum(
+                F.when(F.col("df") >= NOVELTY_COMMON_DF, 1).otherwise(0)
+            ).alias("n_common"),
+        )
+    )
+    novelty = 1 - F.col("n_common").cast("double") / F.col("n_shingles")
+    band = F.least(F.floor(novelty * 5), F.lit(4)).cast("bigint")
+    return (
+        perdoc.select("n_shingles", novelty.alias("novelty"), band.alias("novelty_band"))
+        .groupBy("novelty_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("novelty"), 6).alias("avg_novelty"),
+            F.round(F.avg("n_shingles").cast("double"), 6).alias("avg_shingles"),
+        )
+        .orderBy("novelty_band")
+    )
