@@ -70,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_verifier_matrix",
     "dedup_survivors_by_quality",
     "doc_novelty_bands",
+    "bigram_perplexity_bands",
     "dup_clusters",
     "dedup_survivors",
     "cross_source_dup_matrix",

@@ -186,3 +186,118 @@ def data_quality_checks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("check_name")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bigram language-model cross-entropy: fit an add-k-smoothed bigram LM
+# on the corpus itself and score every document's per-bigram cross-
+# entropy against it. The step up from unigram surprisal
+# (queries/quality.py): word-ORDER anomalies (shuffled text, keyword
+# stuffing, concatenated fragments) score high here while passing
+# unigram screens. Classic CCNet/Gopher-style quality signal, here
+# entirely relational: two count aggregations + an occurrence join.
+# ---------------------------------------------------------------------------
+BIGRAM_ADD_K = 0.5
+
+
+@register(
+    "bigram_perplexity_bands",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents
+        ),
+        occ0 AS (
+            SELECT doc_id, tk,
+                   unnest(range(1, greatest(len(tk) - 1, 0) + 1)) AS pos
+            FROM toks
+        ),
+        occ AS (
+            SELECT doc_id, tk[pos] AS w1, tk[pos + 1] AS w2 FROM occ0
+        ),
+        bc AS (SELECT w1, w2, count(*) AS c2 FROM occ GROUP BY w1, w2),
+        ctx AS (SELECT w1, sum(c2) AS c1 FROM bc GROUP BY w1),
+        voc AS (
+            SELECT count(DISTINCT t) AS v FROM (
+                SELECT unnest(tk) AS t FROM toks
+            )
+        ),
+        scored AS (
+            SELECT o.doc_id,
+                   -log2((bc.c2 + {BIGRAM_ADD_K}) / (ctx.c1 + {BIGRAM_ADD_K} * voc.v))
+                       AS nll
+            FROM occ o
+            JOIN bc ON o.w1 = bc.w1 AND o.w2 = bc.w2
+            JOIN ctx ON o.w1 = ctx.w1
+            CROSS JOIN voc
+        ),
+        perdoc AS (
+            SELECT doc_id, avg(nll) AS ce, count(*) AS n_bigrams
+            FROM scored GROUP BY doc_id
+        )
+        SELECT least(floor(ce), 15)::BIGINT AS ce_band,
+               count(*) AS n_docs,
+               round(avg(ce), 6) AS avg_ce,
+               round(avg(n_bigrams), 6) AS avg_bigrams
+        FROM perdoc
+        GROUP BY ce_band
+        ORDER BY ce_band
+    """,
+)
+def bigram_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Documents banded by add-k bigram cross-entropy (bits/bigram)
+    against the corpus-fit LM. Counts shuffle by bigram once; the
+    context totals are a rollup OF the bigram counts (no second corpus
+    pass); each occurrence joins its probability by bigram key. At
+    100 TB the LM tables are vocabulary²-bounded (≪ corpus) and the
+    occurrence join is the only data-sized shuffle."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(F.split("text", " "), lambda t: t != "")
+    toks = docs.select("doc_id", tk.alias("tk"))
+    n_pos = F.greatest(F.size("tk") - 1, F.lit(0))
+    seq = F.when(n_pos >= 1, F.sequence(F.lit(1), n_pos)).otherwise(
+        F.array().cast("array<int>")
+    )
+    occ = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                seq,
+                lambda i: F.struct(
+                    F.element_at("tk", i).alias("w1"),
+                    F.element_at("tk", i + 1).alias("w2"),
+                ),
+            )
+        ).alias("b"),
+    ).select("doc_id", F.col("b.w1").alias("w1"), F.col("b.w2").alias("w2"))
+    bc = occ.groupBy("w1", "w2").agg(F.count("*").alias("c2"))
+    ctx = bc.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    voc = toks.select(F.explode("tk").alias("t")).agg(
+        F.countDistinct("t").alias("v")
+    )
+    nll = -F.log2(
+        (F.col("c2") + BIGRAM_ADD_K) / (F.col("c1") + BIGRAM_ADD_K * F.col("v"))
+    )
+    scored = (
+        occ.join(bc, ["w1", "w2"])
+        .join(ctx, "w1")
+        .crossJoin(F.broadcast(voc))
+        .select("doc_id", nll.alias("nll"))
+    )
+    perdoc = scored.groupBy("doc_id").agg(
+        F.avg("nll").alias("ce"), F.count("*").alias("n_bigrams")
+    )
+    return (
+        perdoc.select(
+            F.least(F.floor("ce"), F.lit(15)).cast("bigint").alias("ce_band"),
+            "ce",
+            "n_bigrams",
+        )
+        .groupBy("ce_band")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ce"), 6).alias("avg_ce"),
+            F.round(F.avg("n_bigrams").cast("double"), 6).alias("avg_bigrams"),
+        )
+        .orderBy("ce_band")
+    )

@@ -435,3 +435,55 @@ def unigram_surprisal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality screen (zlib): deflate(text)/len(text) — the
+# classic corpus-filter signal (highly repetitive or templated docs
+# compress far below natural prose; random noise barely compresses).
+# Needs a real compressor, so this is the registry's showcase ARROW-
+# BATCHED pandas UDF (not a row-at-a-time Python UDF): zlib runs per
+# batch on the executors, everything around it stays relational.
+# No DuckDB twin exists (no compression functions in its SQL surface) →
+# register(driver=False): bench-tracked + pytest-gated
+# (tests/test_functions.py), like the k-means family.
+# ---------------------------------------------------------------------------
+@register("compression_ratio_bands", driver=False)
+def compression_ratio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Docs banded by zlib compression ratio (compressed/raw bytes,
+    level 6), 10 bands of width 0.1 capped at band 9. The UDF is
+    vectorized over Arrow batches; the scan projects only (doc_id,
+    text) and the rollup shuffles counters only."""
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    def _ratio_fn(texts):
+        import zlib
+
+        def one(t):
+            if not t:
+                return None
+            raw = t.encode("utf-8")
+            return len(zlib.compress(raw, 6)) / len(raw)
+
+        return texts.map(one)
+
+    # `from __future__ import annotations` stringifies signatures, which
+    # pandas_udf can't resolve for locally-imported pandas — annotate
+    # explicitly (same idiom as operators/clustering._assign_udf)
+    _ratio_fn.__annotations__ = {"texts": pd.Series, "return": pd.Series}
+    _ratio = pandas_udf(_ratio_fn, "double")
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    scored = docs.select(
+        "doc_id", _ratio(F.col("text")).alias("ratio")
+    ).filter(F.col("ratio").isNotNull())
+    band = F.least(F.floor(F.col("ratio") * 10), F.lit(9)).cast("bigint")
+    return (
+        scored.groupBy(band.alias("ratio_band"))
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.round(F.avg("ratio"), 6).alias("avg_ratio"),
+        )
+        .orderBy("ratio_band")
+    )
