@@ -75,3 +75,29 @@ def test_cc_empty_and_selfloop_edges(spark):
     got, rounds = _run(spark, [(7, 7)])  # self-loop only → no components
     assert got == {}
     assert rounds == 0  # empty edge set is trivially a star forest
+
+
+def test_cc_property_random_graphs(spark):
+    """Property check: on arbitrary random graphs (hypothesis-driven
+    edge lists, deduplicated examples), connected_components always
+    equals union-find. Bounded examples — each case runs Spark jobs."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 30), st.integers(0, 30)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def check(edges):
+        got, _ = _run(spark, edges)
+        assert got == _union_find_labels([e for e in edges if e[0] != e[1]])
+
+    check()
