@@ -163,10 +163,10 @@ _SQL_BANDS = (
 # Session-scoped memo of the verified-pairs result: dup_clusters re-ran
 # the whole MinHash→LSH→verify pipeline that minhash_lsh_dup_pairs had
 # just computed (~75% of dup_clusters' 10×-scale cost, BASELINE.md).
-# Keyed by (Spark applicationId, sf_dir); the cached DataFrame is
+# Keyed by (Spark applicationId, sf_dir, threshold); the cached DataFrame is
 # persist()ed so the second consumer reads the materialized pairs
 # (pairs ≪ corpus) instead of re-shuffling the corpus.
-_PAIR_MEMO: dict[tuple[str, str], DataFrame] = {}
+_PAIR_MEMO: dict[tuple[str, str, float], DataFrame] = {}
 _CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
 # per-call persists consumed lazily by callers (can't be unpersisted at
 # create time) — evicted by clear_dedup_memos()
@@ -498,7 +498,7 @@ def dup_clusters(
 # dup_clusters and dedup_survivors need its output — the second
 # consumer should read the persisted (doc_id, cluster_id) result
 # (≪ corpus), not re-run the loop.
-_LABEL_MEMO: dict[tuple[str, str], DataFrame] = {}
+_LABEL_MEMO: dict[tuple[str, str, float], DataFrame] = {}
 
 
 def _cluster_labels(
@@ -952,7 +952,7 @@ def containment_dup_pairs(
 # inlining the levenshtein expression into both the similarity filter
 # and the output projection and re-deriving the candidate subtree around
 # it (measured 29s vs 2s at sf0.1 for identical results).
-_EDIT_PRE_MEMO: dict[tuple[str, str], DataFrame] = {}
+_EDIT_PRE_MEMO: dict[tuple[str, str, float], DataFrame] = {}
 
 
 def _edit_pruned_pairs(
