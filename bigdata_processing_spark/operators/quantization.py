@@ -48,3 +48,111 @@ def quantized_dot(qa: Column, sa: Column, qb: Column, sb: Column) -> Column:
         lambda acc, x: acc + x,
     )
     return int_dot.cast("double") * sa * sb
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (Jégou et al. TPAMI'11): per-subspace codebooks.
+# The SEEDED codebook variant lives in queries/similarity.pq_adc_knn
+# (bit-exact, DuckDB-oracle-checked); this is the PRODUCTION fit — the
+# same split-encode-ADC machinery with per-subspace k-means-refined
+# codebooks (mirrors the knn_ivf_seeded / knn_ivf_kmeans split).
+# ---------------------------------------------------------------------------
+def pq_fit(
+    emb: DataFrame,
+    vec_col: str = "e",
+    n_subspaces: int = 8,
+    k: int = 16,
+    n_iter: int = 3,
+) -> list[list[list[float]]]:
+    """Fit per-subspace codebooks: ``codebooks[m][cell]`` is an
+    (dim / n_subspaces)-dim centroid from k-means over that slice of
+    every vector. n_subspaces independent small k-means fits — each a
+    distributed Lloyd loop over an 8-dim projection (cheap; at 100 TB
+    fit on a hash-sample like build_ivf_index)."""
+    from bigdata_processing_spark.operators.clustering import kmeans_centroids
+
+    dim = len(emb.select(vec_col).first()[0])
+    sub = dim // n_subspaces
+    books = []
+    for m in range(n_subspaces):
+        # kmeans_centroids expects a vec_id column alongside the vectors
+        sl = emb.select("vec_id", F.slice(vec_col, sub * m + 1, sub).alias("se"))
+        cents, _ = kmeans_centroids(
+            sl, vec_col="se", k=k, n_iter=n_iter, compute_inertia=False
+        )
+        books.append(cents)
+    return books
+
+
+def _lit_arr(vv: list[float]) -> Column:
+    return F.array(*[F.lit(float(x)) for x in vv])
+
+
+def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
+              vec_col: str = "e") -> DataFrame:
+    """Append code columns k0..k{M-1}: per-subspace argmin over the
+    codebook (pure fold expressions — one projection, no shuffle)."""
+    sub = len(codebooks[0][0])
+
+    def self_dot(vv):
+        acc = 0.0
+        for x in vv:
+            acc += x * x
+        return acc
+
+    out = emb
+    for m, book in enumerate(codebooks):
+        sl = F.slice(vec_col, sub * m + 1, sub)
+        scores = F.array(
+            *[
+                F.struct(
+                    (
+                        F.lit(self_dot(c))
+                        - 2.0
+                        * F.aggregate(
+                            F.zip_with(sl, _lit_arr(c), lambda x, y: x * y),
+                            F.lit(0.0),
+                            lambda acc, v: acc + v,
+                        )
+                    ).alias("s"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, c in enumerate(book)
+            ]
+        )
+        out = out.withColumn(f"k{m}", F.array_min(scores).getField("cell"))
+    return out
+
+
+def pq_adc_search(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    top_k: int = 5,
+) -> DataFrame:
+    """ADC top-k: float queries (qid, qe, qn) against PQ codes + true
+    norm (``nrm``). Output (qid, cid, adc_cos, rn) — comparable to
+    ivf_search/knn_bruteforce for recall measurement."""
+    from pyspark.sql import Window
+
+    sub = len(codebooks[0][0])
+    joined = encoded.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+    adc = None
+    for m, book in enumerate(codebooks):
+        cbm = F.array(*[_lit_arr(c) for c in book])
+        cm = F.element_at(cbm, F.col(f"k{m}") + 1)
+        qs = F.slice("qe", sub * m + 1, sub)
+        term = F.aggregate(
+            F.zip_with(qs, cm, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        adc = term if adc is None else adc + term
+    adc_cos = F.round(adc / (F.col("qn") * F.col("nrm")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .orderBy("qid", "rn")
+    )

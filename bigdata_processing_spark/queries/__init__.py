@@ -71,6 +71,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_survivors_by_quality",
     "doc_novelty_bands",
     "bigram_perplexity_bands",
+    "pq_adc_knn",
     "dup_clusters",
     "dedup_survivors",
     "cross_source_dup_matrix",

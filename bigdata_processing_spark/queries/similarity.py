@@ -885,3 +885,169 @@ def ivf_append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Product quantization (PQ) + asymmetric-distance (ADC) search — the
+# canonical ANN compression (Jégou et al., "Product Quantization for
+# Nearest Neighbor Search", TPAMI'11), completing the quantization
+# family next to SQ8/int8/binary: split each 64-dim vector into M=8
+# 8-dim subvectors, quantize each against a per-subspace codebook of
+# K=16 centroids (64 dims → 8 bytes of codes, 32× compression), and
+# score queries against the DEQUANTIZED codes (float query vs
+# per-subspace centroid dot products, summed in fixed subspace order so
+# both engines round identically).
+#
+# Codebooks are SEEDED (subvector slices of the 16 lowest-id vectors) —
+# no k-means iteration — so encode, dequantize, and ADC ranking are all
+# bit-reproducible in ANSI SQL; ranking uses the 6-decimal-rounded ADC
+# cosine with cid tie-break so float-summation ulps can't flip ranks.
+# ---------------------------------------------------------------------------
+PQ_M = 8    # subspaces
+PQ_SUB = 8  # dims per subspace (8 × 8 = 64)
+PQ_K = 16   # centroids per subspace codebook
+
+
+def _pq_oracle() -> str:
+    codes_cols = ", ".join(
+        f"max(CASE WHEN m = {m} THEN cell END) AS k{m}" for m in range(PQ_M)
+    )
+    deq_joins = " ".join(
+        f"JOIN cb cb{m} ON cb{m}.m = {m} AND cb{m}.cell = codes.k{m}"
+        for m in range(PQ_M)
+    )
+    deq_cols = ", ".join(f"cb{m}.c AS c{m}" for m in range(PQ_M))
+    adc = " + ".join(
+        f"list_dot_product(list_slice(q.qe, {PQ_SUB * m + 1}, {PQ_SUB * (m + 1)}), d.c{m})"
+        for m in range(PQ_M)
+    )
+    return f"""
+        WITH v AS (SELECT vec_id, embedding::DOUBLE[] AS e FROM embeddings),
+        seeds AS (
+            SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell, e
+            FROM (SELECT vec_id, e FROM v ORDER BY vec_id LIMIT {PQ_K})
+        ),
+        ms AS (SELECT unnest(range(0, {PQ_M})) AS m),
+        cb AS (
+            SELECT ms.m, seeds.cell,
+                   list_slice(seeds.e, {PQ_SUB} * ms.m + 1, {PQ_SUB} * (ms.m + 1)) AS c
+            FROM seeds CROSS JOIN ms
+        ),
+        sl AS (
+            SELECT v.vec_id, ms.m,
+                   list_slice(v.e, {PQ_SUB} * ms.m + 1, {PQ_SUB} * (ms.m + 1)) AS sv
+            FROM v CROSS JOIN ms
+        ),
+        assign AS (
+            SELECT vec_id, m, cell FROM (
+                SELECT sl.vec_id, sl.m, cb.cell,
+                       row_number() OVER (
+                           PARTITION BY sl.vec_id, sl.m
+                           ORDER BY list_dot_product(cb.c, cb.c)
+                                    - 2 * list_dot_product(sl.sv, cb.c) ASC,
+                                    cb.cell ASC) AS rn
+                FROM sl JOIN cb USING (m)
+            ) WHERE rn = 1
+        ),
+        codes AS (SELECT vec_id, {codes_cols} FROM assign GROUP BY vec_id),
+        deq AS (SELECT codes.vec_id, {deq_cols} FROM codes {deq_joins}),
+        q AS (
+            SELECT vec_id AS qid, e AS qe, sqrt(list_dot_product(e, e)) AS qn
+            FROM v WHERE vec_id % 100 = 0
+        ),
+        nr AS (SELECT vec_id, sqrt(list_dot_product(e, e)) AS nrm FROM v),
+        sc AS (
+            SELECT q.qid, d.vec_id AS cid,
+                   round(({adc}) / (q.qn * nr.nrm), 6) AS adc_cos
+            FROM q
+            JOIN deq d ON d.vec_id <> q.qid
+            JOIN nr ON nr.vec_id = d.vec_id
+        )
+        SELECT qid, cid, adc_cos, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY adc_cos DESC, cid ASC) AS rn
+            FROM sc
+        )
+        WHERE rn <= 5
+        ORDER BY qid, rn
+    """
+
+
+@register("pq_adc_knn", oracle=_pq_oracle())
+def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-5: every 100th vector queries the PQ-encoded corpus.
+
+    Scale shape: codebooks are M·K tiny literals (1,024 doubles — fixed,
+    NOT growing with the corpus); encoding is a single projection per
+    vector (argmin over 16 structs per subspace, all JVM fold math); the
+    search joins broadcast queries against streaming candidates carrying
+    8 small int codes + a true norm. The ADC sum runs subspace-by-
+    subspace in fixed order, matching the oracle bit-for-bit before the
+    6-decimal rounding that makes ranking ulp-proof."""
+    from bigdata_processing_spark.operators.ivf import seed_centroids
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    seeds = seed_centroids(emb, PQ_K, vec_col="e")
+    codebook = [
+        [c[PQ_SUB * m: PQ_SUB * (m + 1)] for c in seeds] for m in range(PQ_M)
+    ]
+
+    def self_dot(vv):
+        acc = 0.0
+        for x in vv:
+            acc += x * x
+        return acc
+
+    def lit_arr(vv):
+        return F.array(*[F.lit(float(x)) for x in vv])
+
+    def dot_lit(col, vv):
+        return F.aggregate(
+            F.zip_with(col, lit_arr(vv), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+
+    # encode: per-subspace argmin over the 16-centroid codebook
+    enc = emb
+    for m in range(PQ_M):
+        sub = F.slice("e", PQ_SUB * m + 1, PQ_SUB)
+        scores = F.array(
+            *[
+                F.struct(
+                    (F.lit(self_dot(c)) - 2.0 * dot_lit(sub, c)).alias("s"),
+                    F.lit(j).alias("cell"),
+                )
+                for j, c in enumerate(codebook[m])
+            ]
+        )
+        enc = enc.withColumn(f"k{m}", F.array_min(scores).getField("cell"))
+
+    cand = enc.select("vec_id", "nrm", *[f"k{m}" for m in range(PQ_M)])
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
+    adc = None
+    for m in range(PQ_M):
+        cbm = F.array(*[lit_arr(c) for c in codebook[m]])
+        cm = F.element_at(cbm, F.col(f"k{m}") + 1)
+        qs = F.slice("qe", PQ_SUB * m + 1, PQ_SUB)
+        term = F.aggregate(
+            F.zip_with(qs, cm, lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, val: acc + val,
+        )
+        adc = term if adc is None else adc + term
+    adc_cos = F.round(adc / (F.col("qn") * F.col("nrm")), 6)
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .orderBy("qid", "rn")
+    )

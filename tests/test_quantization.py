@@ -71,3 +71,75 @@ def test_zero_vector_quantizes_to_zero_not_null(spark):
         .collect()[0].d
     )
     assert dot == 0.0
+
+
+def test_pq_adc_recall_vs_exact(spark):
+    """PQ-ADC (8 subspaces × 16 seeded centroids = 32× compression) must
+    keep meaningful recall@5 against exact cosine — the quality gate the
+    other quantizers (SQ8/int8/binary) carry, applied to PQ."""
+    from bigdata_processing_spark.queries.similarity import (
+        knn_bruteforce,
+        pq_adc_knn,
+    )
+
+    exact = knn_bruteforce(spark, SF_ORACLE)
+    pq = pq_adc_knn(spark, SF_ORACLE)
+    truth = {}
+    for r in exact.collect():
+        truth.setdefault(r.qid, set()).add(r.cid)
+    got = {}
+    for r in pq.collect():
+        got.setdefault(r.qid, set()).add(r.cid)
+    assert set(got) == set(truth)  # same query set
+    hits = sum(len(truth[q] & got[q]) for q in truth)
+    total = sum(len(truth[q]) for q in truth)
+    recall = hits / total
+    # seeded (non-refined) codebooks on 64-dim data: expect mid recall;
+    # gate well below observed to avoid flake, well above random (~0.8%)
+    assert recall >= 0.2, f"PQ-ADC recall@5 collapsed: {recall:.3f}"
+
+
+def test_pq_kmeans_beats_seeded_codebooks(spark):
+    """k-means-refined PQ codebooks (operators/quantization.pq_fit) must
+    improve recall@5 over the seeded SQL-exact variant — the refinement
+    is the point of the production path."""
+    from bigdata_processing_spark.functions import vectors as V
+    from bigdata_processing_spark.operators.quantization import (
+        pq_adc_search,
+        pq_encode,
+        pq_fit,
+    )
+    from bigdata_processing_spark.queries.similarity import (
+        knn_bruteforce,
+        pq_adc_knn,
+    )
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    # K=64 per subspace: 6-bit codes (~42x compression) — the measured
+    # sweet spot on this fixture (K=16: 0.28, K=32: 0.44, K=64: 0.52)
+    books = pq_fit(emb, vec_col="e", n_subspaces=8, k=64, n_iter=4)
+    enc = pq_encode(emb, books, vec_col="e")
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
+    )
+    refined = pq_adc_search(enc, books, q, top_k=5)
+
+    def recall(df, truth):
+        got = {}
+        for r in df.collect():
+            got.setdefault(r.qid, set()).add(r.cid)
+        hits = sum(len(truth[k] & got.get(k, set())) for k in truth)
+        return hits / sum(len(v) for v in truth.values())
+
+    truth = {}
+    for r in knn_bruteforce(spark, SF_ORACLE).collect():
+        truth.setdefault(r.qid, set()).add(r.cid)
+
+    r_seeded = recall(pq_adc_knn(spark, SF_ORACLE), truth)
+    r_kmeans = recall(refined, truth)
+    assert r_kmeans > r_seeded, (r_seeded, r_kmeans)
+    assert r_kmeans >= 0.4
