@@ -482,3 +482,75 @@ def ivf_search(
         .filter(F.col("rn") <= top_k)
         .orderBy("qid", "rn")
     )
+
+
+def build_ivfpq_index(
+    emb: DataFrame,
+    vec_col: str = "embedding",
+    k_cells: int = 16,
+    n_subspaces: int = 8,
+    k_codes: int = 64,
+    n_iter: int = 3,
+    fit_fraction: float = 1.0,
+) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
+    """IVF-PQ: the canonical billion-scale ANN layout (FAISS
+    ``IVFx,PQy``) as pure DataFrame ops — coarse k-means cells prune the
+    scan to ``n_probe/k`` of the corpus, and inside the postings each
+    vector is 8 six-bit PQ codes + a true norm instead of floats
+    (~40× less index bandwidth on top of the cell pruning).
+
+    Returns ``(postings, centroids, codebooks)`` with postings
+    (vec_id, cell, k0..k{M-1}, nrm) repartitioned by cell. Codebooks
+    are fit on the full vectors (not residuals) — the same simplification
+    as build_ivfsq8_index, traded for keeping encode a single
+    projection; the recall gate in test_ivf prices that trade."""
+    from bigdata_processing_spark.operators.quantization import pq_encode, pq_fit
+
+    indexed, centroids = build_ivf_index(
+        emb, vec_col=vec_col, k_cells=k_cells, n_iter=n_iter,
+        fit_fraction=fit_fraction,
+    )
+    codebooks = pq_fit(
+        indexed, vec_col="e", n_subspaces=n_subspaces, k=k_codes, n_iter=n_iter
+    )
+    code_cols = [f"k{m}" for m in range(n_subspaces)]
+    postings = (
+        pq_encode(indexed, codebooks, vec_col="e")
+        .select("vec_id", "cell", "nrm", *code_cols)
+        .repartition("cell")
+    )
+    return postings, centroids, codebooks
+
+
+def ivfpq_search(
+    postings: DataFrame,
+    centroids: list[list[float]],
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    top_k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """Multi-probe ADC search over the PQ postings: rank cells per query
+    (broadcast centroid table), then score codes only inside the probed
+    cells. Output (qid, cid, adc_cos, rn) — recall-comparable to
+    ivf_search / knn_bruteforce."""
+    from bigdata_processing_spark.operators.quantization import pq_adc_expr
+
+    spark = postings.sparkSession
+    probes = _cell_probes(spark, queries, centroids, n_probe)
+    # probes already carries (qid, qe, qn, cell): one broadcast join pairs
+    # each candidate row with exactly its probing queries
+    cand = postings.join(F.broadcast(probes), ["cell"]).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
+    return (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            pq_adc_expr(codebooks).alias("adc_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .orderBy("qid", "rn")
+    )

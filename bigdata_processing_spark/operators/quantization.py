@@ -124,19 +124,12 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     return out
 
 
-def pq_adc_search(
-    encoded: DataFrame,
-    codebooks: list[list[list[float]]],
-    queries: DataFrame,
-    top_k: int = 5,
-) -> DataFrame:
-    """ADC top-k: float queries (qid, qe, qn) against PQ codes + true
-    norm (``nrm``). Output (qid, cid, adc_cos, rn) — comparable to
-    ivf_search/knn_bruteforce for recall measurement."""
-    from pyspark.sql import Window
-
+def pq_adc_expr(codebooks: list[list[list[float]]]) -> Column:
+    """The ADC cosine Column over rows carrying (qe, qn, k0..k{M-1},
+    nrm): per-subspace query·centroid dots summed in fixed subspace
+    order, divided by the true norms, rounded to 6 decimals so rank
+    order is ulp-stable."""
     sub = len(codebooks[0][0])
-    joined = encoded.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
     adc = None
     for m, book in enumerate(codebooks):
         cbm = F.array(*[_lit_arr(c) for c in book])
@@ -148,10 +141,28 @@ def pq_adc_search(
             lambda acc, v: acc + v,
         )
         adc = term if adc is None else adc + term
-    adc_cos = F.round(adc / (F.col("qn") * F.col("nrm")), 6)
+    return F.round(adc / (F.col("qn") * F.col("nrm")), 6)
+
+
+def pq_adc_search(
+    encoded: DataFrame,
+    codebooks: list[list[list[float]]],
+    queries: DataFrame,
+    top_k: int = 5,
+) -> DataFrame:
+    """ADC top-k: float queries (qid, qe, qn) against PQ codes + true
+    norm (``nrm``). Output (qid, cid, adc_cos, rn) — comparable to
+    ivf_search/knn_bruteforce for recall measurement."""
+    from pyspark.sql import Window
+
+    joined = encoded.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
     return (
-        joined.select("qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos"))
+        joined.select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            pq_adc_expr(codebooks).alias("adc_cos"),
+        )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)
         .orderBy("qid", "rn")
