@@ -492,6 +492,7 @@ def build_ivfpq_index(
     k_codes: int = 64,
     n_iter: int = 3,
     fit_fraction: float = 1.0,
+    residual: bool = False,
 ) -> tuple[DataFrame, list[list[float]], list[list[list[float]]]]:
     """IVF-PQ: the canonical billion-scale ANN layout (FAISS
     ``IVFx,PQy``) as pure DataFrame ops — coarse k-means cells prune the
@@ -500,22 +501,38 @@ def build_ivfpq_index(
     (~40× less index bandwidth on top of the cell pruning).
 
     Returns ``(postings, centroids, codebooks)`` with postings
-    (vec_id, cell, k0..k{M-1}, nrm) repartitioned by cell. Codebooks
-    are fit on the full vectors (not residuals) — the same simplification
-    as build_ivfsq8_index, traded for keeping encode a single
-    projection; the recall gate in test_ivf prices that trade."""
+    (vec_id, cell, k0..k{M-1}, nrm) repartitioned by cell.
+
+    ``residual=True`` is the textbook IVFADC: codebooks fit on and
+    codes encode the RESIDUAL ``v − centroid[cell]`` — the right choice
+    on real, clustered embeddings where residuals are much smaller than
+    raw vectors. The FIXTURE embeddings are isotropic unit vectors
+    (uniform on the sphere: ‖v‖=1, dist-to-mean ≈ 1), where cell
+    centroids are near-zero and residual ≈ v, so residual fitting adds
+    noise for nothing — measured recall@5: raw 0.36 vs residual 0.24 at
+    identical budget. Hence the raw default HERE, with the residual
+    path implemented, tested, and one flag away."""
     from bigdata_processing_spark.operators.quantization import pq_encode, pq_fit
 
     indexed, centroids = build_ivf_index(
         emb, vec_col=vec_col, k_cells=k_cells, n_iter=n_iter,
         fit_fraction=fit_fraction,
     )
+    enc_src = indexed
+    if residual:
+        cdf = indexed.sparkSession.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cell int, cent array<double>",
+        )
+        enc_src = indexed.join(F.broadcast(cdf), "cell").withColumn(
+            "e", F.zip_with("e", "cent", lambda x, y: x - y)
+        ).drop("cent")
     codebooks = pq_fit(
-        indexed, vec_col="e", n_subspaces=n_subspaces, k=k_codes, n_iter=n_iter
+        enc_src, vec_col="e", n_subspaces=n_subspaces, k=k_codes, n_iter=n_iter
     )
     code_cols = [f"k{m}" for m in range(n_subspaces)]
     postings = (
-        pq_encode(indexed, codebooks, vec_col="e")
+        pq_encode(enc_src, codebooks, vec_col="e")
         .select("vec_id", "cell", "nrm", *code_cols)
         .repartition("cell")
     )
@@ -529,27 +546,45 @@ def ivfpq_search(
     queries: DataFrame,
     top_k: int = 5,
     n_probe: int = 2,
+    residual: bool = False,
 ) -> DataFrame:
     """Multi-probe ADC search over the PQ postings: rank cells per query
     (broadcast centroid table), then score codes only inside the probed
     cells. Output (qid, cid, adc_cos, rn) — recall-comparable to
-    ivf_search / knn_bruteforce."""
+    ivf_search / knn_bruteforce.
+
+    With ``residual=True`` the score is
+    ``dot(q, centroid[cell]) + dot(q, dequant(residual codes))`` — the
+    centroid term is computed ONCE per (query, probed cell) pair
+    (queries × n_probe rows, broadcast-sized), never per candidate."""
     from bigdata_processing_spark.operators.quantization import pq_adc_expr
 
     spark = postings.sparkSession
     probes = _cell_probes(spark, queries, centroids, n_probe)
-    # probes already carries (qid, qe, qn, cell): one broadcast join pairs
-    # each candidate row with exactly its probing queries
+    if residual:
+        cdf = spark.createDataFrame(
+            [(i, c) for i, c in enumerate(centroids)],
+            "cell int, cent array<double>",
+        )
+        qc_dot = F.aggregate(
+            F.zip_with("qe", "cent", lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        probes = (
+            probes.join(F.broadcast(cdf), "cell")
+            .withColumn("qc", qc_dot)
+            .drop("cent")
+        )
+    # probes already carries (qid, qe, qn, cell[, qc]): one broadcast join
+    # pairs each candidate row with exactly its probing queries
     cand = postings.join(F.broadcast(probes), ["cell"]).filter(
         F.col("vec_id") != F.col("qid")
     )
+    adc = pq_adc_expr(codebooks, centroid_dot=F.col("qc") if residual else None)
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
     return (
-        cand.select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            pq_adc_expr(codebooks).alias("adc_cos"),
-        )
+        cand.select("qid", F.col("vec_id").alias("cid"), adc.alias("adc_cos"))
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)
         .orderBy("qid", "rn")

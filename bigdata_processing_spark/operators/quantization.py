@@ -124,13 +124,15 @@ def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
     return out
 
 
-def pq_adc_expr(codebooks: list[list[list[float]]]) -> Column:
+def pq_adc_expr(codebooks: list[list[list[float]]],
+                centroid_dot: Column | None = None) -> Column:
     """The ADC cosine Column over rows carrying (qe, qn, k0..k{M-1},
     nrm): per-subspace query·centroid dots summed in fixed subspace
     order, divided by the true norms, rounded to 6 decimals so rank
-    order is ulp-stable."""
+    order is ulp-stable. ``centroid_dot`` (residual IVFADC) adds the
+    precomputed dot(q, coarse centroid) term."""
     sub = len(codebooks[0][0])
-    adc = None
+    adc = centroid_dot
     for m, book in enumerate(codebooks):
         cbm = F.array(*[_lit_arr(c) for c in book])
         cm = F.element_at(cbm, F.col(f"k{m}") + 1)
