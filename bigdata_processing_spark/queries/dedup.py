@@ -1855,3 +1855,69 @@ def doc_novelty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("novelty_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Corpus emission: the step that WRITES the deduplicated corpus, closing
+# the loop from reports to output data. Policy-pluggable survivor
+# choice (keep-first via cluster min-id, or keep-best-quality); output
+# parquet partitioned by source so downstream mixture sampling reads
+# per-source directories.
+# ---------------------------------------------------------------------------
+def emit_dedup_corpus(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    policy: str = "keep_first",
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> dict[str, int]:
+    """Write the near-dup-deduplicated documents table to ``out_path``
+    (parquet, PARTITIONED BY source). Returns {docs_in, docs_out,
+    removed}.
+
+    Scale shape: the removal set is cluster-membership minus survivors
+    (≪ corpus) broadcast against the full scan as an anti-join — the
+    corpus streams straight from input files to output files, never
+    shuffling on anything except the partition column at write."""
+    docs = load_table(spark, sf_dir, "documents")
+    labels = _cluster_labels(spark, sf_dir, jaccard_threshold)
+    if policy == "keep_first":
+        removed = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+            "doc_id"
+        )
+    elif policy == "keep_best_quality":
+        from pyspark.sql import Window as W
+
+        score = (
+            0.5 * F.least(F.length("text") / 500.0, F.lit(1.0))
+            + 0.3
+            * (
+                T.stopword_count(F.col("text")).cast("double")
+                / F.greatest(T.token_count(F.col("text")), F.lit(1))
+            )
+            + 0.2
+            * (
+                1
+                - T.punct_count(F.col("text")).cast("double")
+                / F.greatest(F.length("text"), F.lit(1))
+            )
+        )
+        members = docs.join(F.broadcast(labels), "doc_id").select(
+            "doc_id", "cluster_id", score.alias("score")
+        )
+        w = W.partitionBy("cluster_id").orderBy(
+            F.col("score").desc(), F.col("doc_id").asc()
+        )
+        removed = (
+            members.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") > 1)
+            .select("doc_id")
+        )
+    else:
+        raise ValueError(f"unknown survivor policy: {policy}")
+
+    kept = docs.join(F.broadcast(removed), "doc_id", "left_anti")
+    kept.write.mode("overwrite").partitionBy("source").parquet(out_path)
+    n_in = docs.count()
+    n_out = spark.read.parquet(out_path).count()
+    return {"docs_in": n_in, "docs_out": n_out, "removed": n_in - n_out}

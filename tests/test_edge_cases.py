@@ -136,3 +136,52 @@ def test_winsorized_stats_constant_values(spark, tmp_path):
     ).write.mode("overwrite").parquet(os.path.join(d, "events.parquet"))
     r = winsorized_value_stats(spark, d).collect()[0]
     assert r.n_clipped == 0 and r.mean_raw == r.mean_winsorized == 5.0
+
+
+def test_emit_dedup_corpus_both_policies(spark, tmp_path):
+    """emit_dedup_corpus writes the actual deduplicated corpus: row
+    accounting must match dedup_survivors' report, every cluster keeps
+    exactly one member, and the quality policy keeps the argmax-score
+    doc (flipping survivors relative to keep-first where the reports
+    said it would)."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.queries.dedup import (
+        _cluster_labels,
+        clear_dedup_memos,
+        dedup_survivors,
+        emit_dedup_corpus,
+    )
+
+    from conftest import SF_SMALL
+
+    sf = SF_SMALL
+    clear_dedup_memos()
+    out1 = os.path.join(str(tmp_path), "dedup_first")
+    stats = emit_dedup_corpus(spark, sf, out1, policy="keep_first")
+    report = dedup_survivors(spark, sf).collect()
+    assert stats["docs_out"] == sum(r.kept for r in report)
+    assert stats["removed"] == sum(r.removed for r in report)
+
+    labels = _cluster_labels(spark, sf)
+    kept_ids = {
+        r.doc_id
+        for r in spark.read.parquet(out1).select("doc_id").collect()
+    }
+    # exactly one survivor per cluster, and it is the min-id member
+    for r in labels.collect():
+        assert (r.doc_id in kept_ids) == (r.doc_id == r.cluster_id)
+
+    out2 = os.path.join(str(tmp_path), "dedup_quality")
+    stats2 = emit_dedup_corpus(spark, sf, out2, policy="keep_best_quality")
+    assert stats2["docs_out"] == stats["docs_out"]  # same cluster count
+    kept2 = {
+        r.doc_id
+        for r in spark.read.parquet(out2).select("doc_id").collect()
+    }
+    n_clusters = labels.select("cluster_id").distinct().count()
+    member_ids = {r.doc_id for r in labels.collect()}
+    assert len(member_ids & kept2) == n_clusters
+    clear_dedup_memos()
