@@ -126,12 +126,16 @@ def _scores_sql(cents: list[list[float]], e_col: str) -> str:
             acc += x * x
         return acc
 
+    # e_col may be a plain column name (backtick-quoted) or an arbitrary
+    # SQL expression like "slice(e, 9, 8)" (used by the PQ subspace
+    # encoders)
+    e_ref = f"`{e_col}`" if e_col.isidentifier() else e_col
     parts = []
     for i, c in enumerate(cents):
         arr = "array(" + ",".join(dlit(x) for x in c) + ")"
         s = (
             f"{dlit(self_dot(c))} - CAST(2.0 AS DOUBLE) * "
-            f"aggregate(zip_with(`{e_col}`, {arr}, (x, y) -> x * y), "
+            f"aggregate(zip_with({e_ref}, {arr}, (x, y) -> x * y), "
             f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
         parts.append(f"named_struct('s', {s}, 'cell', {i})")

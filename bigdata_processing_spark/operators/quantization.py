@@ -84,66 +84,67 @@ def pq_fit(
     return books
 
 
-def _lit_arr(vv: list[float]) -> Column:
-    return F.array(*[F.lit(float(x)) for x in vv])
+def _dlit(x: float) -> str:
+    return f"CAST('{float(x)!r}' AS DOUBLE)"
+
+
+def _arr_sql(vv: list[float]) -> str:
+    return "array(" + ",".join(_dlit(x) for x in vv) + ")"
 
 
 def pq_encode(emb: DataFrame, codebooks: list[list[list[float]]],
               vec_col: str = "e") -> DataFrame:
     """Append code columns k0..k{M-1}: per-subspace argmin over the
-    codebook (pure fold expressions — one projection, no shuffle)."""
+    codebook (pure fold expressions — one projection, no shuffle).
+
+    Expressions are generated as SQL TEXT parsed once (M strings of a
+    few KB) rather than per-element Column calls — the Column form costs
+    O(M·K·dim) py4j round-trips to BUILD (~6 s at 8×16×8, dominating the
+    query) while parsing the identical tree takes milliseconds; same
+    trade as operators/ivf._scores_sql, same bit-exact result."""
+    from bigdata_processing_spark.operators.ivf import _scores_sql
+
     sub = len(codebooks[0][0])
-
-    def self_dot(vv):
-        acc = 0.0
-        for x in vv:
-            acc += x * x
-        return acc
-
     out = emb
     for m, book in enumerate(codebooks):
-        sl = F.slice(vec_col, sub * m + 1, sub)
-        scores = F.array(
-            *[
-                F.struct(
-                    (
-                        F.lit(self_dot(c))
-                        - 2.0
-                        * F.aggregate(
-                            F.zip_with(sl, _lit_arr(c), lambda x, y: x * y),
-                            F.lit(0.0),
-                            lambda acc, v: acc + v,
-                        )
-                    ).alias("s"),
-                    F.lit(j).alias("cell"),
-                )
-                for j, c in enumerate(book)
-            ]
+        sl = f"slice(`{vec_col}`, {sub * m + 1}, {sub})"
+        out = out.withColumn(
+            f"k{m}", F.expr(f"array_min({_scores_sql(book, sl)}).cell")
         )
-        out = out.withColumn(f"k{m}", F.array_min(scores).getField("cell"))
     return out
 
 
-def pq_adc_expr(codebooks: list[list[list[float]]],
-                centroid_dot: Column | None = None) -> Column:
-    """The ADC cosine Column over rows carrying (qe, qn, k0..k{M-1},
+def pq_adc_sql(codebooks: list[list[list[float]]], qe_col: str = "qe",
+               qn_col: str = "qn", nrm_col: str = "nrm",
+               centroid_dot_col: str | None = None) -> str:
+    """SQL text of the ADC cosine over rows carrying (qe, qn, k0..k{M-1},
     nrm): per-subspace query·centroid dots summed in fixed subspace
     order, divided by the true norms, rounded to 6 decimals so rank
-    order is ulp-stable. ``centroid_dot`` (residual IVFADC) adds the
-    precomputed dot(q, coarse centroid) term."""
+    order is ulp-stable. ``centroid_dot_col`` (residual IVFADC) adds the
+    precomputed dot(q, coarse centroid) term first."""
     sub = len(codebooks[0][0])
-    adc = centroid_dot
+    terms = [f"`{centroid_dot_col}`"] if centroid_dot_col else []
     for m, book in enumerate(codebooks):
-        cbm = F.array(*[_lit_arr(c) for c in book])
-        cm = F.element_at(cbm, F.col(f"k{m}") + 1)
-        qs = F.slice("qe", sub * m + 1, sub)
-        term = F.aggregate(
-            F.zip_with(qs, cm, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, v: acc + v,
+        cbm = "array(" + ",".join(_arr_sql(c) for c in book) + ")"
+        qs = f"slice(`{qe_col}`, {sub * m + 1}, {sub})"
+        terms.append(
+            f"aggregate(zip_with({qs}, element_at({cbm}, `k{m}` + 1), "
+            f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
         )
-        adc = term if adc is None else adc + term
-    return F.round(adc / (F.col("qn") * F.col("nrm")), 6)
+    total = " + ".join(terms)
+    return f"round(({total}) / (`{qn_col}` * `{nrm_col}`), 6)"
+
+
+def pq_adc_expr(codebooks: list[list[list[float]]],
+                centroid_dot: Column | None = None,
+                centroid_dot_col: str | None = None) -> Column:
+    """Column form of :func:`pq_adc_sql`. Pass the residual centroid
+    term by COLUMN NAME (``centroid_dot_col``) so the whole expression
+    stays one parsed string; ``centroid_dot`` is accepted for
+    compatibility and implies the column is named ``qc``."""
+    if centroid_dot is not None and centroid_dot_col is None:
+        centroid_dot_col = "qc"
+    return F.expr(pq_adc_sql(codebooks, centroid_dot_col=centroid_dot_col))
 
 
 def pq_adc_search(

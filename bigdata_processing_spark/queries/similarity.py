@@ -985,6 +985,10 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     subspace in fixed order, matching the oracle bit-for-bit before the
     6-decimal rounding that makes ranking ulp-proof."""
     from bigdata_processing_spark.operators.ivf import seed_centroids
+    from bigdata_processing_spark.operators.quantization import (
+        pq_adc_expr,
+        pq_encode,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings").select(
         "vec_id",
@@ -995,55 +999,16 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebook = [
         [c[PQ_SUB * m: PQ_SUB * (m + 1)] for c in seeds] for m in range(PQ_M)
     ]
-
-    def self_dot(vv):
-        acc = 0.0
-        for x in vv:
-            acc += x * x
-        return acc
-
-    def lit_arr(vv):
-        return F.array(*[F.lit(float(x)) for x in vv])
-
-    def dot_lit(col, vv):
-        return F.aggregate(
-            F.zip_with(col, lit_arr(vv), lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-
-    # encode: per-subspace argmin over the 16-centroid codebook
-    enc = emb
-    for m in range(PQ_M):
-        sub = F.slice("e", PQ_SUB * m + 1, PQ_SUB)
-        scores = F.array(
-            *[
-                F.struct(
-                    (F.lit(self_dot(c)) - 2.0 * dot_lit(sub, c)).alias("s"),
-                    F.lit(j).alias("cell"),
-                )
-                for j, c in enumerate(codebook[m])
-            ]
-        )
-        enc = enc.withColumn(f"k{m}", F.array_min(scores).getField("cell"))
-
+    # shared SQL-string expression builders (operators/quantization):
+    # parsed once instead of O(M·K·dim) py4j Column calls — the Column
+    # form spent ~6 s per run BUILDING the tree on the driver
+    enc = pq_encode(emb, codebook, vec_col="e")
     cand = enc.select("vec_id", "nrm", *[f"k{m}" for m in range(PQ_M)])
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
     joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    adc = None
-    for m in range(PQ_M):
-        cbm = F.array(*[lit_arr(c) for c in codebook[m]])
-        cm = F.element_at(cbm, F.col(f"k{m}") + 1)
-        qs = F.slice("qe", PQ_SUB * m + 1, PQ_SUB)
-        term = F.aggregate(
-            F.zip_with(qs, cm, lambda x, y: x * y),
-            F.lit(0.0),
-            lambda acc, val: acc + val,
-        )
-        adc = term if adc is None else adc + term
-    adc_cos = F.round(adc / (F.col("qn") * F.col("nrm")), 6)
+    adc_cos = pq_adc_expr(codebook)
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
     return (
         joined.select("qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos"))
