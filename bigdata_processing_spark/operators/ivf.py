@@ -593,3 +593,70 @@ def ivfpq_search(
         .filter(F.col("rn") <= top_k)
         .orderBy("qid", "rn")
     )
+
+
+def write_ivfpq_index(postings: DataFrame, centroids: list[list[float]],
+                      codebooks: list[list[list[float]]], path: str) -> None:
+    """Persist the PQ postings ``PARTITIONED BY (cell)`` plus the coarse
+    centroids and the per-subspace codebooks (tiny parquet sidecars) —
+    same on-disk contract as write_ivf_index, with codes instead of
+    float vectors: a probe reads ``n_probe/k`` of an index that is
+    itself ~40× smaller."""
+    postings.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/postings")
+    spark = postings.sparkSession
+    spark.createDataFrame(
+        [(i, c) for i, c in enumerate(centroids)], "cell int, cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
+    rows = [
+        (m, j, list(c))
+        for m, book in enumerate(codebooks)
+        for j, c in enumerate(book)
+    ]
+    spark.createDataFrame(
+        rows, "m int, code int, cent array<double>"
+    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
+
+
+def read_ivfpq_index(spark, path: str):
+    """(postings, centroids, codebooks) back from :func:`write_ivfpq_index`."""
+    postings = spark.read.parquet(f"{path}/postings")
+    crows = spark.read.parquet(f"{path}/centroids").collect()
+    by_id = {r.cell: list(r.cent) for r in crows}
+    centroids = [by_id[i] for i in sorted(by_id)]
+    brows = spark.read.parquet(f"{path}/codebooks").collect()
+    n_m = max(r.m for r in brows) + 1
+    codebooks: list[list[list[float]]] = [[] for _ in range(n_m)]
+    for m in range(n_m):
+        sub = sorted((r for r in brows if r.m == m), key=lambda r: r.code)
+        codebooks[m] = [list(r.cent) for r in sub]
+    return postings, centroids, codebooks
+
+
+def ivfpq_search_on_disk(postings: DataFrame, centroids: list[list[float]],
+                         codebooks: list[list[list[float]]],
+                         queries: DataFrame, top_k: int = 5,
+                         n_probe: int = 2) -> DataFrame:
+    """ADC search against the disk-resident PQ index with the probed-cell
+    union pushed into the SCAN as a partition predicate (directory
+    pruning, as in ivf_search_on_disk) before the per-query cell
+    restriction in the join."""
+    spark = postings.sparkSession
+    probes = _cell_probes(spark, queries, centroids, n_probe)
+    cells = [r.cell for r in probes.select("cell").distinct().collect()]
+    pruned = postings.filter(F.col("cell").isin(cells))
+    from bigdata_processing_spark.operators.quantization import pq_adc_expr
+
+    cand = pruned.join(F.broadcast(probes), ["cell"]).filter(
+        F.col("vec_id") != F.col("qid")
+    )
+    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
+    return (
+        cand.select(
+            "qid",
+            F.col("vec_id").alias("cid"),
+            pq_adc_expr(codebooks).alias("adc_cos"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .orderBy("qid", "rn")
+    )

@@ -478,3 +478,48 @@ def test_ivfpq_residual_path_runs_and_scores(spark):
     for qid, rs in per_q.items():
         assert len(rs) == 5
         assert all(abs(r.adc_cos) < 3 for r in rs)  # scale-sane ADC cosine
+
+
+def test_ivfpq_disk_roundtrip_and_partition_pruning(spark, tmp_path):
+    """write/read IVF-PQ: postings + centroids + codebooks survive the
+    disk roundtrip (identical search results), and the probed-cell
+    predicate reaches the scan as a PartitionFilter (directory pruning),
+    as the float IVF disk index already guarantees."""
+    import os
+    import re
+
+    from bigdata_processing_spark.operators.ivf import (
+        build_ivfpq_index,
+        ivfpq_search,
+        ivfpq_search_on_disk,
+        read_ivfpq_index,
+        write_ivfpq_index,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    postings, cents, books = build_ivfpq_index(
+        emb, k_cells=8, n_subspaces=8, k_codes=16, n_iter=2
+    )
+    path = os.path.join(str(tmp_path), "ivfpq")
+    write_ivfpq_index(postings, cents, books, path)
+    postings2, cents2, books2 = read_ivfpq_index(spark, path)
+    assert cents2 == cents and books2 == books
+
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("qe"),
+        V.norm(F.col("embedding")).alias("qn"),
+    )
+    q = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"), "qe", "qn"
+    )
+    mem = sorted(
+        tuple(r) for r in ivfpq_search(postings, cents, books, q, n_probe=3).collect()
+    )
+    disk_df = ivfpq_search_on_disk(postings2, cents2, books2, q, n_probe=3)
+    disk = sorted(tuple(r) for r in disk_df.collect())
+    assert mem == disk and len(disk) > 0
+
+    plan = disk_df._jdf.queryExecution().executedPlan().toString()
+    m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
+    assert m and "cell" in m.group(1), "probe predicate did not prune partitions"

@@ -67,3 +67,47 @@ def test_salted_join_matches_plain_join(spark):
         F.count("*").alias("n"), F.sum("w").alias("sw"), F.sum("v").alias("sv")
     ).collect()[0]
     assert tuple(plain) == tuple(salted)
+
+
+def test_lsh_bucket_cap_bounds_hot_template(spark, tmp_path):
+    """A template text duplicated 300x creates one giant LSH bucket —
+    the classic dedup skew key (C(300,2) ≈ 45k candidate pairs from one
+    bucket). The bucket-capped pipeline must SKIP it (bounded candidate
+    work), while exact dedup still accounts for the duplication — the
+    division of labor the guards are designed around: exact dedup
+    handles identical text, MinHash handles near-dups, and the cap
+    keeps pathological buckets from going quadratic."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.queries.dedup import (
+        clear_dedup_memos,
+        dedup_exact_summary,
+        minhash_lsh_dup_pairs,
+        minhash_pruned_dup_pairs,
+    )
+
+    hot = "the same boilerplate template text repeated across the corpus "
+    rows = [(i, hot, "hotsrc") for i in range(300)] + [
+        (1000 + i, f"unique document number {i} with words w{i} x{i*3} y{i*7}", "cold")
+        for i in range(200)
+    ]
+    sf = os.path.join(str(tmp_path), "skewsf")
+    spark.createDataFrame(rows, "doc_id bigint, text string, source string") \
+        .write.parquet(os.path.join(sf, "documents.parquet"))
+
+    clear_dedup_memos()
+    pruned = minhash_pruned_dup_pairs(spark, sf).count()
+    # capped pipeline: the 300-doc bucket (> MAX_BUCKET=25) is skipped
+    assert pruned < 1000, f"bucket cap failed: {pruned} pairs from a hot template"
+
+    # the uncapped pipeline pays the quadratic bucket — that contrast is
+    # the measured reason the cap exists
+    full = minhash_lsh_dup_pairs(spark, sf).count()
+    assert full >= 300 * 299 // 2  # all template pairs verified identical
+
+    # exact dedup still catches the duplication the cap skipped
+    ex = dedup_exact_summary(spark, sf).collect()[0]
+    assert ex.n_removed >= 299
+    clear_dedup_memos()
