@@ -58,6 +58,10 @@ QUERIES = [
     "lsh_band_sweep",
     "winnowing_dup_passages",
     "ivf_append_assignment",
+    "dedup_verifier_matrix",
+    "doc_novelty_bands",
+    "bigram_perplexity_bands",
+    "pq_adc_knn",
 ]
 
 
