@@ -152,3 +152,30 @@ def curate_corpus(
     n_out = spark.read.parquet(out_path).count()
     stats.append(StageStats("emit", n6, n_out))
     return stats
+
+
+def main() -> None:
+    """CLI: ``python -m bigdata_processing_spark.pipelines.curation
+    [sf_dir] [out_path]`` — run the full chain and print the ledger as
+    JSON lines."""
+    import json
+    import sys
+
+    from bigdata_processing_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    spark = get_spark("curate")
+    spark.sparkContext.setLogLevel("ERROR")
+    import time
+
+    t0 = time.monotonic()
+    for st in curate_corpus(spark, sf_dir, out):
+        print(json.dumps({"stage": st.stage, "docs_in": st.docs_in,
+                          "docs_out": st.docs_out, "removed": st.removed}))
+    print(json.dumps({"total_wall_sec": round(time.monotonic() - t0, 2),
+                      "out": out}))
+
+
+if __name__ == "__main__":
+    main()
