@@ -522,3 +522,46 @@ def test_session_funnel_batch_twin_same_functions(spark):
     got = funnel_rollup(session_funnel_steps(events)).collect()[0]
     want = session_funnel(spark, SF_SMALL).collect()[0]
     assert tuple(got) == tuple(want)
+
+
+def test_streaming_curation_front_parity(spark, tmp_path):
+    """Streaming quality-floor + fingerprint dedup (streaming/curation)
+    lands the same SET of surviving fingerprints as the batch stages —
+    survivor identity within a fingerprint group is arrival-order in
+    streaming vs min-id in batch, so parity is on fingerprints and
+    counts, plus the quality floor holds on every landed row."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.catalog import load_table
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.pipelines.curation import QUALITY_MIN, _quality_score
+    from bigdata_processing_spark.streaming.curation import (
+        curate_stream,
+        read_documents_stream,
+    )
+
+    out_dir = os.path.join(str(tmp_path), "landing")
+
+    stream = read_documents_stream(spark, SF_SMALL)
+    assert stream.isStreaming
+    q = (
+        curate_stream(stream)
+        .writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", os.path.join(str(tmp_path), "ckpt"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+
+    landed = spark.read.parquet(out_dir)
+    batch = curate_stream(load_table(spark, SF_SMALL, "documents"))
+
+    s_fps = {r.fp for r in landed.select("fp").collect()}
+    b_fps = {r.fp for r in batch.select("fp").collect()}
+    assert s_fps == b_fps and len(s_fps) > 0
+    assert landed.count() == len(s_fps)  # no duplicate fingerprints landed
+    n_low = landed.filter(_quality_score() < QUALITY_MIN).count()
+    assert n_low == 0
