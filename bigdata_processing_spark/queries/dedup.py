@@ -186,6 +186,11 @@ MEMO_FAMILY = (
     "containment_dup_pairs",
     "edit_distance_dup_pairs",
     "lsh_recall_audit",
+    # round-4 audit/report queries that also read the session memos
+    "minhash_estimate_audit",
+    "dup_cluster_size_histogram",
+    "dedup_verifier_matrix",
+    "dedup_survivors_by_quality",
 )
 
 
