@@ -72,6 +72,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "doc_novelty_bands",
     "bigram_perplexity_bands",
     "pq_adc_knn",
+    "curation_funnel",
     "dup_clusters",
     "dedup_survivors",
     "cross_source_dup_matrix",

@@ -1945,3 +1945,127 @@ def emit_dedup_corpus(
     n_in = docs.count()
     n_out = spark.read.parquet(out_path).count()
     return {"docs_in": n_in, "docs_out": n_out, "removed": n_in - n_out}
+
+
+# ---------------------------------------------------------------------------
+# Curation funnel, fully relational: the stage-by-stage survivor counts
+# of the end-to-end curation pipeline (pipelines/curation.py) as ONE
+# declarative query — exact dedup → near-dup removal → quality floor →
+# mixture balance — so the flagship composed pipeline has a driver-
+# verifiable correctness row (tests additionally reconcile this funnel
+# against the imperative pipeline's ledger).
+# ---------------------------------------------------------------------------
+_SQL_QSCORE = """(0.5 * least(length(d.text) / 500.0, 1.0)
+               + 0.3 * (len(list_filter(string_split(d.text, ' '),
+                                        t -> t IN ('a','and','in','is','of','the','to')))::DOUBLE
+                        / greatest(len(list_filter(string_split(d.text, ' '), t -> t <> '')), 1))
+               + 0.2 * (1 - len(regexp_extract_all(d.text, '[^a-zA-Z0-9 ]'))::DOUBLE
+                            / greatest(length(d.text), 1)))"""
+
+
+@register(
+    "curation_funnel",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        edges AS (
+            SELECT d1 AS src, d2 AS dst FROM pairs
+            UNION SELECT d2, d1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+        ),
+        lab AS (SELECT node AS doc_id, min(r) AS cluster_id FROM reach GROUP BY node),
+        keepx AS (
+            SELECT min(doc_id) AS doc_id
+            FROM documents
+            GROUP BY md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'))
+        ),
+        surv2 AS (
+            SELECT k.doc_id FROM keepx k LEFT JOIN lab ON k.doc_id = lab.doc_id
+            WHERE lab.doc_id IS NULL OR lab.doc_id = lab.cluster_id
+        ),
+        q3 AS (
+            SELECT d.doc_id, d.source
+            FROM documents d JOIN surv2 ON d.doc_id = surv2.doc_id
+            WHERE {_SQL_QSCORE} >= 0.35
+        ),
+        src AS (SELECT source, count(*) AS cnt FROM q3 GROUP BY source),
+        tgt AS (SELECT min(cnt) AS t FROM src),
+        q4 AS (
+            SELECT q3.doc_id
+            FROM q3 JOIN src ON q3.source = src.source CROSS JOIN tgt
+            WHERE ('0x' || substr(md5('curate|' || CAST(q3.doc_id AS VARCHAR)), 1, 8))::BIGINT
+                      % 1000000
+                  < CAST(floor(tgt.t::DOUBLE / src.cnt * 1000000) AS BIGINT)
+        )
+        SELECT * FROM (
+            SELECT 1 AS stage_idx, 'exact_dedup' AS stage,
+                   (SELECT count(*) FROM keepx) AS docs
+            UNION ALL
+            SELECT 2, 'near_dedup', (SELECT count(*) FROM surv2)
+            UNION ALL
+            SELECT 3, 'quality_filter', (SELECT count(*) FROM q3)
+            UNION ALL
+            SELECT 4, 'mixture_balance', (SELECT count(*) FROM q4)
+        ) ORDER BY stage_idx
+    """,
+)
+def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stage-by-stage survivor counts of the curation chain, one row per
+    stage. Mirrors pipelines/curation.curate_corpus semantics exactly
+    (same fingerprint keep-first, CC canonical survivors, quality
+    formula and threshold, hash-deterministic balance arithmetic) but
+    stays a pure relational query with a DuckDB twin."""
+    from bigdata_processing_spark.pipelines.curation import (
+        QUALITY_MIN,
+        _quality_score,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    keepx = (
+        docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+        .groupBy("fp")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    labels = _cluster_labels(spark, sf_dir)
+    near_removed = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
+        "doc_id"
+    )
+    surv2 = keepx.join(F.broadcast(near_removed), "doc_id", "left_anti")
+    q3 = (
+        docs.join(surv2, "doc_id", "left_semi")
+        .filter(_quality_score() >= QUALITY_MIN)
+        .select("doc_id", "source")
+    )
+    src = q3.groupBy("source").agg(F.count("*").alias("cnt"))
+    tgt = src.agg(F.min("cnt").alias("t"))
+    bucket = F.pmod(
+        T.hash64(F.col("doc_id").cast("string"), "curate"), F.lit(1_000_000)
+    )
+    q4 = (
+        q3.join(F.broadcast(src), "source")
+        .crossJoin(F.broadcast(tgt))
+        .filter(
+            bucket
+            < F.floor(F.col("t").cast("double") / F.col("cnt") * 1_000_000).cast(
+                "bigint"
+            )
+        )
+        .select("doc_id")
+    )
+
+    def row(idx: int, name: str, df: DataFrame) -> DataFrame:
+        return df.agg(F.count("*").alias("docs")).select(
+            F.lit(idx).alias("stage_idx"), F.lit(name).alias("stage"), "docs"
+        )
+
+    return (
+        row(1, "exact_dedup", keepx)
+        .unionByName(row(2, "near_dedup", surv2))
+        .unionByName(row(3, "quality_filter", q3))
+        .unionByName(row(4, "mixture_balance", q4))
+        .orderBy("stage_idx")
+    )

@@ -62,3 +62,19 @@ def test_curate_corpus_decontaminates_holdout(spark, tmp_path):
     # no holdout doc that reached the decontamination stage survives
     assert not (curated_ids & hold_ids)
     clear_dedup_memos()
+
+
+def test_curation_funnel_matches_pipeline_ledger(spark, tmp_path):
+    """The declarative curation_funnel query and the imperative
+    curate_corpus pipeline must agree stage-for-stage."""
+    import os
+
+    from bigdata_processing_spark.queries.dedup import curation_funnel
+
+    clear_dedup_memos()
+    out = os.path.join(str(tmp_path), "curated_f")
+    ledger = {s.stage: s.docs_out for s in curate_corpus(spark, SF_SMALL, out)}
+    funnel = {r.stage: r.docs for r in curation_funnel(spark, SF_SMALL).collect()}
+    for stage in ("exact_dedup", "near_dedup", "quality_filter", "mixture_balance"):
+        assert funnel[stage] == ledger[stage], (stage, funnel[stage], ledger[stage])
+    clear_dedup_memos()
