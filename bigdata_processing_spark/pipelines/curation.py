@@ -148,7 +148,24 @@ def curate_corpus(
     n6 = cur.count()
     stats.append(StageStats("mixture_balance", n5, n6))
 
-    cur.write.mode("overwrite").partitionBy("source").parquet(out_path)
+    # staged swap (same discipline as operators/compaction): write aside,
+    # rename in — a crash mid-emit never leaves a half-written corpus at
+    # out_path, and a previous emit stays readable until the new one
+    # commits. recover with compaction.recover_swap(out_path, ".emitting").
+    import os
+    import shutil
+
+    from bigdata_processing_spark.operators.compaction import recover_swap
+
+    recover_swap(out_path, ".emitting")  # heal any earlier interrupted emit
+    tmp = out_path.rstrip("/") + ".emitting"
+    old = out_path.rstrip("/") + ".old"
+    cur.write.mode("overwrite").partitionBy("source").parquet(tmp)
+    shutil.rmtree(old, ignore_errors=True)
+    if os.path.exists(out_path):
+        os.rename(out_path, old)
+    os.rename(tmp, out_path)
+    shutil.rmtree(old, ignore_errors=True)
     n_out = spark.read.parquet(out_path).count()
     stats.append(StageStats("emit", n6, n_out))
     return stats

@@ -78,3 +78,28 @@ def test_curation_funnel_matches_pipeline_ledger(spark, tmp_path):
     for stage in ("exact_dedup", "near_dedup", "quality_filter", "mixture_balance"):
         assert funnel[stage] == ledger[stage], (stage, funnel[stage], ledger[stage])
     clear_dedup_memos()
+
+
+def test_curation_emit_swap_recovers_from_crash_window(spark, tmp_path):
+    """Simulate the emit swap's only non-atomic window (corpus parked at
+    .old, target missing, stale scratch dir) — the next run must heal it
+    and land a complete corpus with no leftovers."""
+    import os
+    import shutil
+
+    out = os.path.join(str(tmp_path), "curated_swap")
+    clear_dedup_memos()
+    curate_corpus(spark, SF_SMALL, out, balance_sources=False)
+    n_ok = spark.read.parquet(out).count()
+
+    # crash window: previous corpus parked at .old, target gone, stale tmp
+    os.rename(out, out + ".old")
+    os.makedirs(out + ".emitting", exist_ok=True)
+    open(os.path.join(out + ".emitting", "junk"), "w").write("partial")
+
+    stats = curate_corpus(spark, SF_SMALL, out, balance_sources=False)
+    assert spark.read.parquet(out).count() == n_ok
+    assert stats[-1].docs_out == n_ok
+    assert not os.path.exists(out + ".old")
+    assert not os.path.exists(out + ".emitting")
+    clear_dedup_memos()
