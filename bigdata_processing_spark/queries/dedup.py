@@ -1902,7 +1902,11 @@ def emit_dedup_corpus(
     Scale shape: the removal set is cluster-membership minus survivors
     (≪ corpus) broadcast against the full scan as an anti-join — the
     corpus streams straight from input files to output files, never
-    shuffling on anything except the partition column at write."""
+    shuffling on anything except the partition column at write.
+
+    Plain overwrite write (caller owns the output dir); for the
+    crash-safe staged-swap emit use pipelines/curation.curate_corpus,
+    which wraps the same anti-join in the compaction swap discipline."""
     docs = load_table(spark, sf_dir, "documents")
     labels = _cluster_labels(spark, sf_dir, jaccard_threshold)
     if policy == "keep_first":
