@@ -996,6 +996,12 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         V.norm(F.col("embedding")).alias("nrm"),
     )
     seeds = seed_centroids(emb, PQ_K, vec_col="e")
+    if not seeds:
+        # empty corpus/partition: no codebook can exist — degrade to an
+        # empty result with the contract schema instead of indexing []
+        return spark.createDataFrame(
+            [], "qid bigint, cid bigint, adc_cos double, rn int"
+        )
     codebook = [
         [c[PQ_SUB * m: PQ_SUB * (m + 1)] for c in seeds] for m in range(PQ_M)
     ]

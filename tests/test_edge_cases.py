@@ -185,3 +185,40 @@ def test_emit_dedup_corpus_both_policies(spark, tmp_path):
     member_ids = {r.doc_id for r in labels.collect()}
     assert len(member_ids & kept2) == n_clusters
     clear_dedup_memos()
+
+
+def test_core_queries_survive_empty_tables(spark, tmp_path):
+    """Empty input partitions happen at 100 TB: the core query families
+    must degrade to empty/summary results, never crash. (Fixture: every
+    table present with the right schema, zero rows.)"""
+    import os
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from bigdata_processing_spark.queries import all_queries
+
+    src = "/root/testdata/sf0.001"
+    dst = os.path.join(str(tmp_path), "sf_empty")
+    os.makedirs(dst, exist_ok=True)
+    for f in os.listdir(src):
+        if f.endswith(".parquet"):
+            schema = pq.read_schema(os.path.join(src, f))
+            pq.write_table(
+                pa.table(
+                    {n: pa.array([], type=schema.field(n).type) for n in schema.names}
+                ),
+                os.path.join(dst, f),
+            )
+
+    q = all_queries()
+    for name in (
+        "dedup_exact_summary", "minhash_lsh_dup_pairs", "dup_clusters",
+        "dedup_survivors", "winnowing_dup_passages", "doc_novelty_bands",
+        "bigram_perplexity_bands", "quality_scores", "monthly_orders",
+        "pricing_summary", "embedding_neardup_pairs", "knn_bruteforce",
+        "pq_adc_knn", "lsh_band_sweep", "curation_funnel",
+        "sessionize_events", "session_funnel", "tfidf_top_terms",
+        "dedup_verifier_matrix",
+    ):
+        q[name](spark, dst).count()  # must not raise
