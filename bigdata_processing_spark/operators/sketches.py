@@ -1,4 +1,5 @@
-"""Deterministic cardinality sketches.
+"""Deterministic sketches: KMV distinct-count, Bloom-bitmap join
+pruning, and a portable count-min sketch.
 
 KMV (k-minimum-values) distinct-count estimation: hash each key to a
 uniform [0,1) value, keep the ``k`` smallest distinct hashes per group,
@@ -75,4 +76,203 @@ def kmv_distinct(
         F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
         .otherwise(F.lit(float(k - 1)) / F.col("h_k"))
         .alias("kmv_est"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-bitmap join pruning.
+#
+# The classic shuffle-reduction move for a selective big⋈small join at
+# 100 TB: hash the small side's join keys into an m-bit bitmap (a
+# single-hash Bloom filter — optimal k≈1 when m ≫ n, and one hash keeps
+# the probe to a single broadcast join), broadcast the bitmap, and drop
+# big-side rows whose bit is unset BEFORE the join's shuffle. The prune
+# is a guaranteed superset of the true matches (Bloom filters have no
+# false negatives), so following it with the exact join returns exactly
+# the plain join's rows — the bitmap is purely a physical optimization
+# and any oracle for the un-pruned query still holds.
+#
+# Representation: the bitmap is a DataFrame of (word, bword) longs —
+# at most bits/64 rows (2048 rows for the default 2^17 bits), built
+# with one bit_or aggregation over the small side and broadcast to the
+# big side. No driver collect, no UDF; the probe is an inner join on
+# word (absent word ⇒ no bits set ⇒ prune) plus a shift-and-mask test.
+# xxhash64 (JVM-side, no md5 cost) is fine here: the hash never needs
+# cross-engine portability because the final result is exact.
+# ---------------------------------------------------------------------------
+BLOOM_BITS_DEFAULT = 1 << 17
+
+
+def bloom_bitmap(small: DataFrame, key: str, bits: int = BLOOM_BITS_DEFAULT) -> DataFrame:
+    """m-bit single-hash Bloom filter over ``small[key]`` as ≤ bits/64
+    rows of (word long, bword long). One shuffle of (word, partial-or)
+    pairs — map-side bit_or combine makes it ≤ bits/64 rows per task."""
+    return (
+        small.select(F.pmod(F.xxhash64(F.col(key)), F.lit(bits)).alias("pos"))
+        .select(
+            F.expr("CAST(pos DIV 64 AS BIGINT)").alias("word"),
+            # SQL form: the Python shiftleft() only takes literal counts
+            F.expr("shiftleft(CAST(1 AS BIGINT), CAST(pos % 64 AS INT))").alias("bit"),
+        )
+        .groupBy("word")
+        .agg(F.bit_or("bit").alias("bword"))
+    )
+
+
+def bloom_prune(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    bits: int = BLOOM_BITS_DEFAULT,
+) -> DataFrame:
+    """Rows of ``big`` whose key *might* appear in ``small[small_key]``
+    — a superset of the true matches (no false negatives; false-positive
+    rate ≈ n_small/bits for bits ≫ n_small). Compose with the exact
+    join afterwards: the pruned side ships (selectivity + fpr) of the
+    original shuffle volume.
+
+    The bitmap is materialized (one small job) and inlined as a literal
+    array predicate — the same execute-build-side-then-inline move
+    Spark's own runtime bloom filter injection makes, and the same
+    parsed-SQL-literal path as the IVF centroid scores. A literal
+    filter sits on the big side's scan and CANNOT be hoisted above the
+    exact join, whereas the join-probe form (``bloom_prune_join``) gets
+    reordered by PushDownLeftSemiAntiJoin, which would re-shuffle the
+    un-pruned side first (observed in test_plans). Driver traffic is
+    bounded metadata: ≤ bits/64 longs (2 KB·words), like the k-means
+    centroids — never data."""
+    arr = [0] * (bits // 64)
+    for r in bloom_bitmap(small, small_key, bits).collect():
+        arr[r.word] = r.bword
+    lits = ",".join(f"{v}L" for v in arr)
+    pred = (
+        f"(shiftrightunsigned(element_at(array({lits}), "
+        f"CAST(pmod(xxhash64(`{big_key}`), {bits}) DIV 64 AS INT) + 1), "
+        f"CAST(pmod(xxhash64(`{big_key}`), {bits}) % 64 AS INT)) "
+        f"& CAST(1 AS BIGINT)) = 1"
+    )
+    return big.filter(F.expr(pred))
+
+
+def bloom_prune_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    bits: int = BLOOM_BITS_DEFAULT,
+) -> DataFrame:
+    """Fully-distributed variant of :func:`bloom_prune`: probes the
+    broadcast (word, bword) bitmap with an inner join + bit test — no
+    driver round-trip, for pipelines that must stay lazy end-to-end.
+    Caveat: Catalyst may reorder the probe join relative to a following
+    exact join, so the pre-shuffle placement is not guaranteed the way
+    the literal-predicate form guarantees it."""
+    bitmap = bloom_bitmap(small, small_key, bits)
+    pos = F.pmod(F.xxhash64(F.col(big_key)), F.lit(bits))
+    probed = (
+        big.withColumn("__bf_word", F.expr(f"CAST(pmod(xxhash64(`{big_key}`), {bits}) DIV 64 AS BIGINT)"))
+        .withColumn("__bf_bit", (pos % 64).cast("int"))
+        .join(F.broadcast(bitmap), F.col("__bf_word") == bitmap.word, "inner")
+        .filter(
+            F.expr("(shiftrightunsigned(bword, __bf_bit) & CAST(1 AS BIGINT)) = 1")
+        )
+    )
+    return probed.drop("__bf_word", "__bf_bit", "word", "bword")
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch (Cormode & Muthukrishnan, J. Algorithms 2005) with
+# the same portability contract as KMV: buckets come from the 52-bit
+# md5 integer (seeded per row of the sketch), so DuckDB reproduces the
+# whole d×w counter matrix — and therefore every estimate — bit-for-bit.
+#
+# Guarantees the tests and the oracle query lean on:
+#   est(key) ≥ true(key) always (counters only ever over-count), and
+#   est(key) ≤ true(key) + εN with prob 1-δ for w=⌈e/ε⌉, d=⌈ln 1/δ⌉.
+#
+# Scale design: the sketch build is one groupBy over (row, bucket) —
+# map-side combine caps every task's output at d×w cells, so the
+# shuffle carries O(d·w·tasks) regardless of input rows. Estimating is
+# a broadcast join of the d×w cell table against the probe keys.
+# ---------------------------------------------------------------------------
+CMS_DEPTH_DEFAULT = 3
+CMS_WIDTH_DEFAULT = 256
+
+
+def _cms_bucket(col: Column, i: int, width: int) -> Column:
+    """Portable bucket: 52-bit md5 int of "key:i" mod width. DuckDB
+    twin: ``CAST('0x' || substr(md5(CAST(x AS VARCHAR) || ':i'), 1, 13)
+    AS BIGINT) % width``."""
+    h = F.conv(
+        F.substring(F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(i)))), 1, 13),
+        16,
+        10,
+    ).cast("long")
+    return (h % width).alias("b")
+
+
+def cms_sketch(
+    df: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH_DEFAULT,
+    width: int = CMS_WIDTH_DEFAULT,
+) -> DataFrame:
+    """The d×w counter matrix as (i int, b long, c long) rows."""
+    cells = df.select(
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(key), i, width) for i in range(depth)])
+        ).alias("i", "b")
+    )
+    return cells.groupBy("i", "b").agg(F.count("*").alias("c"))
+
+
+def cms_estimates(
+    df: DataFrame,
+    key: str,
+    probes: DataFrame,
+    depth: int = CMS_DEPTH_DEFAULT,
+    width: int = CMS_WIDTH_DEFAULT,
+) -> DataFrame:
+    """CMS count estimate for every row of ``probes`` (a one-column
+    DataFrame named ``key``): min over the d rows of the key's cell
+    counts. Returns (key, cms_est long); keys absent from ``df`` report
+    the collision noise in their cells (still an overestimate of 0)."""
+    sketch = cms_sketch(df, key, depth, width)
+    probe_cells = probes.select(
+        key,
+        F.posexplode(
+            F.array(*[_cms_bucket(F.col(key), i, width) for i in range(depth)])
+        ).alias("i", "b"),
+    )
+    return (
+        probe_cells.join(F.broadcast(sketch), ["i", "b"], "left")
+        .groupBy(key)
+        .agg(F.min(F.coalesce(F.col("c"), F.lit(0))).alias("cms_est"))
+    )
+
+
+def cms_heavy_hitters(
+    df: DataFrame,
+    key: str,
+    min_count: int,
+    depth: int = CMS_DEPTH_DEFAULT,
+    width: int = CMS_WIDTH_DEFAULT,
+) -> DataFrame:
+    """Exact (key, cnt) for every key with true count ≥ min_count,
+    found in two passes: CMS candidates first (superset — est ≥ true
+    means no qualifying key can be missed), then an exact count over
+    candidate rows only. Output is identical to the plain
+    ``GROUP BY key HAVING count(*) ≥ min_count`` — the sketch only
+    bounds where the second pass spends its shuffle."""
+    cands = (
+        cms_estimates(df, key, df.select(key).distinct(), depth, width)
+        .filter(F.col("cms_est") >= min_count)
+        .select(key)
+    )
+    return (
+        df.join(F.broadcast(cands), key, "left_semi")
+        .groupBy(key)
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= min_count)
     )

@@ -62,6 +62,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # incremental-IVF append twin), then the heavily-reworked dedup
     # family re-confirms under the new connected-components labeling +
     # parameterized thresholds; everything union-green follows.
+    "bloom_prejoin_revenue",
+    "cms_overestimate_audit",
     "lsh_band_sweep",
     "ivf_append_assignment",
     "winnowing_dup_passages",

@@ -277,3 +277,46 @@ def set_ops_all_variants(spark: SparkSession, sf_dir: str) -> DataFrame:
         one = df.agg(F.count("*").alias("n")).select(F.lit(op).alias("op"), "n")
         out = one if out is None else out.union(one)
     return out.orderBy("op")
+
+
+# ---------------------------------------------------------------------------
+# Bloom-bitmap pre-join pruning (operators/sketches.py): the selective
+# big⋈small join with the big side hash-pruned BEFORE the join's
+# shuffle. The bitmap pass admits a superset of the true matches (no
+# false negatives), and the exact semi-join then removes the ~n/bits
+# false positives — so the result, and hence the oracle, is exactly the
+# plain semi-join aggregate. At 100 TB this is the difference between
+# shuffling the whole fact table and shuffling (selectivity + fpr) of
+# it; here selectivity ≈ 20% and the bitmap is ≤ 2048 broadcast rows.
+# ---------------------------------------------------------------------------
+@register(
+    "bloom_prejoin_revenue",
+    oracle="""
+        SELECT l.l_returnflag, sum(l.l_extendedprice) AS revenue,
+               count(*) AS n_items
+        FROM lineitem l
+        WHERE l.l_orderkey IN
+              (SELECT o_orderkey FROM orders WHERE o_orderpriority = '1-URGENT')
+        GROUP BY 1
+        ORDER BY l_returnflag
+    """,
+)
+def bloom_prejoin_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.operators.sketches import bloom_prune
+
+    li = load_table(spark, sf_dir, "lineitem")
+    urgent = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey")
+    )
+    pruned = bloom_prune(li, urgent, "l_orderkey", "o_orderkey")
+    return (
+        pruned.join(urgent, pruned.l_orderkey == urgent.o_orderkey, "left_semi")
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_extendedprice").alias("revenue"),
+            F.count("*").alias("n_items"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -846,3 +846,62 @@ def monthly_revenue_mom_change(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("month")
     )
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch audit (operators/sketches.py): per-user CMS count
+# estimate next to the exact count. Like the KMV query above, the
+# sketch hash is the portable 52-bit md5 integer, so DuckDB rebuilds
+# the identical d×w counter matrix and the driver hash-checks the
+# *estimates themselves*, not just their plausibility. The overestimate
+# column is the CMS guarantee made visible: never negative, expected
+# ≈ N/width under the min of depth rows.
+# ---------------------------------------------------------------------------
+@register(
+    "cms_overestimate_audit",
+    oracle="""
+        WITH seeds AS (SELECT unnest([0, 1, 2]) AS i),
+        cells AS (
+            SELECT s.i,
+                   CAST('0x' || substr(md5(CAST(e.user_id AS VARCHAR) || ':' ||
+                        CAST(s.i AS VARCHAR)), 1, 13) AS BIGINT) % 256 AS b,
+                   count(*) AS c
+            FROM events e CROSS JOIN seeds s
+            GROUP BY 1, 2
+        ),
+        probes AS (SELECT DISTINCT user_id FROM events),
+        pc AS (
+            SELECT p.user_id, s.i,
+                   CAST('0x' || substr(md5(CAST(p.user_id AS VARCHAR) || ':' ||
+                        CAST(s.i AS VARCHAR)), 1, 13) AS BIGINT) % 256 AS b
+            FROM probes p CROSS JOIN seeds s
+        ),
+        est AS (
+            SELECT pc.user_id, min(cells.c) AS cms_est
+            FROM pc JOIN cells USING (i, b)
+            GROUP BY 1
+        ),
+        exact AS (SELECT user_id, count(*) AS exact_cnt FROM events GROUP BY 1)
+        SELECT est.user_id, exact_cnt, cms_est,
+               cms_est - exact_cnt AS overestimate
+        FROM est JOIN exact USING (user_id)
+        ORDER BY user_id
+    """,
+)
+def cms_overestimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.operators.sketches import cms_estimates
+
+    events = load_table(spark, sf_dir, "events")
+    probes = events.select("user_id").distinct()
+    est = cms_estimates(events, "user_id", probes)
+    exact = events.groupBy("user_id").agg(F.count("*").alias("exact_cnt"))
+    return (
+        est.join(exact, "user_id")
+        .select(
+            "user_id",
+            "exact_cnt",
+            "cms_est",
+            (F.col("cms_est") - F.col("exact_cnt")).alias("overestimate"),
+        )
+        .orderBy("user_id")
+    )

@@ -219,6 +219,7 @@ def test_core_queries_survive_empty_tables(spark, tmp_path):
         "pricing_summary", "embedding_neardup_pairs", "knn_bruteforce",
         "pq_adc_knn", "lsh_band_sweep", "curation_funnel",
         "sessionize_events", "session_funnel", "tfidf_top_terms",
-        "dedup_verifier_matrix",
+        "dedup_verifier_matrix", "bloom_prejoin_revenue",
+        "cms_overestimate_audit",
     ):
         q[name](spark, dst).count()  # must not raise

@@ -230,3 +230,38 @@ def test_dynamic_partition_pruning_fires(spark, tmp_path):
         F.count("*").alias("n")
     )
     assert "dynamicpruning" in explain_str(joined, mode="formatted").lower()
+
+
+def test_bloom_prune_filters_before_the_join_shuffle(spark):
+    """With the filter side too big to broadcast (threshold off), the
+    exact semi-join becomes a SortMergeJoin — and the Bloom bit test (a
+    literal-array predicate) must sit BELOW it, pruning the big side
+    before its shuffle. This placement is exactly why bloom_prune
+    inlines the bitmap instead of join-probing it: the join form gets
+    hoisted above the exact join by PushDownLeftSemiAntiJoin."""
+    from bigdata_processing_spark.operators.sketches import bloom_prune
+    from bigdata_processing_spark.plans import explain_str
+
+    thr = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        li = load_table(spark, SF_SMALL, "lineitem")
+        small = load_table(spark, SF_SMALL, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        ).select("o_orderkey")
+        pruned = bloom_prune(li, small, "l_orderkey", "o_orderkey")
+        out = pruned.join(
+            small, pruned.l_orderkey == small.o_orderkey, "left_semi"
+        ).groupBy("l_returnflag").count()
+        plan = explain_str(out, mode="simple")
+        assert "SortMergeJoin" in plan  # the exact semi now shuffles...
+        assert "shiftrightunsigned" in plan  # ...and the bit test exists
+        # tree order: children print after their parent, so the bit-test
+        # filter appearing after SortMergeJoin means it's in the join's
+        # subtree — applied pre-shuffle, not post-join
+        assert plan.index("SortMergeJoin") < plan.index("shiftrightunsigned")
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
+        spark.conf.set("spark.sql.adaptive.enabled", aqe)

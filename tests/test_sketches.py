@@ -80,3 +80,119 @@ def test_hll_agrees_with_exact(spark):
     assert rows
     for r in rows:
         assert abs(r.hll - r.exact) / r.exact < 0.10, r
+
+
+# ---------------------------------------------------------------------------
+# Bloom-bitmap join pruning
+# ---------------------------------------------------------------------------
+
+def test_bloom_prune_superset_and_exact_composition(spark):
+    """The bitmap pass never drops a true match (no false negatives),
+    and pruned-then-exact-join is row-identical to the plain semi-join.
+    Both forms — the literal-predicate default and the join-probe
+    variant — must agree row-for-row."""
+    from bigdata_processing_spark.operators.sketches import (
+        bloom_prune,
+        bloom_prune_join,
+    )
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    small = load_table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    pruned = bloom_prune(li, small, "l_orderkey", "o_orderkey")
+    exact = li.join(small, li.l_orderkey == small.o_orderkey, "left_semi")
+    assert pruned.columns == li.columns  # schema passes through untouched
+    # superset: every exact match survives the prune
+    assert exact.join(
+        pruned.select("l_orderkey", "l_linenumber"),
+        ["l_orderkey", "l_linenumber"], "left_anti",
+    ).count() == 0
+    # composition: prune + exact join == plain join
+    composed = pruned.join(small, pruned.l_orderkey == small.o_orderkey, "left_semi")
+    assert composed.count() == exact.count()
+    # the distributed join-probe variant admits the same row set
+    via_join = bloom_prune_join(li, small, "l_orderkey", "o_orderkey")
+    assert via_join.count() == pruned.count()
+    assert via_join.select("l_orderkey", "l_linenumber").exceptAll(
+        pruned.select("l_orderkey", "l_linenumber")
+    ).count() == 0
+
+
+def test_bloom_prune_false_positive_rate(spark):
+    """FPR tracks n_small/bits: non-matching rows leak through at
+    roughly the single-hash Bloom rate, and more bits mean fewer leaks."""
+    from bigdata_processing_spark.operators.sketches import bloom_prune
+
+    li = load_table(spark, SF_SMALL, "lineitem")
+    small = load_table(spark, SF_SMALL, "orders").filter(
+        F.col("o_orderpriority") == "1-URGENT"
+    ).select("o_orderkey")
+    n_small = small.count()
+    exact_n = li.join(small, li.l_orderkey == small.o_orderkey, "left_semi").count()
+    nonmatch = li.count() - exact_n
+    for bits in (1 << 14, 1 << 17):
+        leaked = bloom_prune(li, small, "l_orderkey", "o_orderkey", bits=bits).count() - exact_n
+        fpr = leaked / nonmatch
+        assert fpr < 3.0 * n_small / bits, (bits, fpr)
+    # empty filter side prunes everything
+    assert bloom_prune(li, small.limit(0), "l_orderkey", "o_orderkey").count() == 0
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch
+# ---------------------------------------------------------------------------
+
+def _zipf_df(spark, n_keys=200, scale=2000):
+    """Deterministic Zipf-ish frequencies: key k appears ⌈scale/k⌉ times."""
+    rows = [(k,) for k in range(1, n_keys + 1) for _ in range(scale // k)]
+    return spark.createDataFrame(rows, "key int")
+
+
+def test_cms_never_underestimates(spark):
+    """est ≥ true for every key — the CMS one-sided error guarantee."""
+    from bigdata_processing_spark.operators.sketches import cms_estimates
+
+    df = _zipf_df(spark)
+    est = cms_estimates(df, "key", df.select("key").distinct(), width=64)
+    exact = df.groupBy("key").agg(F.count("*").alias("exact"))
+    j = est.join(exact, "key")
+    assert j.filter(F.col("cms_est") < F.col("exact")).count() == 0
+    # width=64 on ~15k rows: mean overestimate bounded by a few N/w
+    avg_over = j.agg(F.avg(F.col("cms_est") - F.col("exact"))).collect()[0][0]
+    n = df.count()
+    assert 0 <= avg_over < 3 * n / 64
+
+
+def test_cms_deterministic_and_width_shrinks_error(spark):
+    from bigdata_processing_spark.operators.sketches import cms_estimates
+
+    df = _zipf_df(spark, n_keys=100, scale=1000)
+    probes = df.select("key").distinct()
+    a = sorted(tuple(r) for r in cms_estimates(df, "key", probes, width=64).collect())
+    b = sorted(tuple(r) for r in cms_estimates(df, "key", probes, width=64).collect())
+    assert a == b  # md5 buckets: bit-identical across runs
+    exact = {r.key: r.exact for r in df.groupBy("key").agg(F.count("*").alias("exact")).collect()}
+    def total_over(width):
+        rows = cms_estimates(df, "key", probes, width=width).collect()
+        return sum(r.cms_est - exact[r.key] for r in rows)
+    assert total_over(1024) <= total_over(64)
+
+
+def test_cms_heavy_hitters_exact_output(spark):
+    """Two-pass heavy hitters returns exactly GROUP BY HAVING — the
+    sketch can only widen the candidate set, never narrow the answer."""
+    from bigdata_processing_spark.operators.sketches import cms_heavy_hitters
+
+    df = _zipf_df(spark)
+    got = sorted(
+        tuple(r) for r in cms_heavy_hitters(df, "key", min_count=50, width=64).collect()
+    )
+    want = sorted(
+        tuple(r)
+        for r in df.groupBy("key")
+        .agg(F.count("*").alias("cnt"))
+        .filter(F.col("cnt") >= 50)
+        .collect()
+    )
+    assert got == want and len(want) > 0
