@@ -42,6 +42,63 @@ def hash01(col: Column) -> Column:
     ) / F.lit(float(1 << HASH_BITS))
 
 
+def kmv_minset(
+    df: DataFrame,
+    key: str,
+    group_cols: list[str],
+    k: int = 64,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-group k-minimum hash set — the KMV *sketch itself*, one
+    (group, h) row per surviving hash (≤ k per group). This is the
+    mergeable representation: the union of two sets' sketches, re-cut
+    to the k smallest, IS the union's sketch (every hash in the union's
+    true k-min is in one of the operands' k-mins)."""
+    hashes = df.select(
+        *group_cols, hash01(F.col(key)).alias("h")
+    ).distinct()
+    # two-stage k-min: every global top-k hash is top-k within its salt,
+    # so the salted prefilter is lossless
+    salt = (F.col("h") * F.lit(float(1 << HASH_BITS))).cast("long") % n_salts
+    w1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
+    w2 = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        hashes.withColumn("salt", salt)
+        .withColumn("rn1", F.row_number().over(w1))
+        .filter(F.col("rn1") <= k)
+        .withColumn("rn", F.row_number().over(w2))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h")
+    )
+
+
+def kmv_estimate(minset: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Distinct-count estimate from a k-min set: exact (= n_min) when
+    the group holds fewer than ``k`` hashes, else ``(k-1)/h_k``."""
+    return minset.groupBy(*group_cols).agg(
+        F.count("*").alias("n_min"), F.max("h").alias("h_k")
+    ).select(
+        *group_cols,
+        F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
+        .otherwise(F.lit(float(k - 1)) / F.col("h_k"))
+        .alias("kmv_est"),
+    )
+
+
+def kmv_merge(minsets: DataFrame, group_cols: list[str], k: int) -> DataFrame:
+    """Merge sketches by union: drop the original grouping (the caller
+    selects/renames ``group_cols`` to the merged identity first),
+    dedupe hashes shared across operands, and re-cut to the k smallest.
+    Never touches raw data — this is what makes KMV a sketch."""
+    w = Window.partitionBy(*group_cols).orderBy("h")
+    return (
+        minsets.select(*group_cols, "h").distinct()
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= k)
+        .select(*group_cols, "h")
+    )
+
+
 def kmv_distinct(
     df: DataFrame,
     key: str,
@@ -54,29 +111,7 @@ def kmv_distinct(
     Returns one row per group with ``kmv_est`` (double): exact when the
     group has fewer than ``k`` distinct hashes, else ``(k-1)/h_k``.
     """
-    hashes = df.select(
-        *group_cols, hash01(F.col(key)).alias("h")
-    ).distinct()
-    # two-stage k-min: every global top-k hash is top-k within its salt,
-    # so the salted prefilter is lossless
-    salt = (F.col("h") * F.lit(float(1 << HASH_BITS))).cast("long") % n_salts
-    w1 = Window.partitionBy(*group_cols, "salt").orderBy("h")
-    w2 = Window.partitionBy(*group_cols).orderBy("h")
-    topk = (
-        hashes.withColumn("salt", salt)
-        .withColumn("rn1", F.row_number().over(w1))
-        .filter(F.col("rn1") <= k)
-        .withColumn("rn", F.row_number().over(w2))
-        .filter(F.col("rn") <= k)
-    )
-    return topk.groupBy(*group_cols).agg(
-        F.count("*").alias("n_min"), F.max("h").alias("h_k")
-    ).select(
-        *group_cols,
-        F.when(F.col("n_min") < k, F.col("n_min").cast("double"))
-        .otherwise(F.lit(float(k - 1)) / F.col("h_k"))
-        .alias("kmv_est"),
-    )
+    return kmv_estimate(kmv_minset(df, key, group_cols, k, n_salts), group_cols, k)
 
 
 # ---------------------------------------------------------------------------
@@ -238,7 +273,22 @@ def cms_estimates(
     DataFrame named ``key``): min over the d rows of the key's cell
     counts. Returns (key, cms_est long); keys absent from ``df`` report
     the collision noise in their cells (still an overestimate of 0)."""
-    sketch = cms_sketch(df, key, depth, width)
+    return cms_estimates_from_cells(
+        cms_sketch(df, key, depth, width), key, probes, depth, width
+    )
+
+
+def cms_estimates_from_cells(
+    sketch: DataFrame,
+    key: str,
+    probes: DataFrame,
+    depth: int = CMS_DEPTH_DEFAULT,
+    width: int = CMS_WIDTH_DEFAULT,
+) -> DataFrame:
+    """Estimates from an already-built (i, b, c) cell table — the entry
+    point for merged sketches (streaming state, pre-aggregated per-day
+    sketches): CMS cells merge by plain cell-wise addition, so a
+    consumer never needs the rows that built them."""
     probe_cells = probes.select(
         key,
         F.posexplode(

@@ -64,6 +64,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # parameterized thresholds; everything union-green follows.
     "bloom_prejoin_revenue",
     "cms_overestimate_audit",
+    "kmv_set_algebra",
     "lsh_band_sweep",
     "ivf_append_assignment",
     "winnowing_dup_passages",

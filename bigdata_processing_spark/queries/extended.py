@@ -493,3 +493,127 @@ def wei_decimal_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_orders",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable-sketch set algebra (operators/sketches.py): distinct-count
+# estimates for two customer cohorts AND their union/intersection
+# computed purely from the cohorts' KMV sketches — the union sketch is
+# the k smallest of the two k-min sets (never a rescan of raw data),
+# intersection by inclusion-exclusion. The portable md5 hash means
+# DuckDB rebuilds the identical sketches, so all four estimates are
+# hash-verified, each next to its exact count. At 100 TB this is the
+# pattern for pre-aggregated per-partition/per-day sketches rolled up
+# to arbitrary cohort combinations without touching the fact table.
+# ---------------------------------------------------------------------------
+@register(
+    "kmv_set_algebra",
+    oracle="""
+        WITH tagged AS (
+            SELECT CASE WHEN year(o_orderdate) = 1995 THEN 'y1995'
+                        ELSE 'y1996' END AS tag, o_custkey
+            FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+        ),
+        h AS (
+            SELECT DISTINCT tag,
+                   CAST('0x' || substr(md5(CAST(o_custkey AS VARCHAR)), 1, 13) AS BIGINT)
+                       / 4503599627370496.0 AS h
+            FROM tagged
+        ),
+        mins AS (
+            SELECT tag, h FROM (
+                SELECT tag, h, row_number() OVER (PARTITION BY tag ORDER BY h) AS rn
+                FROM h
+            ) WHERE rn <= 256
+        ),
+        umins AS (
+            SELECT 'union' AS tag, h FROM (
+                SELECT h, row_number() OVER (ORDER BY h) AS rn
+                FROM (SELECT DISTINCT h FROM mins)
+            ) WHERE rn <= 256
+        ),
+        est AS (
+            SELECT tag,
+                   CASE WHEN count(*) < 256 THEN count(*)::DOUBLE
+                        ELSE 255.0 / max(h) END AS kmv_est
+            FROM (SELECT * FROM mins UNION ALL SELECT * FROM umins)
+            GROUP BY tag
+        ),
+        est4 AS (
+            SELECT * FROM est
+            UNION ALL
+            SELECT 'intersection',
+                   sum(CASE WHEN tag = 'union' THEN -kmv_est ELSE kmv_est END)
+            FROM est
+        ),
+        exact AS (
+            SELECT 'y1995' AS tag, count(DISTINCT o_custkey) AS exact_distinct
+            FROM orders WHERE year(o_orderdate) = 1995
+            UNION ALL
+            SELECT 'y1996', count(DISTINCT o_custkey)
+            FROM orders WHERE year(o_orderdate) = 1996
+            UNION ALL
+            SELECT 'union', count(DISTINCT o_custkey)
+            FROM orders WHERE year(o_orderdate) IN (1995, 1996)
+            UNION ALL
+            SELECT 'intersection', count(*) FROM (
+                SELECT o_custkey FROM tagged
+                GROUP BY 1 HAVING count(DISTINCT tag) = 2
+            )
+        )
+        SELECT est4.tag AS set_name, kmv_est, exact_distinct
+        FROM est4 JOIN exact ON est4.tag = exact.tag
+        ORDER BY set_name
+    """,
+)
+def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_minset,
+    )
+
+    K = 256
+    orders = load_table(spark, sf_dir, "orders")
+    yr = F.year("o_orderdate")
+    tagged = orders.filter(yr.isin(1995, 1996)).select(
+        F.when(yr == 1995, "y1995").otherwise("y1996").alias("tag"), "o_custkey"
+    )
+    ms = kmv_minset(tagged, "o_custkey", ["tag"], k=K)
+    union_ms = kmv_merge(
+        ms.select(F.lit("union").alias("tag"), "h"), ["tag"], K
+    )
+    est = kmv_estimate(ms.select("tag", "h").union(union_ms), ["tag"], K)
+    inter = est.agg(
+        F.sum(
+            F.when(F.col("tag") == "union", -F.col("kmv_est")).otherwise(
+                F.col("kmv_est")
+            )
+        ).alias("kmv_est")
+    ).select(F.lit("intersection").alias("tag"), "kmv_est")
+    est4 = est.union(inter)
+
+    def _cohort(name, cond):
+        return (
+            orders.filter(cond)
+            .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
+            .select(F.lit(name).alias("tag"), "exact_distinct")
+        )
+
+    exact = (
+        _cohort("y1995", yr == 1995)
+        .union(_cohort("y1996", yr == 1996))
+        .union(_cohort("union", yr.isin(1995, 1996)))
+        .union(
+            tagged.groupBy("o_custkey")
+            .agg(F.countDistinct("tag").alias("nt"))
+            .filter(F.col("nt") == 2)
+            .agg(F.count("*").alias("exact_distinct"))
+            .select(F.lit("intersection").alias("tag"), "exact_distinct")
+        )
+    )
+    return (
+        est4.join(exact, "tag")
+        .select(F.col("tag").alias("set_name"), "kmv_est", "exact_distinct")
+        .orderBy("set_name")
+    )

@@ -1,0 +1,155 @@
+"""Streaming count-min sketch: heavy-hitter counts over an unbounded
+stream with O(d×w) state, independent of stream length or key
+cardinality.
+
+CMS cells merge by plain cell-wise addition, so the streaming form is
+a foreachBatch that sketches each micro-batch (operators/sketches.
+cms_sketch) and adds it into a persisted cell table. State is the d×w
+counter matrix — 768 rows at the defaults — which is why this scales
+where dropDuplicates-style per-key state does not: a 100-TB stream of
+near-unique URLs keeps the same 768-row state as the fixture.
+
+Exactly-once: foreachBatch can replay a batch on failure, and addition
+is NOT idempotent, so commits go through the same batch-id ledger +
+staged-swap discipline as streaming/serving.py — a replayed batch_id
+is skipped, and a crash inside the swap window is healed by
+``recover_cms_state`` (operators/compaction.recover_swap) before the
+next merge.
+
+Estimates from the merged state are bit-identical to a batch sketch of
+the same rows (test_streaming parity): the portable md5 buckets don't
+care how the rows were partitioned into micro-batches.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+
+from bigdata_processing_spark.operators.compaction import recover_swap
+from bigdata_processing_spark.operators.sketches import (
+    CMS_DEPTH_DEFAULT,
+    CMS_WIDTH_DEFAULT,
+    cms_estimates_from_cells,
+    cms_sketch,
+)
+
+_SWAP_SUFFIX = ".merging"
+
+
+def _cells_path(state_path: str) -> str:
+    return os.path.join(state_path, "cells")
+
+
+def _ledger_path(state_path: str) -> str:
+    return os.path.join(state_path, "_batches")
+
+
+def committed_batches(state_path: str) -> set[int]:
+    lp = _ledger_path(state_path)
+    if not os.path.isdir(lp):
+        return set()
+    return {int(f) for f in os.listdir(lp)}
+
+
+def recover_cms_state(state_path: str) -> None:
+    """Heal a crash inside the cells swap window (parked ``.old`` dir,
+    orphaned ``.merging`` output) before applying the next batch."""
+    recover_swap(_cells_path(state_path), _SWAP_SUFFIX)
+
+
+def read_cms_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    """The merged (i, b, c) cell table, or None before the first commit."""
+    cells = _cells_path(state_path)
+    if not os.path.isdir(cells):
+        return None
+    return spark.read.parquet(cells)
+
+
+def cms_merge_batch(
+    state_path: str,
+    batch: DataFrame,
+    batch_id: int,
+    key: str,
+    depth: int = CMS_DEPTH_DEFAULT,
+    width: int = CMS_WIDTH_DEFAULT,
+) -> bool:
+    """Sketch one micro-batch and add it into the persisted cell table.
+    Returns False (no-op) for an already-committed batch_id — the
+    replay-suppression that makes the additive merge effectively
+    exactly-once. The merged table is written staged and swapped in,
+    so readers never see a half-merged matrix."""
+    if batch_id in committed_batches(state_path):
+        return False
+    recover_cms_state(state_path)
+
+    spark = batch.sparkSession
+    cells = _cells_path(state_path)
+    new = cms_sketch(batch, key, depth, width)
+    state = read_cms_state(spark, state_path)
+    if state is not None:
+        from pyspark.sql import functions as F
+
+        new = (
+            state.unionByName(new)
+            .groupBy("i", "b")
+            .agg(F.sum("c").alias("c"))
+        )
+
+    tmp = cells + _SWAP_SUFFIX
+    old = cells + ".old"
+    new.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(cells):
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cells, old)
+        os.rename(tmp, cells)
+        shutil.rmtree(old)
+    else:
+        os.makedirs(state_path, exist_ok=True)
+        os.rename(tmp, cells)
+
+    lp = _ledger_path(state_path)
+    os.makedirs(lp, exist_ok=True)
+    with open(os.path.join(lp, str(batch_id)), "w"):
+        pass
+    return True
+
+
+def run_cms_stream(
+    stream: DataFrame,
+    state_path: str,
+    key: str,
+    depth: int = CMS_DEPTH_DEFAULT,
+    width: int = CMS_WIDTH_DEFAULT,
+    checkpoint: str | None = None,
+):
+    """Wire a stream into the CMS state via foreachBatch; returns the
+    started query (caller awaits/stops)."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: cms_merge_batch(state_path, df, bid, key, depth, width)
+        )
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def cms_state_estimates(
+    spark: SparkSession,
+    state_path: str,
+    probes: DataFrame,
+    key: str,
+    depth: int = CMS_DEPTH_DEFAULT,
+    width: int = CMS_WIDTH_DEFAULT,
+) -> DataFrame:
+    """Count estimates for ``probes`` from the merged streaming state —
+    same contract as the batch ``cms_estimates``."""
+    cells = read_cms_state(spark, state_path)
+    if cells is None:
+        raise FileNotFoundError(f"no CMS state committed at {state_path}")
+    return cms_estimates_from_cells(cells, key, probes, depth, width)

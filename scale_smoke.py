@@ -48,6 +48,8 @@ QUERIES = [
     "dedup_survivors",
     "boilerplate_chunk_stats",
     "unigram_surprisal_bands",
+    # r04 sketches: events-based, so the N× clone densifies the stream
+    "cms_overestimate_audit",
     "binary_quantized_knn",
     "sessionize_events",
     "edit_distance_dup_pairs",

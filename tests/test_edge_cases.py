@@ -220,6 +220,6 @@ def test_core_queries_survive_empty_tables(spark, tmp_path):
         "pq_adc_knn", "lsh_band_sweep", "curation_funnel",
         "sessionize_events", "session_funnel", "tfidf_top_terms",
         "dedup_verifier_matrix", "bloom_prejoin_revenue",
-        "cms_overestimate_audit",
+        "cms_overestimate_audit", "kmv_set_algebra",
     ):
         q[name](spark, dst).count()  # must not raise

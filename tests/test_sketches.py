@@ -196,3 +196,32 @@ def test_cms_heavy_hitters_exact_output(spark):
         .collect()
     )
     assert got == want and len(want) > 0
+
+
+def test_kmv_merge_equals_direct_union_sketch(spark):
+    """Merging two cohorts' k-min sets and re-cutting to k gives the
+    IDENTICAL sketch (hence estimate) as sketching the union of rows
+    directly — the losslessness that makes KMV mergeable."""
+    from bigdata_processing_spark.operators.sketches import (
+        kmv_estimate,
+        kmv_merge,
+        kmv_minset,
+    )
+
+    orders = load_table(spark, SF_SMALL, "orders")
+    yr = F.year("o_orderdate")
+    tagged = orders.filter(yr.isin(1995, 1996)).select(
+        F.when(yr == 1995, "a").otherwise("b").alias("tag"), "o_custkey"
+    )
+    k = 64
+    ms = kmv_minset(tagged, "o_custkey", ["tag"], k=k)
+    merged = kmv_merge(ms.select(F.lit("u").alias("tag"), "h"), ["tag"], k)
+    direct = kmv_minset(
+        tagged.select(F.lit("u").alias("tag"), "o_custkey"), "o_custkey", ["tag"], k=k
+    )
+    assert sorted(r.h for r in merged.collect()) == sorted(
+        r.h for r in direct.collect()
+    )
+    est_m = kmv_estimate(merged, ["tag"], k).collect()[0].kmv_est
+    est_d = kmv_estimate(direct, ["tag"], k).collect()[0].kmv_est
+    assert est_m == est_d
