@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_prejoin_revenue",
     "cms_overestimate_audit",
     "kmv_set_algebra",
+    "semantic_dedup_survivors",
     "lsh_band_sweep",
     "ivf_append_assignment",
     "winnowing_dup_passages",

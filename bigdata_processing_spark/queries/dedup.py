@@ -191,6 +191,9 @@ MEMO_FAMILY = (
     "dup_cluster_size_histogram",
     "dedup_verifier_matrix",
     "dedup_survivors_by_quality",
+    # embedding-assignment memo consumers
+    "embedding_neardup_pairs",
+    "semantic_dedup_survivors",
 )
 
 
@@ -235,8 +238,11 @@ def clear_dedup_memos() -> None:
     from bigdata_processing_spark.queries import dedup as _self
 
     for memo in (_PAIR_MEMO, _CAND_MEMO, _self._LABEL_MEMO,
-                 _self._EDIT_PRE_MEMO, _self._SWEEP_MEMO, _OUT_MEMO):
-        for df in memo.values():
+                 _self._EDIT_PRE_MEMO, _self._SWEEP_MEMO, _OUT_MEMO,
+                 _self._EMB_MEMO):
+        for entry in memo.values():
+            # _EMB_MEMO holds (DataFrame, centroid list); the rest plain DFs
+            df = entry[0] if isinstance(entry, tuple) else entry
             try:
                 df.unpersist()
             except Exception:
@@ -733,10 +739,11 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # doubles in array order, bit-equal to DuckDB list_dot_product, so both
 # engines assign identical cells.
 # ---------------------------------------------------------------------------
-@register(
-    "embedding_neardup_pairs",
-    oracle=f"""
-        WITH cents AS (
+# Shared embedding-assignment CTEs (seeded centroids + argmin cell),
+# consumed by BOTH embedding_neardup_pairs and the SemDeDup-style
+# semantic_dedup_survivors oracle so cell assignment cannot drift.
+_SQL_EMB_ASSIGN = """
+        cents AS (
             -- LIMIT = allpairs_cell_count(n): max(ivf_cell_count(n), n//128)
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    embedding::DOUBLE[] AS c
@@ -759,6 +766,55 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
                     LIMIT 1) AS cell
             FROM embeddings e
         )
+"""
+
+
+# Assignment memo (same shape as _PAIR_MEMO): both embedding_neardup_pairs
+# and semantic_dedup_survivors need the (vec_id, label, e, nrm, cell)
+# frame AND the centroid list; the second consumer reads the persisted
+# n-row result instead of re-running count + centroid collect + argmin.
+_EMB_MEMO: dict[tuple[str, str], tuple[DataFrame, list]] = {}
+
+
+def _emb_assigned(spark: SparkSession, sf_dir: str):
+    """(assigned base DataFrame, seed centroid list). Persisted per
+    (session, sf_dir).
+
+    Precomputes each vector's norm ONCE (n rows) instead of re-folding
+    per pair (n² folds); uses the join-based assigner — bit-identical
+    argmin to the literal-SQL form the oracle uses, without the
+    cells×dim literal expression (135 KB of SQL + codegen blow-up at
+    51×64 — measured ~2.9s/run; the broadcast-join form is O(1) plan
+    size at ANY cell count)."""
+    from bigdata_processing_spark.functions import vectors as V
+    from bigdata_processing_spark.operators.ivf import (
+        allpairs_cell_count,
+        seed_centroids,
+        seeded_assign_cells,
+    )
+
+    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    cached = _EMB_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = allpairs_cell_count(emb.count())
+    cents = seed_centroids(emb, n_cells)
+    base = emb.select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    base = base.join(seeded_assign_cells(base, cents), "vec_id").persist()
+    _EMB_MEMO[memo_key] = (base, cents)
+    return base, cents
+
+
+@register(
+    "embedding_neardup_pairs",
+    oracle=f"""
+        WITH {_SQL_EMB_ASSIGN}
         SELECT a.vec_id AS v1, b.vec_id AS v2, a.label AS label,
                list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
         FROM assigned a
@@ -774,29 +830,7 @@ def embedding_neardup_pairs(
 ) -> DataFrame:
     from bigdata_processing_spark.functions import vectors as V
 
-    from bigdata_processing_spark.operators.ivf import (
-        allpairs_cell_count,
-        seed_centroids,
-        seeded_assign_cells,
-    )
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    n_vecs = emb.count()
-    n_cells = allpairs_cell_count(n_vecs)
-    cents = seed_centroids(emb, n_cells)
-    # Precompute each vector's norm ONCE (n rows) instead of re-folding it
-    # per pair (n² folds) — cosine on a pair is then a single dot fold.
-    base = emb.select(
-        "vec_id",
-        "label",
-        F.col("embedding").cast("array<double>").alias("e"),
-        V.norm(F.col("embedding")).alias("nrm"),
-    )
-    # join-based assigner: bit-identical argmin to the literal-SQL form
-    # the oracle uses, without the cells×dim literal expression (135 KB
-    # of SQL + codegen blow-up at 51×64 — measured ~2.9s/run; the
-    # broadcast-join form is O(1) plan size at ANY cell count)
-    base = base.join(seeded_assign_cells(base, cents), "vec_id")
+    base, _cents = _emb_assigned(spark, sf_dir)
     a = base.select(
         F.col("vec_id").alias("v1"),
         "label",
@@ -818,6 +852,111 @@ def embedding_neardup_pairs(
         pairs.select("v1", "v2", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= cosine_threshold)
         .orderBy("v1", "v2")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup-style semantic dedup (Abbas et al., arXiv:2303.09540): group
+# embedding near-dups into semantic clusters (connected components over
+# the cosine-threshold pair graph above) and keep, per cluster, the
+# member with the LOWEST cosine to its cell centroid — the paper's
+# keep-the-outlier policy, which preserves the most marginal example of
+# each semantic neighborhood instead of its most generic one.
+#
+# Composition, not new machinery: candidate pairs come from the
+# IVF-cell-pruned pair query (linear-ish pair work at any n), labels
+# from large-star/small-star connected components (operators/graph.py),
+# and the centroid similarity uses the ordered-fold dot
+# (functions/vectors.dot) so both engines rank members bit-identically.
+# ---------------------------------------------------------------------------
+@register(
+    "semantic_dedup_survivors",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_EMB_ASSIGN},
+        pairs AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2
+            FROM assigned a
+            JOIN assigned b
+              ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                  >= {COSINE_NEARDUP_THRESHOLD}
+        ),
+        edges AS (
+            SELECT v1 AS src, v2 AS dst FROM pairs
+            UNION SELECT v2, v1 FROM pairs
+        ),
+        reach(node, r) AS (
+            SELECT src, src FROM edges
+            UNION
+            SELECT e.src, reach.r FROM edges e JOIN reach ON e.dst = reach.node
+        ),
+        labels AS (
+            SELECT node AS vec_id, min(r) AS cluster_id FROM reach GROUP BY node
+        ),
+        cent_sim AS (
+            SELECT a.vec_id,
+                   list_dot_product(a.v, c.c)
+                       / (a.nrm * sqrt(list_dot_product(c.c, c.c))) AS cc
+            FROM assigned a JOIN cents c ON a.cell = c.cell
+        ),
+        ranked AS (
+            SELECT l.cluster_id, l.vec_id, s.cc,
+                   row_number() OVER (PARTITION BY l.cluster_id
+                                      ORDER BY s.cc ASC, l.vec_id ASC) AS rn
+            FROM labels l JOIN cent_sim s ON l.vec_id = s.vec_id
+        )
+        SELECT cluster_id,
+               count(*) AS n_members,
+               min(CASE WHEN rn = 1 THEN vec_id END) AS kept_vec,
+               min(CASE WHEN rn = 1 THEN cc END) AS kept_cent_sim,
+               count(*) - 1 AS removed
+        FROM ranked
+        GROUP BY cluster_id
+        ORDER BY cluster_id
+    """,
+)
+def semantic_dedup_survivors(
+    spark: SparkSession, sf_dir: str,
+    cosine_threshold: float = COSINE_NEARDUP_THRESHOLD,
+) -> DataFrame:
+    from bigdata_processing_spark.functions import vectors as V
+    from bigdata_processing_spark.operators.graph import connected_components
+
+    pairs = embedding_neardup_pairs(spark, sf_dir, cosine_threshold).select(
+        "v1", "v2"
+    )
+    labels, _rounds = connected_components(pairs, src="v1", dst="v2")
+    labels = labels.toDF("vec_id", "cluster_id")
+
+    assigned, cents = _emb_assigned(spark, sf_dir)
+    # centroid vectors arrive as a broadcast (cell, c) table; the
+    # ordered-fold dot keeps ranking bit-identical to the oracle
+    cvecs = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(cents)], "cell int, c array<double>"
+    ).select("cell", "c", V.norm(F.col("c")).alias("cnrm"))
+    sim = (
+        assigned.join(F.broadcast(cvecs), "cell")
+        .select(
+            "vec_id",
+            (V.dot(F.col("e"), F.col("c")) / (F.col("nrm") * F.col("cnrm"))).alias("cc"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("cluster_id").orderBy(F.col("cc").asc(), F.col("vec_id").asc())
+    ranked = (
+        labels.join(sim, "vec_id")
+        .withColumn("rn", F.row_number().over(w))
+    )
+    return (
+        ranked.groupBy("cluster_id")
+        .agg(
+            F.count("*").alias("n_members"),
+            F.min(F.when(F.col("rn") == 1, F.col("vec_id"))).alias("kept_vec"),
+            F.min(F.when(F.col("rn") == 1, F.col("cc"))).alias("kept_cent_sim"),
+            (F.count("*") - 1).alias("removed"),
+        )
+        .orderBy("cluster_id")
     )
 
 

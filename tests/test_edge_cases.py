@@ -221,5 +221,6 @@ def test_core_queries_survive_empty_tables(spark, tmp_path):
         "sessionize_events", "session_funnel", "tfidf_top_terms",
         "dedup_verifier_matrix", "bloom_prejoin_revenue",
         "cms_overestimate_audit", "kmv_set_algebra",
+        "semantic_dedup_survivors",
     ):
         q[name](spark, dst).count()  # must not raise
