@@ -915,6 +915,7 @@ def embedding_neardup_pairs(
         ORDER BY cluster_id
     """,
 )
+@_memo_output
 def semantic_dedup_survivors(
     spark: SparkSession, sf_dir: str,
     cosine_threshold: float = COSINE_NEARDUP_THRESHOLD,

@@ -50,6 +50,8 @@ QUERIES = [
     "unigram_surprisal_bands",
     # r04 sketches: events-based, so the N× clone densifies the stream
     "cms_overestimate_audit",
+    # r04 semantic dedup: clones are exact near-dups, clusters explode
+    "semantic_dedup_survivors",
     "binary_quantized_knn",
     "sessionize_events",
     "edit_distance_dup_pairs",
