@@ -177,7 +177,7 @@ def bloom_prune(
     un-pruned side first (observed in test_plans). Driver traffic is
     bounded metadata: ≤ bits/64 longs (2 KB·words), like the k-means
     centroids — never data."""
-    arr = [0] * (bits // 64)
+    arr = [0] * ((bits + 63) // 64)  # ceil: the top word is partial when bits % 64 != 0
     for r in bloom_bitmap(small, small_key, bits).collect():
         arr[r.word] = r.bword
     lits = ",".join(f"{v}L" for v in arr)
@@ -203,17 +203,26 @@ def bloom_prune_join(
     Caveat: Catalyst may reorder the probe join relative to a following
     exact join, so the pre-shuffle placement is not guaranteed the way
     the literal-predicate form guarantees it."""
-    bitmap = bloom_bitmap(small, small_key, bits)
+    # collision-safe names throughout: a big side that legitimately has a
+    # `word`/`bword` column must pass through untouched
+    bitmap = bloom_bitmap(small, small_key, bits).select(
+        F.col("word").alias("__bf_state_word"),
+        F.col("bword").alias("__bf_state_bword"),
+    )
     pos = F.pmod(F.xxhash64(F.col(big_key)), F.lit(bits))
     probed = (
         big.withColumn("__bf_word", F.expr(f"CAST(pmod(xxhash64(`{big_key}`), {bits}) DIV 64 AS BIGINT)"))
         .withColumn("__bf_bit", (pos % 64).cast("int"))
-        .join(F.broadcast(bitmap), F.col("__bf_word") == bitmap.word, "inner")
+        .join(
+            F.broadcast(bitmap),
+            F.col("__bf_word") == F.col("__bf_state_word"),
+            "inner",
+        )
         .filter(
-            F.expr("(shiftrightunsigned(bword, __bf_bit) & CAST(1 AS BIGINT)) = 1")
+            F.expr("(shiftrightunsigned(__bf_state_bword, __bf_bit) & CAST(1 AS BIGINT)) = 1")
         )
     )
-    return probed.drop("__bf_word", "__bf_bit", "word", "bword")
+    return probed.drop("__bf_word", "__bf_bit", "__bf_state_word", "__bf_state_bword")
 
 
 # ---------------------------------------------------------------------------
@@ -238,9 +247,12 @@ CMS_WIDTH_DEFAULT = 256
 def _cms_bucket(col: Column, i: int, width: int) -> Column:
     """Portable bucket: 52-bit md5 int of "key:i" mod width. DuckDB
     twin: ``CAST('0x' || substr(md5(CAST(x AS VARCHAR) || ':i'), 1, 13)
-    AS BIGINT) % width``."""
+    AS BIGINT) % width``. ``F.concat`` propagates NULL exactly like the
+    twin's ``||`` (concat_ws would silently skip it and count NULL keys
+    under md5 of the bare seed); the builders below additionally filter
+    NULL keys out so both engines agree NULLs are unsketchable."""
     h = F.conv(
-        F.substring(F.md5(F.concat_ws(":", col.cast("string"), F.lit(str(i)))), 1, 13),
+        F.substring(F.md5(F.concat(col.cast("string"), F.lit(f":{i}"))), 1, 13),
         16,
         10,
     ).cast("long")
@@ -253,8 +265,10 @@ def cms_sketch(
     depth: int = CMS_DEPTH_DEFAULT,
     width: int = CMS_WIDTH_DEFAULT,
 ) -> DataFrame:
-    """The d×w counter matrix as (i int, b long, c long) rows."""
-    cells = df.select(
+    """The d×w counter matrix as (i int, b long, c long) rows. NULL
+    keys are excluded — the NULL-propagating hash makes them
+    unbucketable in both engines."""
+    cells = df.filter(F.col(key).isNotNull()).select(
         F.posexplode(
             F.array(*[_cms_bucket(F.col(key), i, width) for i in range(depth)])
         ).alias("i", "b")
@@ -288,8 +302,9 @@ def cms_estimates_from_cells(
     """Estimates from an already-built (i, b, c) cell table — the entry
     point for merged sketches (streaming state, pre-aggregated per-day
     sketches): CMS cells merge by plain cell-wise addition, so a
-    consumer never needs the rows that built them."""
-    probe_cells = probes.select(
+    consumer never needs the rows that built them. NULL probes are
+    dropped (same contract as the build side)."""
+    probe_cells = probes.filter(F.col(key).isNotNull()).select(
         key,
         F.posexplode(
             F.array(*[_cms_bucket(F.col(key), i, width) for i in range(depth)])

@@ -10,11 +10,23 @@ where dropDuplicates-style per-key state does not: a 100-TB stream of
 near-unique URLs keeps the same 768-row state as the fixture.
 
 Exactly-once: foreachBatch can replay a batch on failure, and addition
-is NOT idempotent, so commits go through the same batch-id ledger +
-staged-swap discipline as streaming/serving.py — a replayed batch_id
-is skipped, and a crash inside the swap window is healed by
-``recover_cms_state`` (operators/compaction.recover_swap) before the
-next merge.
+is NOT idempotent — unlike serving.py's upsert, a re-merged batch
+double-counts. So the commit marker must be atomic with the state
+swap: the batch-id ledger lives INSIDE the cells directory (an
+underscore-prefixed subdir that parquet readers ignore, like
+``_SUCCESS``) and is written into the staged output BEFORE the
+rename(tmp→cells). One rename commits data and ledger together — a
+crash anywhere leaves either the old cells+old ledger (batch
+uncommitted, replay re-merges the old state) or the new cells+new
+ledger (batch committed, replay no-ops). There is no window where the
+data is merged but the marker missing. The mid-swap window (cells
+parked at ``.old``) is healed by ``recover_cms_state``
+(operators/compaction.recover_swap) before reading the ledger.
+
+The ledger is bounded: markers older than ``LEDGER_KEEP`` behind the
+newest batch are dropped at each commit (foreachBatch replays only
+recent batches), and an ancient batch_id whose marker was pruned is
+treated as committed.
 
 Estimates from the merged state are bit-identical to a batch sketch of
 the same rows (test_streaming parity): the portable md5 buckets don't
@@ -36,18 +48,19 @@ from bigdata_processing_spark.operators.sketches import (
 )
 
 _SWAP_SUFFIX = ".merging"
+_LEDGER_DIR = "_committed"  # underscore prefix: invisible to parquet readers
+LEDGER_KEEP = 1000
 
 
 def _cells_path(state_path: str) -> str:
     return os.path.join(state_path, "cells")
 
 
-def _ledger_path(state_path: str) -> str:
-    return os.path.join(state_path, "_batches")
-
-
 def committed_batches(state_path: str) -> set[int]:
-    lp = _ledger_path(state_path)
+    """Batch ids whose merge is live in the cells directory. Callers
+    racing a swap should ``recover_cms_state`` first (cms_merge_batch
+    does)."""
+    lp = os.path.join(_cells_path(state_path), _LEDGER_DIR)
     if not os.path.isdir(lp):
         return set()
     return {int(f) for f in os.listdir(lp)}
@@ -77,12 +90,16 @@ def cms_merge_batch(
 ) -> bool:
     """Sketch one micro-batch and add it into the persisted cell table.
     Returns False (no-op) for an already-committed batch_id — the
-    replay-suppression that makes the additive merge effectively
-    exactly-once. The merged table is written staged and swapped in,
-    so readers never see a half-merged matrix."""
-    if batch_id in committed_batches(state_path):
-        return False
+    replay-suppression that makes the additive merge exactly-once. The
+    merged table is written staged with its ledger inside and swapped in
+    with one rename, so data and commit marker are never out of sync and
+    readers never see a half-merged matrix."""
     recover_cms_state(state_path)
+    seen = committed_batches(state_path)
+    if batch_id in seen:
+        return False
+    if seen and batch_id <= max(seen) - LEDGER_KEEP:
+        return False  # marker pruned, but a batch this old was committed
 
     spark = batch.sparkSession
     cells = _cells_path(state_path)
@@ -100,6 +117,15 @@ def cms_merge_batch(
     tmp = cells + _SWAP_SUFFIX
     old = cells + ".old"
     new.write.mode("overwrite").parquet(tmp)
+    # ledger rides inside the staged dir: the rename below commits it
+    # atomically with the cells it describes
+    ld = os.path.join(tmp, _LEDGER_DIR)
+    os.makedirs(ld, exist_ok=True)
+    floor = batch_id - LEDGER_KEEP
+    for b in {b for b in seen if b > floor} | {batch_id}:
+        with open(os.path.join(ld, str(b)), "w"):
+            pass
+
     if os.path.isdir(cells):
         import shutil
 
@@ -110,11 +136,6 @@ def cms_merge_batch(
     else:
         os.makedirs(state_path, exist_ok=True)
         os.rename(tmp, cells)
-
-    lp = _ledger_path(state_path)
-    os.makedirs(lp, exist_ok=True)
-    with open(os.path.join(lp, str(batch_id)), "w"):
-        pass
     return True
 
 

@@ -12,6 +12,7 @@ from conftest import SF_SMALL
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.operators.sketches import cms_estimates
 from bigdata_processing_spark.streaming.sketches import (
+    LEDGER_KEEP,
     cms_merge_batch,
     cms_state_estimates,
     committed_batches,
@@ -93,6 +94,38 @@ def test_streaming_cms_replayed_batch_is_skipped(spark, tmp_path):
     }
     assert doubled == {(i, b): 2 * c for (i, b), c in
                        {(r[0], r[1]): r[2] for r in before}.items()}
+
+
+def test_streaming_cms_ledger_swaps_with_cells(spark, tmp_path):
+    """The commit marker lives inside the cells dir and swaps in with the
+    data: a crash that strands the staged output before the rename leaves
+    the batch uncommitted, so the foreachBatch replay merges it exactly
+    once — there is no window where the data is merged but the marker
+    missing (the double-count hazard of a ledger-written-after-swap)."""
+    events = load_table(spark, SF_SMALL, "events").select("user_id")
+    state = os.path.join(str(tmp_path), "cms_state")
+    cms_merge_batch(state, events, 0, "user_id")
+    before = {(r.i, r.b): r.c for r in read_cms_state(spark, state).collect()}
+    cells = os.path.join(state, "cells")
+    # simulate: batch 1 fully staged (data + its ledger) but crash before swap
+    shutil.copytree(cells, cells + ".merging")
+    assert committed_batches(state) == {0}  # staged marker is not live
+    # the replay discards the stranded scratch and merges exactly once
+    assert cms_merge_batch(state, events, 1, "user_id") is True
+    after = {(r.i, r.b): r.c for r in read_cms_state(spark, state).collect()}
+    assert after == {k: 2 * v for k, v in before.items()}
+    assert committed_batches(state) == {0, 1}
+
+
+def test_streaming_cms_ledger_bounded(spark, tmp_path):
+    """Markers more than LEDGER_KEEP behind the newest batch are pruned
+    at commit, and a pruned (ancient) batch_id is still replay-suppressed."""
+    events = load_table(spark, SF_SMALL, "events").select("user_id").limit(10)
+    state = os.path.join(str(tmp_path), "cms_state")
+    cms_merge_batch(state, events, 0, "user_id")
+    cms_merge_batch(state, events, LEDGER_KEEP + 5, "user_id")
+    assert committed_batches(state) == {LEDGER_KEEP + 5}
+    assert cms_merge_batch(state, events, 0, "user_id") is False
 
 
 def test_streaming_cms_crash_window_recovery(spark, tmp_path):
