@@ -90,7 +90,7 @@ def connected_components(
     edge set reached fixpoint (logged — the observable that shows
     wall-time tracking graph structure, not driver round-trips).
 
-    Only the fixpoint test runs on the driver (two limit(1) probes per
+    Only the fixpoint test runs on the driver (ONE aggregate job per
     round — is the edge set a disjoint star forest yet); all rewiring is
     joins/groupBys. Each round's canonical edge set is persisted and the
     superseded round unpersisted, so executor storage holds exactly one
@@ -107,15 +107,31 @@ def connected_components(
         # Exact — unlike a same-as-last-round signature compare, this
         # detects convergence ON the converged round, saving the whole
         # confirmation round the signature approach needs.
-        dup_hi = (
-            df.groupBy("hi").agg(F.count("*").alias("c")).filter(F.col("c") > 1)
+        # ONE driver job: per-node (times-as-hi, times-as-lo) counts,
+        # rolled into two global violation indicators — (a) is
+        # max(times-as-hi) > 1, (b) is any node with both roles. One
+        # groupBy shuffle (map-side combined, node-count-bounded) per
+        # probe instead of the former two jobs (dup-hi agg + self-join).
+        stats = (
+            df.select(
+                F.col("hi").alias("n"),
+                F.lit(1).alias("as_hi"),
+                F.lit(0).alias("as_lo"),
+            )
+            .union(df.select("lo", F.lit(0), F.lit(1)))
+            .groupBy("n")
+            .agg(F.sum("as_hi").alias("h"), F.sum("as_lo").alias("l"))
+            .agg(
+                F.max("h").alias("max_hi"),
+                F.max(
+                    F.when((F.col("h") > 0) & (F.col("l") > 0), 1).otherwise(0)
+                ).alias("mixed"),
+            )
+            .collect()[0]
         )
-        if dup_hi.limit(1).count() > 0:
-            return False
-        chain = df.alias("a").join(
-            df.alias("b"), F.col("a.hi") == F.col("b.lo"), "left_semi"
-        )
-        return chain.limit(1).count() == 0
+        if stats.max_hi is None:  # empty edge set: trivially a star forest
+            return True
+        return stats.max_hi <= 1 and stats.mixed == 0
 
     rounds = 0
     if _is_star_forest(canon):

@@ -81,7 +81,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_survivors",
     "cross_source_dup_matrix",
     "minhash_lsh_dup_pairs",
-    "minhash_pruned_dup_pairs",
+    "minhash_unguarded_dup_pairs",
     "containment_dup_pairs",
     "edit_distance_dup_pairs",
     "lsh_recall_audit",
@@ -198,7 +198,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "lang_id_confusion",
     "dedup_keep_first",
     "minhash_lsh_dup_pairs",
-    "minhash_pruned_dup_pairs",
+    "minhash_unguarded_dup_pairs",
     "dup_clusters",
     "ngram_jaccard_topk",
     "simhash_buckets",

@@ -160,6 +160,35 @@ _SQL_BANDS = (
     + "]) AS bk FROM sig)"
 )
 
+# The PRODUCTION candidate pipeline (guards ON — the default every family
+# consumer shares): document-frequency pruning before signatures (shingles
+# in > MAX_DF docs are boilerplate: no near-dup signal, dominant shuffle
+# volume) and an LSH bucket cap (a B-doc bucket makes B² pairs; capping
+# bounds the worst key). Produces the ``cand`` CTE; internal names are
+# suffixed _p so unguarded ``sig``/``bands`` (audit queries) can coexist
+# in the same WITH list.
+_SQL_CAND_GUARDED = f"""
+        dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM shex GROUP BY s),
+        shex_p AS (
+            SELECT shex.doc_id, shex.s FROM shex JOIN dfreq USING (s)
+            WHERE df <= {MAX_DF}
+        ),
+        sig_p AS (SELECT doc_id, """ + ", ".join(
+    f"min({T.minhash_hash_sql('s', i)}) AS h{i}" for i in range(N_HASHES)
+) + f""" FROM shex_p GROUP BY doc_id),
+        bands_p AS (SELECT doc_id, unnest([""" + ", ".join(
+    f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
+) + f"""]) AS bk FROM sig_p),
+        bsz AS (SELECT bk, count(*) AS n FROM bands_p GROUP BY bk),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands_p a
+            JOIN bands_p b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            JOIN bsz ON a.bk = bsz.bk
+            WHERE bsz.n <= {MAX_BUCKET}
+        )
+"""
+
 # Session-scoped memo of the verified-pairs result: dup_clusters re-ran
 # the whole MinHash→LSH→verify pipeline that minhash_lsh_dup_pairs had
 # just computed (~75% of dup_clusters' 10×-scale cost, BASELINE.md).
@@ -259,16 +288,19 @@ def clear_dedup_memos() -> None:
 def _verified_dup_pairs(
     spark: SparkSession, sf_dir: str,
     jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_DF,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
     """The full MinHash→LSH→verify pipeline, returning (d1, d2, jaccard)
     for pairs at/above ``jaccard_threshold``. Shared by
     minhash_lsh_dup_pairs and the connected-components clustering
-    (memoized per session+dir+threshold)."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, jaccard_threshold)
+    (memoized per session+dir+threshold+guards)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, jaccard_threshold,
+                max_df, max_bucket)
     cached = _PAIR_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    sc = _scored_candidates(spark, sf_dir)
+    sc = _scored_candidates(spark, sf_dir, max_df=max_df, max_bucket=max_bucket)
     jaccard = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     )
@@ -281,13 +313,56 @@ def _verified_dup_pairs(
     return out
 
 
-def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _docs_on_disk_bytes(sf_dir: str) -> int:
+    """On-disk size of the documents table (file or directory) — pure
+    filesystem metadata, no Spark job."""
+    import os
+
+    from bigdata_processing_spark.operators.compaction import table_file_stats
+
+    p = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isfile(p):
+        return os.path.getsize(p)
+    return table_file_stats(p)[1]
+
+
+# Broadcasting a side of the verify join ships the WHOLE corpus's shingle
+# sets to every executor — fine while the corpus is dimension-table-sized,
+# an OOM at corpus scale. Estimated in-memory bytes = 4 × on-disk parquet
+# (snappy decompresses ~2-3×; array-of-string rows add offset/pointer
+# overhead). Above the cap the verify join degrades to a doc_id-keyed
+# shuffle join: still candidate-bounded, no broadcast anywhere.
+VERIFY_BROADCAST_MAX_BYTES = 512 << 20
+_DISK_TO_MEM_MULT = 4
+
+
+def _scored_candidates(
+    spark: SparkSession, sf_dir: str,
+    max_df: int | None = MAX_DF,
+    max_bucket: int | None = MAX_BUCKET,
+    verify_broadcast_max_bytes: int = VERIFY_BROADCAST_MAX_BYTES,
+) -> DataFrame:
     """LSH candidate pairs with their exact shingle overlap:
     (d1, d2, inter, n1, n2). Every set-similarity verifier — Jaccard
     (minhash_lsh_dup_pairs / dup_clusters) and containment
     (containment_dup_pairs) — derives from these counts, so the
-    candidate generation + overlap join runs once per session."""
-    memo_key = (spark.sparkContext.applicationId, sf_dir)
+    candidate generation + overlap join runs once per session and guard
+    configuration.
+
+    The corpus-scale guards are ON BY DEFAULT: shingles present in more
+    than ``max_df`` docs are pruned before signatures (boilerplate
+    carries no near-dup signal but dominates shuffle volume — think
+    "of the" at web scale) and LSH buckets larger than ``max_bucket``
+    are skipped (a B-doc bucket expands to B² candidate pairs; a single
+    hot template bucket is quadratic at 100×). Pass ``None`` to disable
+    either guard — ``minhash_unguarded_dup_pairs`` is the registered
+    small-scale audit baseline that does. Guards only bound CANDIDATE
+    GENERATION; verification always scores the full shingle sets, so a
+    surfaced pair's similarity is exact regardless of configuration.
+    Both guards are relational and mirrored verbatim in the family's
+    DuckDB twins (_SQL_CAND_GUARDED, same thresholds.py constants)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, max_df, max_bucket,
+                verify_broadcast_max_bytes)
     cached = _CAND_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -296,7 +371,15 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     # docs→shingles subtree four times — measured 4x slower).
     shset = _shingle_df(spark, sf_dir).persist()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
-    sig = _sig_from_shex(shex)
+    if max_df is not None:
+        # document frequency per shingle; vocabulary-sized, broadcast back
+        dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+        shex_sig = shex.join(
+            F.broadcast(dfreq.filter(F.col("df") <= max_df)), "s"
+        ).select("doc_id", "s")
+    else:
+        shex_sig = shex
+    sig = _sig_from_shex(shex_sig)
 
     band_keys = F.array(
         *[
@@ -307,10 +390,13 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
     # Candidate pairs WITHOUT a self-join: group each band bucket, expand
     # in-bucket pairs with an array comprehension. One shuffle of
-    # (bk, doc_id); work is bounded by bucket sizes, and at petabyte scale
-    # a bucket-size cap bounds the worst key (LSH buckets are the classic
-    # skew point — this shape makes the skew visible and cappable).
+    # (bk, doc_id); work is bounded by bucket sizes, and the cap above
+    # bounds the worst key (LSH buckets are the classic skew point —
+    # this shape makes the skew visible and capped).
     members = bands.groupBy("bk").agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+    bucket_pred = F.size("ds") > 1
+    if max_bucket is not None:
+        bucket_pred = bucket_pred & (F.size("ds") <= max_bucket)
     pair_arr = F.flatten(
         F.transform(
             "ds",
@@ -321,21 +407,25 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     cand = (
-        members.filter(F.size("ds") > 1)
+        members.filter(bucket_pred)
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .distinct()
     )
-    # Broadcast the shingle-set lookups: candidates are few, the doc→
-    # shingles map is compact — broadcasting both sides avoids shuffling
-    # the candidate pairs twice (measured 1.7x on the full pipeline). At
-    # corpus scales where shset outgrows a broadcast, drop the hint and
-    # these become shuffle joins keyed by doc_id, still candidate-bounded.
+    # Size-aware verify join: broadcasting the shingle-set lookups avoids
+    # shuffling the candidate pairs twice (measured 1.7x on the full
+    # pipeline) — but only while the doc→shingles map fits an executor.
+    # Past the estimate cap this switches to doc_id-keyed shuffle joins:
+    # same rows (plan-asserted both ways in test_plans), still
+    # candidate-bounded, no corpus-sized broadcast to OOM on.
     s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    if _DISK_TO_MEM_MULT * _docs_on_disk_bytes(sf_dir) <= verify_broadcast_max_bytes:
+        joined = cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
+    else:
+        joined = cand.join(s1, "d1").join(s2, "d2")
     out = (
-        cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-        .select(
+        joined.select(
             "d1",
             "d2",
             F.size(F.array_intersect("sh1", "sh2")).alias("inter"),
@@ -353,11 +443,7 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "minhash_lsh_dup_pairs",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        )
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}
         SELECT c.d1, c.d2,
                len(list_intersect(s1.sh, s2.sh))::DOUBLE
                    / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
@@ -374,51 +460,39 @@ def _scored_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
 def minhash_lsh_dup_pairs(
     spark: SparkSession, sf_dir: str,
     jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_df: int | None = MAX_DF,
+    max_bucket: int | None = MAX_BUCKET,
 ) -> DataFrame:
-    return _verified_dup_pairs(spark, sf_dir, jaccard_threshold).orderBy("d1", "d2")
+    """MinHash near-dup pairs under the PRODUCTION configuration —
+    DF pruning + bucket cap default-on (see _scored_candidates). The
+    guard-free textbook pipeline survives as
+    ``minhash_unguarded_dup_pairs`` for small-scale recall audits."""
+    return _verified_dup_pairs(
+        spark, sf_dir, jaccard_threshold, max_df=max_df, max_bucket=max_bucket
+    ).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------------------
-# Scale-hardened MinHash: the same pipeline with the two corpus-scale
-# guards ON — document-frequency pruning (shingles present in > MAX_DF
-# docs carry no near-dup signal but dominate shuffle volume; think
-# "the the" at web scale) and an LSH bucket cap (a pathological bucket
-# of B docs makes B² candidate pairs; capping bounds the worst key).
-# Both guards are relational, so the whole hardened pipeline remains
-# value-checkable against the DuckDB oracle.
+# Unguarded audit baseline: the textbook MinHash pipeline with BOTH
+# corpus-scale guards off. Exists to put a number on what the default
+# guards drop (diff its pair set against minhash_lsh_dup_pairs) — it is
+# NOT the configuration to run at corpus scale: one hot band bucket of B
+# docs costs B² pairs here. Shares _scored_candidates (guards=None), so
+# the session memo covers both configurations independently.
 # ---------------------------------------------------------------------------
-_SQL_PRUNED_PIPE = f"""
-        dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM shex GROUP BY s),
-        shex_p AS (
-            SELECT shex.doc_id, shex.s FROM shex JOIN dfreq USING (s)
-            WHERE df <= {MAX_DF}
-        ),
-        sig_p AS (SELECT doc_id, """ + ", ".join(
-    f"min({T.minhash_hash_sql('s', i)}) AS h{i}" for i in range(N_HASHES)
-) + f""" FROM shex_p GROUP BY doc_id),
-        bands_p AS (SELECT doc_id, unnest([""" + ", ".join(
-    f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
-) + f"""]) AS bk FROM sig_p),
-        bsz AS (SELECT bk, count(*) AS n FROM bands_p GROUP BY bk),
-        cand_p AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands_p a
-            JOIN bands_p b ON a.bk = b.bk AND a.doc_id < b.doc_id
-            JOIN bsz ON a.bk = bsz.bk
-            WHERE bsz.n <= {MAX_BUCKET}
-        )
-"""
-
-
 @register(
-    "minhash_pruned_dup_pairs",
+    "minhash_unguarded_dup_pairs",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_PRUNED_PIPE}
+        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
+        ucand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+        )
         SELECT c.d1, c.d2,
                len(list_intersect(s1.sh, s2.sh))::DOUBLE
                    / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
                    AS jaccard
-        FROM cand_p c
+        FROM ucand c
         JOIN shset s1 ON c.d1 = s1.doc_id
         JOIN shset s2 ON c.d2 = s2.doc_id
         WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
@@ -427,63 +501,13 @@ _SQL_PRUNED_PIPE = f"""
         ORDER BY d1, d2
     """,
 )
-def minhash_pruned_dup_pairs(
+def minhash_unguarded_dup_pairs(
     spark: SparkSession, sf_dir: str,
     jaccard_threshold: float = JACCARD_THRESHOLD,
-    max_df: int = MAX_DF,
-    max_bucket: int = MAX_BUCKET,
 ) -> DataFrame:
-    """MinHash near-dup with DF pruning + bucket cap — the configuration
-    you'd actually run at corpus scale. Verification still scores the
-    FULL shingle sets (pruning only affects candidate generation, never
-    the reported jaccard)."""
-    shset = _shingle_df(spark, sf_dir).persist()
-    # per-call persist consumed lazily by the caller: tracked for
-    # clear_dedup_memos() so repeated invocations (bench, sweeps over
-    # many sf_dirs) don't accumulate executor storage indefinitely
-    _LOOSE_PERSISTS.append(shset)
-    shex = shset.select("doc_id", F.explode("sh").alias("s"))
-
-    # document frequency per shingle; vocabulary-sized, broadcast back
-    dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
-    shex_p = shex.join(F.broadcast(dfreq.filter(F.col("df") <= max_df)), "s").select(
-        "doc_id", "s"
-    )
-    sig = _sig_from_shex(shex_p)
-
-    band_keys = F.array(
-        *[
-            F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
-            for b in range(N_BANDS)
-        ]
-    )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
-    members = bands.groupBy("bk").agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-    pair_arr = F.flatten(
-        F.transform(
-            "ds",
-            lambda x, i: F.transform(
-                F.slice("ds", i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
-                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
-            ),
-        )
-    )
-    cand = (
-        members.filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
-        .select(F.explode(pair_arr).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-        .distinct()
-    )
-    s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
-    inter = F.size(F.array_intersect("sh1", "sh2"))
-    jaccard = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
-    return (
-        cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-        .select("d1", "d2", jaccard.alias("jaccard"))
-        .filter(F.col("jaccard") >= jaccard_threshold)
-        .orderBy("d1", "d2")
-    )
+    return _verified_dup_pairs(
+        spark, sf_dir, jaccard_threshold, max_df=None, max_bucket=None
+    ).orderBy("d1", "d2")
 
 
 # ---------------------------------------------------------------------------
@@ -493,11 +517,9 @@ def minhash_pruned_dup_pairs(
 # (≪ corpus) and converges in O(cluster diameter) rounds. Oracle:
 # recursive-CTE transitive closure in DuckDB.
 # ---------------------------------------------------------------------------
+# Verified pairs over the PRODUCTION (guarded) candidates — compose as
+# ``WITH [RECURSIVE] {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS}``.
 _SQL_PAIRS = f"""
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        ),
         pairs AS (
             SELECT c.d1, c.d2
             FROM cand c
@@ -513,7 +535,7 @@ _SQL_PAIRS = f"""
 @register(
     "dup_clusters",
     oracle=f"""
-        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS},
         edges AS (
             SELECT d1 AS src, d2 AS dst FROM pairs
             UNION SELECT d2, d1 FROM pairs
@@ -971,7 +993,7 @@ def semantic_dedup_survivors(
 @register(
     "dedup_survivors",
     oracle=f"""
-        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS},
         edges AS (
             SELECT d1 AS src, d2 AS dst FROM pairs
             UNION SELECT d2, d1 FROM pairs
@@ -1032,7 +1054,7 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "cross_source_dup_matrix",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS}
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS}
         SELECT least(da.source, db.source) AS source_a,
                greatest(da.source, db.source) AS source_b,
                count(*) AS n_pairs
@@ -1076,11 +1098,7 @@ def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "containment_dup_pairs",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        ),
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED},
         sc AS (
             SELECT c.d1, c.d2,
                    len(list_intersect(s1.sh, s2.sh)) AS inter,
@@ -1171,11 +1189,7 @@ def _edit_pruned_pairs(
 @register(
     "edit_distance_dup_pairs",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        ),
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED},
         pre AS (
             SELECT c.d1, c.d2, t1.text AS x1, t2.text AS x2,
                    greatest(length(t1.text), length(t2.text)) AS maxlen
@@ -1236,11 +1250,10 @@ def edit_distance_dup_pairs(
 @register(
     "lsh_recall_audit",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-            WHERE a.doc_id < {AUDIT_SAMPLE_DOCS} AND b.doc_id < {AUDIT_SAMPLE_DOCS}
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED},
+        scand AS (
+            SELECT d1, d2 FROM cand
+            WHERE d1 < {AUDIT_SAMPLE_DOCS} AND d2 < {AUDIT_SAMPLE_DOCS}
         ),
         truth AS (
             SELECT s1.doc_id AS d1, s2.doc_id AS d2
@@ -1254,7 +1267,7 @@ def edit_distance_dup_pairs(
         SELECT count(*) AS n_true_pairs,
                sum(CASE WHEN c.d1 IS NOT NULL THEN 1 ELSE 0 END)::BIGINT AS n_found_by_lsh,
                round(avg(CASE WHEN c.d1 IS NOT NULL THEN 1.0 ELSE 0.0 END), 6) AS lsh_recall
-        FROM truth t LEFT JOIN cand c ON t.d1 = c.d1 AND t.d2 = c.d2
+        FROM truth t LEFT JOIN scand c ON t.d1 = c.d1 AND t.d2 = c.d2
     """,
 )
 def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1306,7 +1319,7 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # upper-bound estimate, comparable ACROSS configs by construction.
 # No sampling, no doc_id-space assumption (ADVICE r03), any corpus size:
 # cost is 4 linear bandings + verification on pooled candidates only.
-# The bucket cap mirrors production (minhash_pruned_dup_pairs): 1-row
+# The bucket cap mirrors production (_scored_candidates' default): 1-row
 # bands collapse into vocabulary-sized buckets the cap must skip, and
 # the sweep row shows that config's resulting recall collapse.
 # ---------------------------------------------------------------------------
@@ -1517,7 +1530,7 @@ def lsh_band_sweep(
 # doc-sized); the pair join shuffles fingerprints, never text, and the
 # document-frequency prune drops boilerplate fingerprints (a fp shared
 # by >40 docs identifies a template, not a copied passage) BEFORE the
-# pair expansion — the same guard minhash_pruned_dup_pairs uses.
+# pair expansion — the same guard _scored_candidates applies by default.
 # ---------------------------------------------------------------------------
 from bigdata_processing_spark.thresholds import (  # noqa: E402
     WIN_K,
@@ -1641,11 +1654,7 @@ _SQL_EST = (
 @register(
     "minhash_estimate_audit",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        ),
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_SIG},
         scored AS (
             SELECT c.d1, c.d2,
                    {_SQL_EST} AS est_j,
@@ -1714,7 +1723,7 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dup_cluster_size_histogram",
     oracle=f"""
-        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS},
         edges AS (
             SELECT d1 AS src, d2 AS dst FROM pairs
             UNION SELECT d2, d1 FROM pairs
@@ -1773,11 +1782,7 @@ def dup_cluster_size_histogram(
 @register(
     "dedup_verifier_matrix",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS},
-        cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-        ),
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED},
         sc AS (
             SELECT c.d1, c.d2,
                    len(list_intersect(s1.sh, s2.sh)) AS inter,
@@ -1875,7 +1880,7 @@ def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "dedup_survivors_by_quality",
     oracle=f"""
-        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS},
         edges AS (
             SELECT d1 AS src, d2 AS dst FROM pairs
             UNION SELECT d2, d1 FROM pairs
@@ -2144,7 +2149,7 @@ _SQL_QSCORE = """(0.5 * least(length(d.text) / 500.0, 1.0)
 @register(
     "curation_funnel",
     oracle=f"""
-        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_SIG}, {_SQL_BANDS}, {_SQL_PAIRS},
+        WITH RECURSIVE {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS},
         edges AS (
             SELECT d1 AS src, d2 AS dst FROM pairs
             UNION SELECT d2, d1 FROM pairs

@@ -35,7 +35,7 @@ SCALED = {
 
 QUERIES = [
     "minhash_lsh_dup_pairs",
-    "minhash_pruned_dup_pairs",
+    "minhash_unguarded_dup_pairs",
     "embedding_neardup_pairs",
     "dup_clusters",
     "knn_ivf_seeded",

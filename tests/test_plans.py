@@ -265,3 +265,53 @@ def test_bloom_prune_filters_before_the_join_shuffle(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", thr)
         spark.conf.set("spark.sql.adaptive.enabled", aqe)
+
+
+def test_verify_join_size_aware_regimes(spark):
+    """_scored_candidates' verify join must broadcast the shingle-set
+    lookups while the corpus is small (avoids shuffling candidates
+    twice) and switch to doc_id-keyed shuffle joins when the estimated
+    in-memory size exceeds the cap (a corpus-sized broadcast OOMs long
+    before the comment documenting the fallback helps). Both regimes
+    must return identical rows."""
+    from bigdata_processing_spark.queries.dedup import (
+        _scored_candidates,
+        clear_dedup_memos,
+    )
+
+    def verify_join_lines(df):
+        # the verify joins key on d1/d2; the hinted vocabulary joins
+        # (key `s`, vocabulary-sized, always fine to broadcast) are out
+        # of scope for the regime switch
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            ln for ln in plan.splitlines()
+            if "Join [d1#" in ln or "Join [d2#" in ln
+        ]
+
+    # Disable size-based auto-broadcast so the plans show only what the
+    # generator ASKED for. (With it on, AQE rightly re-converts the tiny
+    # shuffle join back to broadcast at this scale — the cap's job is
+    # only to stop the generator FORCING a corpus-sized broadcast hint.)
+    # Each regime builds in a CLEAN memo/cache state: the cache manager
+    # strips hints when matching, so whichever regime persists first
+    # would otherwise serve the other from its cache.
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        clear_dedup_memos()
+        sh = _scored_candidates(spark, SF_SMALL, verify_broadcast_max_bytes=0)
+        sh_joins = verify_join_lines(sh)
+        assert sh_joins and all("BroadcastHashJoin" not in ln for ln in sh_joins)
+        sh_rows = sorted(tuple(r) for r in sh.collect())
+
+        clear_dedup_memos()
+        bc = _scored_candidates(spark, SF_SMALL)  # default cap: hint present
+        bc_joins = verify_join_lines(bc)
+        assert bc_joins and all("BroadcastHashJoin" in ln for ln in bc_joins)
+        bc_rows = sorted(tuple(r) for r in bc.collect())
+
+        assert bc_rows == sh_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        clear_dedup_memos()

@@ -85,7 +85,7 @@ def test_lsh_bucket_cap_bounds_hot_template(spark, tmp_path):
         clear_dedup_memos,
         dedup_exact_summary,
         minhash_lsh_dup_pairs,
-        minhash_pruned_dup_pairs,
+        minhash_unguarded_dup_pairs,
     )
 
     hot = "the same boilerplate template text repeated across the corpus "
@@ -98,13 +98,14 @@ def test_lsh_bucket_cap_bounds_hot_template(spark, tmp_path):
         .write.parquet(os.path.join(sf, "documents.parquet"))
 
     clear_dedup_memos()
-    pruned = minhash_pruned_dup_pairs(spark, sf).count()
-    # capped pipeline: the 300-doc bucket (> MAX_BUCKET=25) is skipped
+    # guards are DEFAULT-ON: the production entry point skips the 300-doc
+    # bucket (> MAX_BUCKET=25) without being asked
+    pruned = minhash_lsh_dup_pairs(spark, sf).count()
     assert pruned < 1000, f"bucket cap failed: {pruned} pairs from a hot template"
 
-    # the uncapped pipeline pays the quadratic bucket — that contrast is
-    # the measured reason the cap exists
-    full = minhash_lsh_dup_pairs(spark, sf).count()
+    # the unguarded audit baseline pays the quadratic bucket — that
+    # contrast is the measured reason the guards default on
+    full = minhash_unguarded_dup_pairs(spark, sf).count()
     assert full >= 300 * 299 // 2  # all template pairs verified identical
 
     # exact dedup still catches the duplication the cap skipped

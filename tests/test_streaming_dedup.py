@@ -52,7 +52,11 @@ def test_streaming_pairs_match_batch_pipeline(spark, tmp_path):
     }
     batch = {
         (r.d1, r.d2, round(r.jaccard, 9))
-        for r in _verified_dup_pairs(spark, SF_SMALL).collect()
+        # the streaming matcher applies no DF-pruning and a 1000-doc
+        # bucket cap, so its parity twin is the UNGUARDED batch pipeline
+        for r in _verified_dup_pairs(
+            spark, SF_SMALL, max_df=None, max_bucket=None
+        ).collect()
     }
     assert streamed == batch
     assert len(batch) > 0  # the fixture really contains near-dups
