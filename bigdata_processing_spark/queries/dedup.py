@@ -34,6 +34,7 @@ from bigdata_processing_spark.thresholds import (
     MAX_DF,
     N_BANDS,
     N_HASHES,
+    SEMDEDUP_SWEEP_EPS,
     edit_len_gap_mult,
 )
 
@@ -981,6 +982,128 @@ def semantic_dedup_survivors(
         )
         .orderBy("cluster_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup ε sweep: survivors / removed / cluster-shape per cosine
+# threshold, in ONE pass over the expensive work — cell-pair cosines are
+# scored once at the loosest ε and persisted; each ε then re-filters the
+# scored pairs (tiny) and re-runs connected components on its graph.
+# This table is the measured justification for COSINE_NEARDUP_THRESHOLD,
+# exactly as lsh_band_sweep justifies the 4×2 banding geometry.
+# ---------------------------------------------------------------------------
+_SQL_EPS_LIST = ", ".join(str(e) for e in SEMDEDUP_SWEEP_EPS)
+
+
+@register(
+    "semantic_dedup_sweep",
+    oracle=f"""
+        WITH RECURSIVE {_SQL_EMB_ASSIGN},
+        eps_list AS (SELECT unnest([{_SQL_EPS_LIST}]) AS eps),
+        scored AS (
+            SELECT a.vec_id AS v1, b.vec_id AS v2,
+                   list_dot_product(a.v, b.v) / (a.nrm * b.nrm) AS cos_sim
+            FROM assigned a
+            JOIN assigned b
+              ON a.label = b.label AND a.cell = b.cell AND a.vec_id < b.vec_id
+            WHERE list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+                  >= {min(SEMDEDUP_SWEEP_EPS)}
+        ),
+        pairs AS (
+            SELECT e.eps, s.v1, s.v2
+            FROM scored s JOIN eps_list e ON s.cos_sim >= e.eps
+        ),
+        edges AS (
+            SELECT eps, v1 AS src, v2 AS dst FROM pairs
+            UNION SELECT eps, v2, v1 FROM pairs
+        ),
+        reach(eps, node, r) AS (
+            SELECT eps, src, src FROM edges
+            UNION
+            SELECT e.eps, e.src, reach.r
+            FROM edges e JOIN reach ON e.dst = reach.node AND e.eps = reach.eps
+        ),
+        labels AS (
+            SELECT eps, node AS vec_id, min(r) AS cluster_id
+            FROM reach GROUP BY eps, node
+        ),
+        csz AS (
+            SELECT eps, cluster_id, count(*) AS sz
+            FROM labels GROUP BY eps, cluster_id
+        ),
+        tot AS (SELECT count(*) AS n_vec FROM assigned),
+        agg AS (
+            SELECT eps, count(*) AS n_clusters, sum(sz) AS dup_members,
+                   sum(sz) - count(*) AS removed, max(sz) AS max_cluster_size
+            FROM csz GROUP BY eps
+        ),
+        np AS (SELECT eps, count(*) AS n_pairs FROM pairs GROUP BY eps)
+        SELECT el.eps AS eps,
+               coalesce(np.n_pairs, 0) AS n_pairs,
+               coalesce(agg.n_clusters, 0) AS n_clusters,
+               coalesce(agg.dup_members, 0)::BIGINT AS dup_members,
+               coalesce(agg.removed, 0)::BIGINT AS removed,
+               (tot.n_vec - coalesce(agg.removed, 0))::BIGINT AS survivors,
+               coalesce(agg.max_cluster_size, 0)::BIGINT AS max_cluster_size
+        FROM eps_list el
+        LEFT JOIN agg ON el.eps = agg.eps
+        LEFT JOIN np ON el.eps = np.eps
+        CROSS JOIN tot
+        ORDER BY el.eps
+    """,
+)
+@_memo_output
+def semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-ε SemDeDup outcome over SEMDEDUP_SWEEP_EPS: pair count,
+    cluster count, dup members, removed, survivors, and the largest
+    cluster. Pair scoring runs once at the loosest ε (IVF-cell-pruned,
+    vectorized kernel, persisted); each ε is then a filter over the
+    scored pairs plus a connected-components run on its (tiny) graph —
+    the corpus-scale cost is paid once, not per grid point."""
+    from bigdata_processing_spark.operators.graph import connected_components
+
+    scored = (
+        embedding_neardup_pairs(
+            spark, sf_dir, cosine_threshold=min(SEMDEDUP_SWEEP_EPS)
+        )
+        .select("v1", "v2", "cos_sim")
+        .persist()
+    )
+    _LOOSE_PERSISTS.append(scored)
+    base, _cents = _emb_assigned(spark, sf_dir)
+    tot = base.agg(F.count("*").alias("n_vec"))
+
+    out = None
+    for eps in SEMDEDUP_SWEEP_EPS:
+        p = scored.filter(F.col("cos_sim") >= eps).select("v1", "v2")
+        labels, _rounds = connected_components(p, src="v1", dst="v2")
+        sz = (
+            labels.toDF("vec_id", "cluster_id")
+            .groupBy("cluster_id")
+            .agg(F.count("*").alias("sz"))
+        )
+        stats = sz.agg(
+            F.count("*").alias("n_clusters"),
+            F.coalesce(F.sum("sz"), F.lit(0)).alias("dup_members"),
+            F.coalesce(F.sum("sz") - F.count("*"), F.lit(0)).alias("removed"),
+            F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster_size"),
+        )
+        row = (
+            p.agg(F.count("*").alias("n_pairs"))
+            .crossJoin(stats)
+            .crossJoin(tot)
+            .select(
+                F.lit(float(eps)).alias("eps"),
+                "n_pairs",
+                "n_clusters",
+                "dup_members",
+                "removed",
+                (F.col("n_vec") - F.col("removed")).alias("survivors"),
+                "max_cluster_size",
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out.orderBy("eps")
 
 
 # ---------------------------------------------------------------------------

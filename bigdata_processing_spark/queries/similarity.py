@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.queries import register
+from bigdata_processing_spark.queries.dedup import _SQL_EMB_ASSIGN
 
 _COS = """list_dot_product(qe, ce)
                    / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"""
@@ -114,6 +115,75 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _with_norm(emb, "cid", "ce", "cn", extra={"label": "clabel"})
     joined = c.join(F.broadcast(q), F.col("clabel") != F.col("qlabel"))
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", "cid", "clabel", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "hard_negatives_celled",
+    oracle=f"""
+        WITH {_SQL_EMB_ASSIGN},
+        q AS (
+            SELECT vec_id AS qid, label AS qlabel, cell AS qcell,
+                   v AS qe, nrm AS qn
+            FROM assigned WHERE vec_id % 100 = 0
+        ),
+        s AS (
+            SELECT q.qid, a.vec_id AS cid, a.label AS clabel,
+                   list_dot_product(q.qe, a.v) / (q.qn * a.nrm) AS cos_sim
+            FROM q JOIN assigned a
+              ON a.cell = q.qcell AND a.label <> q.qlabel
+        )
+        SELECT qid, cid, clabel, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid
+                                         ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 3
+        ORDER BY qid, rn
+    """,
+)
+def hard_negatives_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-celled hard-negative mining — the corpus-scale variant the
+    brute-force ``hard_negatives`` docstring promises: anchors probe
+    ONLY their own IVF cell (n_probe=1) for different-label neighbors,
+    reusing the memoized ``_emb_assigned`` base from the dedup family.
+
+    Scale shape: the join is keyed on ``cell`` (plus a label-inequality
+    residual), so anchors and candidates co-locate per cell and the pair
+    work is Σ_cell |anchors_c|·|cands_c| — cell count grows with n
+    (operators/ivf.allpairs_cell_count), keeping per-cell work bounded.
+    No anchor broadcast anywhere: unlike the brute-force shape (anchors
+    = n/100 grows with the corpus), nothing here needs to fit one
+    executor. Approximation contract: a negative in a neighboring cell
+    is missed (same recall trade every n_probe=1 IVF query makes)."""
+    from bigdata_processing_spark.queries.dedup import _emb_assigned
+
+    base, _cents = _emb_assigned(spark, sf_dir)
+    q = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("cell").alias("qcell"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        "cell",
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    joined = q.join(
+        c,
+        (F.col("qcell") == F.col("cell")) & (F.col("clabel") != F.col("qlabel")),
+    )
+    cos = V.dot_vectorized(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
         joined.select("qid", "cid", "clabel", cos.alias("cos_sim"))

@@ -24,6 +24,9 @@ JACCARD_THRESHOLD = 0.8        # bigram-set Jaccard for near-dup pairs
 CONTAINMENT_THRESHOLD = 0.9    # |A∩B| / min(|A|,|B|) for subset dups
 EDIT_SIM_THRESHOLD = 0.8       # 1 - levenshtein/maxlen for short-record dups
 COSINE_NEARDUP_THRESHOLD = 0.4  # embedding cosine for semantic near-dups
+# SemDeDup ε sweep grid (semantic_dedup_sweep): the measured basis for
+# COSINE_NEARDUP_THRESHOLD, mirroring lsh_band_sweep's role for N_BANDS
+SEMDEDUP_SWEEP_EPS = (0.3, 0.4, 0.5, 0.6)
 
 # Corpus-scale candidate-generation guards
 MAX_DF = 40           # shingles present in more docs than this are pruned
