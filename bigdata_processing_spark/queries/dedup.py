@@ -32,6 +32,7 @@ from bigdata_processing_spark.thresholds import (
     JACCARD_THRESHOLD,
     MAX_BUCKET,
     MAX_DF,
+    MAX_DF_FRAC,
     N_BANDS,
     N_HASHES,
     SEMDEDUP_SWEEP_EPS,
@@ -162,17 +163,22 @@ _SQL_BANDS = (
 )
 
 # The PRODUCTION candidate pipeline (guards ON — the default every family
-# consumer shares): document-frequency pruning before signatures (shingles
-# in > MAX_DF docs are boilerplate: no near-dup signal, dominant shuffle
-# volume) and an LSH bucket cap (a B-doc bucket makes B² pairs; capping
-# bounds the worst key). Produces the ``cand`` CTE; internal names are
-# suffixed _p so unguarded ``sig``/``bands`` (audit queries) can coexist
-# in the same WITH list.
+# consumer shares): RELATIVE document-frequency pruning before signatures
+# (shingles in > max(MAX_DF, ceil(MAX_DF_FRAC·n_docs)) docs are
+# boilerplate: no near-dup signal, dominant shuffle volume — the cap must
+# scale with the corpus or it prunes everything at 10×, see thresholds.py)
+# and an LSH bucket cap (a B-doc bucket makes B² pairs; capping bounds
+# the worst key). Produces the ``cand`` CTE; internal names are suffixed
+# _p so unguarded ``sig``/``bands`` (audit queries) can coexist in the
+# same WITH list.
 _SQL_CAND_GUARDED = f"""
         dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM shex GROUP BY s),
+        ncorp AS (SELECT count(*) AS n_docs FROM documents),
         shex_p AS (
             SELECT shex.doc_id, shex.s FROM shex JOIN dfreq USING (s)
-            WHERE df <= {MAX_DF}
+            CROSS JOIN ncorp
+            WHERE df <= greatest({MAX_DF},
+                                 CAST(ceil({MAX_DF_FRAC} * ncorp.n_docs) AS BIGINT))
         ),
         sig_p AS (SELECT doc_id, """ + ", ".join(
     f"min({T.minhash_hash_sql('s', i)}) AS h{i}" for i in range(N_HASHES)
@@ -224,6 +230,10 @@ MEMO_FAMILY = (
     # embedding-assignment memo consumers
     "embedding_neardup_pairs",
     "semantic_dedup_survivors",
+    "semantic_dedup_sweep",
+    "hard_negatives_celled",
+    # round-5: the unguarded audit baseline shares _CAND_MEMO too
+    "minhash_unguarded_dup_pairs",
 )
 
 
@@ -341,6 +351,7 @@ def _scored_candidates(
     spark: SparkSession, sf_dir: str,
     max_df: int | None = MAX_DF,
     max_bucket: int | None = MAX_BUCKET,
+    max_df_frac: float = MAX_DF_FRAC,
     verify_broadcast_max_bytes: int = VERIFY_BROADCAST_MAX_BYTES,
 ) -> DataFrame:
     """LSH candidate pairs with their exact shingle overlap:
@@ -351,19 +362,23 @@ def _scored_candidates(
     configuration.
 
     The corpus-scale guards are ON BY DEFAULT: shingles present in more
-    than ``max_df`` docs are pruned before signatures (boilerplate
-    carries no near-dup signal but dominates shuffle volume — think
-    "of the" at web scale) and LSH buckets larger than ``max_bucket``
+    than ``max(max_df, ceil(max_df_frac·n_docs))`` docs are pruned
+    before signatures (boilerplate carries no near-dup signal but
+    dominates shuffle volume; "common" must be RELATIVE to corpus size —
+    an absolute cap prunes the whole vocabulary at 10×, measured in
+    tools/sf1_dedup_proof.py) and LSH buckets larger than ``max_bucket``
     are skipped (a B-doc bucket expands to B² candidate pairs; a single
-    hot template bucket is quadratic at 100×). Pass ``None`` to disable
-    either guard — ``minhash_unguarded_dup_pairs`` is the registered
-    small-scale audit baseline that does. Guards only bound CANDIDATE
-    GENERATION; verification always scores the full shingle sets, so a
-    surfaced pair's similarity is exact regardless of configuration.
-    Both guards are relational and mirrored verbatim in the family's
-    DuckDB twins (_SQL_CAND_GUARDED, same thresholds.py constants)."""
+    hot template bucket is quadratic at 100×; deliberately absolute —
+    pair cost doesn't scale with corpus size). Pass ``max_df=None`` /
+    ``max_bucket=None`` to disable — ``minhash_unguarded_dup_pairs`` is
+    the registered small-scale audit baseline that does. Guards only
+    bound CANDIDATE GENERATION; verification always scores the full
+    shingle sets, so a surfaced pair's similarity is exact regardless of
+    configuration. Both guards are relational and mirrored verbatim in
+    the family's DuckDB twins (_SQL_CAND_GUARDED, same thresholds.py
+    constants)."""
     memo_key = (spark.sparkContext.applicationId, sf_dir, max_df, max_bucket,
-                verify_broadcast_max_bytes)
+                max_df_frac, verify_broadcast_max_bytes)
     cached = _CAND_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -373,10 +388,15 @@ def _scored_candidates(
     shset = _shingle_df(spark, sf_dir).persist()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
     if max_df is not None:
+        import math
+
+        # effective cap: floor for tiny corpora, fraction at scale —
+        # n_docs via the persisted shingle frame (one row per doc)
+        eff_df = max(max_df, int(math.ceil(max_df_frac * shset.count())))
         # document frequency per shingle; vocabulary-sized, broadcast back
         dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
         shex_sig = shex.join(
-            F.broadcast(dfreq.filter(F.col("df") <= max_df)), "s"
+            F.broadcast(dfreq.filter(F.col("df") <= eff_df)), "s"
         ).select("doc_id", "s")
     else:
         shex_sig = shex

@@ -28,8 +28,22 @@ COSINE_NEARDUP_THRESHOLD = 0.4  # embedding cosine for semantic near-dups
 # COSINE_NEARDUP_THRESHOLD, mirroring lsh_band_sweep's role for N_BANDS
 SEMDEDUP_SWEEP_EPS = (0.3, 0.4, 0.5, 0.6)
 
-# Corpus-scale candidate-generation guards
-MAX_DF = 40           # shingles present in more docs than this are pruned
+# Corpus-scale candidate-generation guards.
+#
+# The DF prune targets BOILERPLATE — shingles so common they carry no
+# near-dup signal — and "common" is relative to corpus size: a shingle
+# in 300 of 5,000 docs is boilerplate, one in 300 of 10M docs is a
+# near-dup fingerprint. An absolute cap therefore prunes EVERYTHING
+# once the corpus grows (measured: 10x sf0.1 -> 0 candidates at df<=40),
+# so the effective cap is ``max(MAX_DF, ceil(MAX_DF_FRAC * n_docs))``:
+# MAX_DF is the small-corpus floor (keeps tiny fixtures deterministic),
+# the fraction is what holds at scale. Both engines compute n_docs from
+# the same table, so the twins stay bit-identical.
+MAX_DF = 40           # floor: shingles in more docs than this are pruned
+MAX_DF_FRAC = 0.08    # scale term: prune shingles in > 8% of the corpus
+# The bucket cap is deliberately ABSOLUTE: a B-doc LSH bucket costs B²
+# candidate pairs regardless of corpus size, and mega-buckets are exact
+# duplication's job (dedup_exact_summary), not MinHash's.
 MAX_BUCKET = 25       # LSH buckets larger than this are skipped
 
 # Audit sampling
