@@ -58,34 +58,41 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-4 rotation: the round's NEW queries lead (LSH banding sweep,
-    # incremental-IVF append twin), then the heavily-reworked dedup
-    # family re-confirms under the new connected-components labeling +
-    # parameterized thresholds; everything union-green follows.
+    # round-5 rotation: the round's NEW queries lead (SemDeDup ε sweep,
+    # IVF-celled hard negatives, the unguarded audit baseline), then the
+    # whole dedup family re-confirms under the regenerated guarded
+    # oracles (guards default-on + relative DF cap), then the four
+    # queries r04 flagged for cold re-measure; everything union-green
+    # follows.
+    "semantic_dedup_sweep",
+    "hard_negatives_celled",
+    "minhash_unguarded_dup_pairs",
+    "minhash_lsh_dup_pairs",
+    "dup_clusters",
+    "dedup_survivors",
+    "dedup_survivors_by_quality",
+    "containment_dup_pairs",
+    "edit_distance_dup_pairs",
+    "lsh_recall_audit",
+    "minhash_estimate_audit",
+    "dedup_verifier_matrix",
+    "cross_source_dup_matrix",
+    "dup_cluster_size_histogram",
+    "curation_funnel",
+    # r04 drift-flagged redos (BENCH cold re-measure targets)
+    "bigram_perplexity_bands",
+    "embedding_neardup_pairs",
+    "ivf_append_assignment",
+    "hot_key_skew_report",
+    # round-4 rotation block (recorded rows retained)
     "bloom_prejoin_revenue",
     "cms_overestimate_audit",
     "kmv_set_algebra",
     "semantic_dedup_survivors",
     "lsh_band_sweep",
-    "ivf_append_assignment",
     "winnowing_dup_passages",
-    "minhash_estimate_audit",
-    "dup_cluster_size_histogram",
-    "dedup_verifier_matrix",
-    "dedup_survivors_by_quality",
     "doc_novelty_bands",
-    "bigram_perplexity_bands",
     "pq_adc_knn",
-    "curation_funnel",
-    "dup_clusters",
-    "dedup_survivors",
-    "cross_source_dup_matrix",
-    "minhash_lsh_dup_pairs",
-    "minhash_unguarded_dup_pairs",
-    "containment_dup_pairs",
-    "edit_distance_dup_pairs",
-    "lsh_recall_audit",
-    "embedding_neardup_pairs",
     # round-3 rotation block (recorded rows retained)
     "collect_sorted_lists",
     "array_functions",
@@ -106,21 +113,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "binary_quantized_knn",
     "word_entropy_bands",
     "sessionize_events",
-    "dedup_survivors",
     "unigram_surprisal_bands",
     "boilerplate_chunk_stats",
-    "cross_source_dup_matrix",
-    "containment_dup_pairs",
     "quality_weighted_sample",
-    "hot_key_skew_report",
     "winsorized_value_stats",
     "embedding_drift_by_cell",
     "binary_rerank_knn",
     "resample_hourly_ffill",
-    "edit_distance_dup_pairs",
     "session_funnel",
     "anomalous_hours_by_type",
-    "lsh_recall_audit",
     "data_quality_checks",
     "windowed_event_dedup",
     "monthly_revenue_mom_change",
@@ -197,12 +198,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quality_scores",
     "lang_id_confusion",
     "dedup_keep_first",
-    "minhash_lsh_dup_pairs",
-    "minhash_unguarded_dup_pairs",
-    "dup_clusters",
     "ngram_jaccard_topk",
     "simhash_buckets",
-    "embedding_neardup_pairs",
     "knn_bruteforce",
     "sorted_daily_value",
     "tumbling_window_6h",
