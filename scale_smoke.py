@@ -52,6 +52,10 @@ QUERIES = [
     "cms_overestimate_audit",
     # r04 semantic dedup: clones are exact near-dups, clusters explode
     "semantic_dedup_survivors",
+    # r05: eps sweep shares the scored-pair pass; celled hard negatives
+    # must stay cell-bounded as anchors AND candidates both 3x
+    "semantic_dedup_sweep",
+    "hard_negatives_celled",
     "binary_quantized_knn",
     "sessionize_events",
     "edit_distance_dup_pairs",

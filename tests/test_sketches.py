@@ -117,6 +117,15 @@ def test_bloom_prune_superset_and_exact_composition(spark):
     assert via_join.select("l_orderkey", "l_linenumber").exceptAll(
         pruned.select("l_orderkey", "l_linenumber")
     ).count() == 0
+    # schema passthrough holds even when the big side LEGITIMATELY owns
+    # columns named like the bitmap's (word/bword) — the probe state uses
+    # collision-safe __bf_state_* names internally
+    li_w = li.withColumn("word", F.lit("keep")).withColumn("bword", F.lit(7))
+    probed_w = bloom_prune_join(li_w, small, "l_orderkey", "o_orderkey")
+    assert probed_w.columns == li_w.columns
+    assert probed_w.filter(
+        (F.col("word") != "keep") | (F.col("bword") != 7)
+    ).count() == 0
 
 
 def test_bloom_prune_false_positive_rate(spark):
