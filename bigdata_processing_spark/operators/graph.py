@@ -75,11 +75,46 @@ def _small_star(canon: DataFrame) -> DataFrame:
     )
 
 
+# Below this many (deduplicated) edges the graph is metadata, not data:
+# 100k (lo, hi) longs ≈ 1.6 MB on the driver, while the star-contraction
+# machinery pays several multi-stage jobs PER ROUND — measured 8.2s for
+# a 315-node graph vs ~0.1s of driver union-find. The threshold is a
+# CONSTANT (bounded driver memory by construction, never data-dependent):
+# at corpus scale the dup graph exceeds it and the distributed path runs
+# exactly as before.
+SMALL_GRAPH_EDGES = 100_000
+
+
+def _driver_union_find(rows) -> dict[int, int]:
+    """Path-compressed union-find over collected (lo, hi) rows; labels
+    every incident node with its component's MIN id — the identical
+    contract the star-contraction fixpoint produces."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        r = x
+        while parent.get(r, r) != r:
+            r = parent[r]
+        while parent.get(x, x) != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for row in rows:
+        a, b = row[0], row[1]
+        parent.setdefault(a, a)
+        parent.setdefault(b, b)
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {n: find(n) for n in parent}
+
+
 def connected_components(
     edges: DataFrame,
     src: str = "src",
     dst: str = "dst",
     max_rounds: int = _MAX_ROUNDS,
+    small_graph_edges: int = SMALL_GRAPH_EDGES,
 ) -> tuple[DataFrame, int]:
     """Label every node of the undirected graph ``edges`` with the
     minimum node id of its connected component.
@@ -89,16 +124,42 @@ def connected_components(
     ``n_rounds`` is the number of large+small-star rounds run before the
     edge set reached fixpoint (logged — the observable that shows
     wall-time tracking graph structure, not driver round-trips).
+    ``n_rounds`` is 0 when the input was already a star forest OR when
+    the small-graph path ran.
 
-    Only the fixpoint test runs on the driver (ONE aggregate job per
-    round — is the edge set a disjoint star forest yet); all rewiring is
-    joins/groupBys. Each round's canonical edge set is persisted and the
-    superseded round unpersisted, so executor storage holds exactly one
-    generation.
+    Two regimes, same labels either way:
+
+    - ``n_edges ≤ small_graph_edges`` (constant, ≈1.6 MB of longs):
+      the canonical edge set is COLLECTED and labeled by driver
+      union-find — below this size the graph is metadata, and one
+      driver pass beats several multi-stage Spark jobs per contraction
+      round (measured 8.2s → 0.1s on a 315-node graph). The bound is a
+      constant, so driver memory is capped by construction; pass 0 to
+      force the distributed path (tests do).
+    - above it: alternating large-star/small-star contraction. Only the
+      fixpoint test runs on the driver (ONE aggregate job per round);
+      all rewiring is joins/groupBys. Each round's canonical edge set is
+      persisted and the superseded round unpersisted, so executor
+      storage holds exactly one generation.
     """
     canon = _canonical(
         edges.select(F.col(src).alias("src"), F.col(dst).alias("dst"))
     ).persist()
+
+    n_edges = canon.count()  # materializes the cache; both paths need it
+    if n_edges <= small_graph_edges:
+        labels_map = _driver_union_find(canon.collect())
+        spark = edges.sparkSession
+        node_t = dict(canon.dtypes)["lo"]
+        out = spark.createDataFrame(
+            list(labels_map.items()), f"node {node_t}, component {node_t}"
+        ).persist()
+        out.count()
+        canon.unpersist()
+        log.info(
+            "connected_components: driver union-find path (%d edges)", n_edges
+        )
+        return out, 0
 
     def _is_star_forest(df) -> bool:
         # Fixpoint ⇔ the edges form disjoint stars rooted at their lo:

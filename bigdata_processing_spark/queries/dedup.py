@@ -1093,37 +1093,60 @@ def semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     base, _cents = _emb_assigned(spark, sf_dir)
     tot = base.agg(F.count("*").alias("n_vec"))
 
-    out = None
-    for eps in SEMDEDUP_SWEEP_EPS:
-        p = scored.filter(F.col("cos_sim") >= eps).select("v1", "v2")
-        labels, _rounds = connected_components(p, src="v1", dst="v2")
-        sz = (
-            labels.toDF("vec_id", "cluster_id")
-            .groupBy("cluster_id")
-            .agg(F.count("*").alias("sz"))
+    # ONE connected-components run for ALL grid points: each ε's subgraph
+    # is tagged by encoding node = vec_id·n_eps + eps_idx, so the four
+    # subgraphs become disjoint components of a single union graph and
+    # the O(log²n)-round machinery (with its per-round driver probe) is
+    # paid once, not per ε. Encoding is order-preserving within an ε
+    # (vec_id monotone ⇒ encoded monotone), so min-of-component decodes
+    # back to the plain min vec_id the oracle's per-ε closure computes.
+    n_eps = len(SEMDEDUP_SWEEP_EPS)
+    tagged = None
+    for idx, eps in enumerate(SEMDEDUP_SWEEP_EPS):
+        p = scored.filter(F.col("cos_sim") >= eps).select(
+            (F.col("v1") * n_eps + idx).alias("src"),
+            (F.col("v2") * n_eps + idx).alias("dst"),
         )
-        stats = sz.agg(
-            F.count("*").alias("n_clusters"),
-            F.coalesce(F.sum("sz"), F.lit(0)).alias("dup_members"),
-            F.coalesce(F.sum("sz") - F.count("*"), F.lit(0)).alias("removed"),
-            F.coalesce(F.max("sz"), F.lit(0)).alias("max_cluster_size"),
+        tagged = p if tagged is None else tagged.unionByName(p)
+    labels, _rounds = connected_components(tagged, src="src", dst="dst")
+    per_eps = labels.toDF("node", "comp").select(
+        F.pmod("node", F.lit(n_eps)).cast("int").alias("idx"),
+        # integer DIV, not float floor: exact at any id magnitude
+        F.expr(f"comp DIV {n_eps}").alias("cluster_id"),
+        F.expr(f"node DIV {n_eps}").alias("vec_id"),
+    )
+    sz = per_eps.groupBy("idx", "cluster_id").agg(F.count("*").alias("sz"))
+    stats = sz.groupBy("idx").agg(
+        F.count("*").alias("n_clusters"),
+        F.sum("sz").alias("dup_members"),
+        (F.sum("sz") - F.count("*")).alias("removed"),
+        F.max("sz").alias("max_cluster_size"),
+    )
+    eps_rows = spark.createDataFrame(
+        [(i, float(e)) for i, e in enumerate(SEMDEDUP_SWEEP_EPS)],
+        "idx int, eps double",
+    )
+    npairs = None
+    for idx, eps in enumerate(SEMDEDUP_SWEEP_EPS):
+        r = scored.filter(F.col("cos_sim") >= eps).agg(
+            F.lit(idx).alias("idx"), F.count("*").alias("n_pairs")
         )
-        row = (
-            p.agg(F.count("*").alias("n_pairs"))
-            .crossJoin(stats)
-            .crossJoin(tot)
-            .select(
-                F.lit(float(eps)).alias("eps"),
-                "n_pairs",
-                "n_clusters",
-                "dup_members",
-                "removed",
-                (F.col("n_vec") - F.col("removed")).alias("survivors"),
-                "max_cluster_size",
-            )
+        npairs = r if npairs is None else npairs.unionByName(r)
+    return (
+        eps_rows.join(npairs, "idx", "left")
+        .join(stats, "idx", "left")
+        .crossJoin(tot)
+        .select(
+            "eps",
+            F.coalesce("n_pairs", F.lit(0)).alias("n_pairs"),
+            F.coalesce("n_clusters", F.lit(0)).alias("n_clusters"),
+            F.coalesce("dup_members", F.lit(0)).alias("dup_members"),
+            F.coalesce("removed", F.lit(0)).alias("removed"),
+            (F.col("n_vec") - F.coalesce("removed", F.lit(0))).alias("survivors"),
+            F.coalesce("max_cluster_size", F.lit(0)).alias("max_cluster_size"),
         )
-        out = row if out is None else out.unionByName(row)
-    return out.orderBy("eps")
+        .orderBy("eps")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -28,11 +28,32 @@ def _union_find_labels(edges: list[tuple[int, int]]) -> dict[int, int]:
 
 
 def _run(spark, edges: list[tuple[int, int]]):
+    # small_graph_edges=0 forces the DISTRIBUTED star-contraction path —
+    # these tests exist to exercise it (the driver fast path would
+    # otherwise swallow every fixture-sized graph)
     df = spark.createDataFrame(edges, "src bigint, dst bigint")
-    labels, rounds = connected_components(df)
+    labels, rounds = connected_components(df, small_graph_edges=0)
     got = {r.node: r.component for r in labels.collect()}
     labels.unpersist()
     return got, rounds
+
+
+def test_cc_small_graph_driver_path_agrees(spark):
+    """Below the constant edge bound the driver union-find path must
+    produce byte-identical labels to the distributed path (and to the
+    reference union-find), with rounds reported as 0."""
+    edges = (
+        [(i, j) for i in range(6) for j in range(i + 1, 6)]
+        + [(5, 30), (30, 31), (31, 32), (100, 101)]
+    )
+    df = spark.createDataFrame(edges, "src bigint, dst bigint")
+    labels, rounds = connected_components(df)  # default: driver path
+    got = {r.node: r.component for r in labels.collect()}
+    labels.unpersist()
+    assert rounds == 0
+    assert got == _union_find_labels(edges)
+    dist, _ = _run(spark, edges)
+    assert got == dist
 
 
 def test_cc_matches_union_find_on_mixed_graph(spark):
