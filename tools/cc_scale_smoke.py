@@ -31,11 +31,20 @@ from scale_smoke import build_scaled_dir
 def measure(spark, sf_dir: str, label: str) -> None:
     clear_dedup_memos()
     t0 = time.monotonic()
-    pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2")
+    # UNGUARDED pair pipeline: the smoke exists to stress CC with the
+    # full clone-amplified edge set — the default bucket cap (rightly)
+    # skips >25-member clone buckets and would starve the graph
+    pairs = _verified_dup_pairs(
+        spark, sf_dir, max_df=None, max_bucket=None
+    ).select("d1", "d2")
     n_edges = pairs.count()
     t_pairs = time.monotonic() - t0
     t1 = time.monotonic()
-    labels, rounds = connected_components(pairs, src="d1", dst="d2")
+    # force the distributed star-contraction path: measuring IT is the
+    # point (the driver union-find path would swallow the 1x/3x graphs)
+    labels, rounds = connected_components(
+        pairs, src="d1", dst="d2", small_graph_edges=0
+    )
     n_nodes = labels.count()
     n_clusters = labels.select("component").distinct().count()
     t_cc = time.monotonic() - t1
