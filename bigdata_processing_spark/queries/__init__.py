@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # follows.
     "semantic_dedup_sweep",
     "hard_negatives_celled",
+    "incremental_dedup_pairs",
     "minhash_unguarded_dup_pairs",
     "minhash_lsh_dup_pairs",
     "dup_clusters",

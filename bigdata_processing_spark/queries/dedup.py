@@ -234,6 +234,7 @@ MEMO_FAMILY = (
     "hard_negatives_celled",
     # round-5: the unguarded audit baseline shares _CAND_MEMO too
     "minhash_unguarded_dup_pairs",
+    "incremental_dedup_pairs",
 )
 
 
@@ -529,6 +530,130 @@ def minhash_unguarded_dup_pairs(
     return _verified_dup_pairs(
         spark, sf_dir, jaccard_threshold, max_df=None, max_bucket=None
     ).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Incremental batch dedup, relational twin: the exact math of
+# operators/incremental_dedup.py with the corpus split deterministically
+# into an "already indexed" 3/4 (doc_id % 4 != 0) and an arriving batch
+# 1/4 (doc_id % 4 == 0). The DF STOP LIST (too-common shingles) is
+# FROZEN on the indexed corpus — a stop list, not an allow list, so
+# batch docs with novel shingles stay signable; re-pruning per batch
+# would re-sign the whole corpus — the bucket cap sees the COMBINED
+# old+new bucket,
+# and only pairs involving the batch are emitted. test_incremental_dedup
+# pins the disk-index operator to this query row-for-row.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_dedup_pairs",
+    oracle=f"""
+        WITH {_SQL_SHINGLES},
+        shex_idx AS (SELECT doc_id, s FROM shex WHERE doc_id % 4 <> 0),
+        nidx AS (SELECT count(*) AS n FROM documents WHERE doc_id % 4 <> 0),
+        dfreq AS (
+            SELECT s, count(DISTINCT doc_id) AS df FROM shex_idx GROUP BY s
+        ),
+        stop AS (
+            SELECT s FROM dfreq CROSS JOIN nidx
+            WHERE df > greatest({MAX_DF},
+                                CAST(ceil({MAX_DF_FRAC} * nidx.n) AS BIGINT))
+        ),
+        shex_p AS (
+            SELECT doc_id, s FROM shex
+            WHERE s NOT IN (SELECT s FROM stop)
+        ),
+        sig AS (SELECT doc_id, """ + ", ".join(
+        f"min({T.minhash_hash_sql('s', i)}) AS h{i}" for i in range(N_HASHES)
+    ) + """ FROM shex_p GROUP BY doc_id),
+        bands AS (SELECT doc_id, unnest([""" + ", ".join(
+        f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
+    ) + f"""]) AS bk FROM sig),
+        bsz AS (SELECT bk, count(*) AS n FROM bands GROUP BY bk),
+        cand AS (
+            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
+            FROM bands a
+            JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+            JOIN bsz ON a.bk = bsz.bk
+            WHERE bsz.n <= {MAX_BUCKET}
+              AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+        )
+        SELECT c.d1, c.d2,
+               len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                   / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                   AS jaccard,
+               ((c.d1 % 4 = 0) <> (c.d2 % 4 = 0)) AS is_cross
+        FROM cand c
+        JOIN shset s1 ON c.d1 = s1.doc_id
+        JOIN shset s2 ON c.d2 = s2.doc_id
+        WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                  / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+              >= {JACCARD_THRESHOLD}
+        ORDER BY d1, d2
+    """,
+)
+def incremental_dedup_pairs(
+    spark: SparkSession, sf_dir: str,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+) -> DataFrame:
+    """Near-dup pairs a batch arrival (doc_id % 4 == 0) surfaces against
+    an index frozen on the rest of the corpus — new×old AND new×new,
+    with ``is_cross`` distinguishing them. Pure relational twin of the
+    disk-index operator (operators/incremental_dedup.py): frozen
+    boilerplate STOP LIST from the indexed 3/4, combined-bucket cap,
+    batch-only pair emission."""
+    import math as _math
+
+    docs = load_table(spark, sf_dir, "documents")
+    shset = _shingle_df(spark, sf_dir).persist()
+    _LOOSE_PERSISTS.append(shset)
+    shex = shset.select("doc_id", F.explode("sh").alias("s"))
+
+    shex_idx = shex.filter(F.col("doc_id") % 4 != 0)
+    n_idx = docs.filter(F.col("doc_id") % 4 != 0).count()
+    eff = max(MAX_DF, int(_math.ceil(MAX_DF_FRAC * n_idx)))
+    stop = (
+        shex_idx.groupBy("s")
+        .agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") > eff)
+        .select("s")
+    )
+    shex_p = shex.join(F.broadcast(stop), "s", "left_anti").select("doc_id", "s")
+    sig = _sig_from_shex(shex_p)
+
+    band_keys = F.array(
+        *[
+            F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
+            for b in range(N_BANDS)
+        ]
+    )
+    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    bsz = bands.groupBy("bk").agg(F.count("*").alias("n"))
+    a = bands.select("bk", F.col("doc_id").alias("d1"))
+    b = bands.select("bk", F.col("doc_id").alias("d2"))
+    cand = (
+        a.join(b, "bk")
+        .filter(F.col("d1") < F.col("d2"))
+        .join(bsz.filter(F.col("n") <= MAX_BUCKET).select("bk"), "bk")
+        .filter((F.col("d1") % 4 == 0) | (F.col("d2") % 4 == 0))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    return (
+        cand.join(F.broadcast(s1), "d1")
+        .join(F.broadcast(s2), "d2")
+        .select(
+            "d1",
+            "d2",
+            jac.alias("jaccard"),
+            ((F.col("d1") % 4 == 0) != (F.col("d2") % 4 == 0)).alias("is_cross"),
+        )
+        .filter(F.col("jaccard") >= jaccard_threshold)
+        .orderBy("d1", "d2")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -56,6 +56,7 @@ QUERIES = [
     # must stay cell-bounded as anchors AND candidates both 3x
     "semantic_dedup_sweep",
     "hard_negatives_celled",
+    "incremental_dedup_pairs",
     "binary_quantized_knn",
     "sessionize_events",
     "edit_distance_dup_pairs",
