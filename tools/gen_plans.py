@@ -117,6 +117,29 @@ ENTRIES: dict[str, str] = {
         "queries, candidates stream) feeds an exact-cosine rerank over "
         "32 rows/query — float math never touches the full corpus."
     ),
+    "minhash_lsh_dup_pairs": (
+        "Production near-dup pairs, guards DEFAULT-ON (r05): relative "
+        "DF stop before signatures, bucket cap before pair expansion, "
+        "size-aware verify join (broadcast under the estimate cap, "
+        "doc_id-keyed shuffle above it — both regimes plan-asserted)."
+    ),
+    "hard_negatives_celled": (
+        "IVF-celled hard negatives: anchors join candidates ON THE CELL "
+        "KEY (no anchor broadcast — nothing grows with the corpus on "
+        "one executor); label inequality rides as a join residual; "
+        "per-anchor top-3 via window."
+    ),
+    "incremental_dedup_pairs": (
+        "Incremental batch dedup twin: frozen stop-list anti-join, "
+        "bucket-keyed probe of the indexed postings, combined-bucket "
+        "cap, candidate-bounded verification — nothing rescans the "
+        "indexed corpus text."
+    ),
+    "semantic_dedup_sweep": (
+        "SemDeDup eps sweep: cell pairs scored ONCE at the loosest eps; "
+        "all grid points' subgraphs run as one tagged "
+        "connected-components pass (node = vec_id*n_eps + eps_idx)."
+    ),
 }
 
 
