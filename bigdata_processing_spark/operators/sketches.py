@@ -244,6 +244,51 @@ CMS_DEPTH_DEFAULT = 3
 CMS_WIDTH_DEFAULT = 256
 
 
+# ---------------------------------------------------------------------------
+# Deterministic bottom-k sample — the quantile member of the portable
+# sketch family (KMV = distinct counts, CMS = frequencies, Bloom =
+# membership, bottom-k = DISTRIBUTIONS). The k rows with the smallest
+# md5-hash of their row id form a uniform sample that is:
+#   - deterministic and cross-engine reproducible (same md5 contract as
+#     KMV — DuckDB picks the IDENTICAL rows),
+#   - mergeable (union two samples, re-cut to the k smallest — every
+#     hash in the union's true bottom-k is in one operand's bottom-k),
+#   - unbiased for any statistic (the hash is independent of values).
+# Quantiles estimated from the sample carry the classic bottom-k error
+# (±O(1/√k) in rank); the audit query puts the realized error next to
+# the exact percentiles.
+# Scale design mirrors kmv_minset: a salted two-stage top-k so no hot
+# group ever funnels its full row stream through one task's sort.
+# ---------------------------------------------------------------------------
+BOTTOMK_DEFAULT = 256
+
+
+def bottomk_sample(
+    df: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    k: int = BOTTOMK_DEFAULT,
+    n_salts: int = 16,
+) -> DataFrame:
+    """Per-group deterministic uniform sample: the ``k`` rows whose
+    ``hash01(id_col)`` is smallest. Returns the input columns unchanged
+    (sample rows only). ``id_col`` must be unique per row — ties would
+    make the cut order engine-dependent."""
+    h = hash01(F.col(id_col))
+    salt = (F.col("__h") * F.lit(float(1 << HASH_BITS))).cast("long") % n_salts
+    w1 = Window.partitionBy(*group_cols, "__salt").orderBy("__h")
+    w2 = Window.partitionBy(*group_cols).orderBy("__h")
+    return (
+        df.withColumn("__h", h)
+        .withColumn("__salt", salt)
+        .withColumn("__rn1", F.row_number().over(w1))
+        .filter(F.col("__rn1") <= k)
+        .withColumn("__rn", F.row_number().over(w2))
+        .filter(F.col("__rn") <= k)
+        .drop("__h", "__salt", "__rn1", "__rn")
+    )
+
+
 def _cms_bucket(col: Column, i: int, width: int) -> Column:
     """Portable bucket: 52-bit md5 int of "key:i" mod width. DuckDB
     twin: ``CAST('0x' || substr(md5(CAST(x AS VARCHAR) || ':i'), 1, 13)

@@ -67,6 +67,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup_sweep",
     "hard_negatives_celled",
     "incremental_dedup_pairs",
+    "quantile_sketch_audit",
     "minhash_unguarded_dup_pairs",
     "minhash_lsh_dup_pairs",
     "dup_clusters",

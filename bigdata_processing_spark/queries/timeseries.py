@@ -905,3 +905,81 @@ def cms_overestimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bottom-k quantile sketch audit (operators/sketches.bottomk_sample):
+# per-type value quantiles estimated from the DETERMINISTIC 256-row
+# bottom-k-by-md5 sample next to the exact percentiles. The quantile
+# member of the portable-sketch family — like KMV and CMS, DuckDB picks
+# the IDENTICAL sample rows, so the estimates themselves hash-match,
+# and the error columns show the realized ±O(1/√k) rank error.
+# ---------------------------------------------------------------------------
+_QSK_K = 256
+
+
+@register(
+    "quantile_sketch_audit",
+    oracle=f"""
+        WITH h AS (
+            SELECT event_type, value,
+                   CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 13)
+                        AS BIGINT) / 4503599627370496.0 AS hh
+            FROM events
+        ),
+        samp AS (
+            SELECT event_type, value FROM (
+                SELECT *, row_number() OVER (PARTITION BY event_type
+                                             ORDER BY hh) AS rn
+                FROM h
+            ) WHERE rn <= {_QSK_K}
+        ),
+        est AS (
+            SELECT event_type,
+                   quantile_cont(value, 0.5) AS p50_est,
+                   quantile_cont(value, 0.9) AS p90_est
+            FROM samp GROUP BY event_type
+        ),
+        exact AS (
+            SELECT event_type, count(*) AS n_rows,
+                   quantile_cont(value, 0.5) AS p50,
+                   quantile_cont(value, 0.9) AS p90
+            FROM events GROUP BY event_type
+        )
+        SELECT exact.event_type AS event_type, n_rows,
+               round(p50, 6) AS p50, round(p50_est, 6) AS p50_est,
+               round(abs(p50_est - p50), 6) AS p50_err,
+               round(p90, 6) AS p90, round(p90_est, 6) AS p90_est,
+               round(abs(p90_est - p90), 6) AS p90_err
+        FROM exact JOIN est ON exact.event_type = est.event_type
+        ORDER BY event_type
+    """,
+)
+def quantile_sketch_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.operators.sketches import bottomk_sample
+
+    events = load_table(spark, sf_dir, "events")
+    samp = bottomk_sample(events, "event_id", ["event_type"], k=_QSK_K)
+    est = samp.groupBy("event_type").agg(
+        F.expr("percentile(value, 0.5)").alias("p50_est"),
+        F.expr("percentile(value, 0.9)").alias("p90_est"),
+    )
+    exact = events.groupBy("event_type").agg(
+        F.count("*").alias("n_rows"),
+        F.expr("percentile(value, 0.5)").alias("p50"),
+        F.expr("percentile(value, 0.9)").alias("p90"),
+    )
+    return (
+        exact.join(est, "event_type")
+        .select(
+            "event_type",
+            "n_rows",
+            F.round("p50", 6).alias("p50"),
+            F.round("p50_est", 6).alias("p50_est"),
+            F.round(F.abs(F.col("p50_est") - F.col("p50")), 6).alias("p50_err"),
+            F.round("p90", 6).alias("p90"),
+            F.round("p90_est", 6).alias("p90_est"),
+            F.round(F.abs(F.col("p90_est") - F.col("p90")), 6).alias("p90_err"),
+        )
+        .orderBy("event_type")
+    )

@@ -234,3 +234,36 @@ def test_kmv_merge_equals_direct_union_sketch(spark):
     est_m = kmv_estimate(merged, ["tag"], k).collect()[0].kmv_est
     est_d = kmv_estimate(direct, ["tag"], k).collect()[0].kmv_est
     assert est_m == est_d
+
+
+def test_bottomk_sample_deterministic_and_mergeable(spark):
+    """The bottom-k-by-md5 sample is (a) stable across invocations and
+    partitionings, (b) mergeable: bottom-k of a union == re-cut of the
+    parts' bottom-k samples — the property that lets per-shard samples
+    roll up without touching raw rows."""
+    from bigdata_processing_spark.operators.sketches import (
+        bottomk_sample,
+        hash01,
+    )
+
+    events = load_table(spark, SF_SMALL, "events")
+    k = 32
+    s1 = {r.event_id for r in
+          bottomk_sample(events, "event_id", ["event_type"], k).collect()}
+    s2 = {r.event_id for r in
+          bottomk_sample(events.repartition(13), "event_id", ["event_type"], k)
+          .collect()}
+    assert s1 == s2  # partitioning-independent
+
+    # mergeability: split by parity, sample each part, merge by re-cut
+    parts = [
+        bottomk_sample(
+            events.filter(F.col("event_id") % 2 == p),
+            "event_id", ["event_type"], k,
+        )
+        for p in (0, 1)
+    ]
+    merged = parts[0].unionByName(parts[1])
+    recut = {r.event_id for r in
+             bottomk_sample(merged, "event_id", ["event_type"], k).collect()}
+    assert recut == s1
