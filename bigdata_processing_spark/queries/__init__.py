@@ -68,6 +68,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "hard_negatives_celled",
     "incremental_dedup_pairs",
     "quantile_sketch_audit",
+    "hard_negative_probe_sweep",
     "minhash_unguarded_dup_pairs",
     "minhash_lsh_dup_pairs",
     "dup_clusters",

