@@ -4,32 +4,41 @@ MinHash index without recomputing the corpus.
 The append-only-corpus contract (the batch sibling of
 streaming/dedup.py's stateful matcher, and the dedup analogue of
 operators/ivf.append_to_ivf_index): a living training corpus grows by
-daily batches, and re-running the full O(corpus) MinHash pipeline per
-batch is the cost this module removes. The index persists exactly what
-candidate generation + verification need —
+batches, and re-running the full O(corpus) MinHash pipeline per batch
+is the cost this module removes.
 
-- ``postings/``   (bk, doc_id): LSH band-bucket membership,
-- ``bucket_sizes/`` (bk, n): per-bucket member counts, so probe-time
-  bucket capping never rescans the postings,
-- ``shingles/``   (doc_id, sh): the verification sets,
-- ``stoplist/``   (s): the FROZEN set of too-common (boilerplate)
+On-disk layout — every growing table is PARTITIONED BY ingest batch,
+and each batch's write is an overwrite of ITS OWN partition directory,
+which makes appends IDEMPOTENT: a foreachBatch replay (or a crash
+half-way through an append) simply rewrites the same ``batch_id=N``
+directories and converges — no ledger, no double-append window, the
+same idempotence-based exactly-once as streaming/serving.py's upsert:
+
+- ``postings/batch_id=N/``     (bk, doc_id): LSH band-bucket membership,
+- ``bucket_sizes/batch_id=N/`` (bk, n): per-batch bucket counts —
+  probe-time capping SUMS these tiny tables instead of rescanning
+  postings,
+- ``shingles/batch_id=N/``     (doc_id, sh): the verification sets,
+- ``counts/batch_id=N/``       (n): batch doc counts, written LAST so
+  a batch's presence here means its other partitions are complete;
+  corpus size is their sum — metadata has no read-modify-write,
+- ``stoplist/``  (s): the FROZEN set of too-common (boilerplate)
   shingles to EXCLUDE — a stop list, not an allow list, so a batch
   carrying novel vocabulary is still signable (novel shingles are by
-  definition not yet boilerplate; an allow list would make novel-content
-  batches invisible until the next refit — caught by
+  definition not yet boilerplate; an allow list would make
+  novel-content batches invisible until the next refit — caught by
   test_incremental_dedup),
-- ``meta/``       (n_docs, n_since_fit): drift bookkeeping —
+- ``meta/``      (n_fit): docs the stop list was last fit against.
 
-and a batch probe costs O(batch + touched buckets): new docs hash over
+A batch probe costs O(batch + touched buckets): new docs hash over
 everything outside the frozen stop list (same freeze-the-model move as
-IVF's frozen-centroid assignment),
-probe only the band buckets they land in, and verify only surviving
-candidates. The stop list is frozen between refits because a
-per-batch re-prune would re-sign the WHOLE corpus; when appended volume
-crosses ``refit_threshold`` the stop list has drifted from the corpus
-it summarizes and the index rebuilds aside + swaps in (crash window
-healed by operators/compaction.recover_swap, same discipline as the
-IVF rebuild).
+IVF's frozen-centroid assignment), probe only the band buckets they
+land in, and verify only surviving candidates. The stop list is frozen
+between refits because a per-batch re-prune would re-sign the WHOLE
+corpus; when docs added since the fit exceed ``refit_threshold`` of
+the corpus the stop list has drifted and the index rebuilds aside +
+swaps in (crash window healed by operators/compaction.recover_swap,
+same discipline as the IVF rebuild).
 
 Hashing is the portable md5 family (functions/text.minhash_hashes), so
 the registered relational twin ``incremental_dedup_pairs``
@@ -43,7 +52,7 @@ import math
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.functions import text as T
@@ -90,6 +99,34 @@ def _sign_excluding(shex: DataFrame, stop: DataFrame) -> DataFrame:
     )
 
 
+def _write_batch(path: str, batch_id: int, shset: DataFrame, stop: DataFrame) -> int:
+    """Write one batch's partitions (postings, bucket_sizes, shingles,
+    then counts LAST as the completion marker) by OVERWRITING its own
+    ``batch_id=N`` directories — the idempotence that makes replays and
+    half-written appends converge. Returns the batch's doc count."""
+    spark = shset.sparkSession
+    shset = shset.persist()
+    n = shset.count()
+    shex = shset.select("doc_id", F.explode("sh").alias("s"))
+    sig = _sign_excluding(shex, stop)
+    post = sig.select("doc_id", F.explode(_band_keys_col()).alias("bk")).select(
+        "bk", "doc_id"
+    ).persist()
+    post.write.mode("overwrite").parquet(f"{path}/postings/batch_id={batch_id}")
+    post.groupBy("bk").agg(F.count("*").alias("n")).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/bucket_sizes/batch_id={batch_id}")
+    shset.select("doc_id", "sh").write.mode("overwrite").parquet(
+        f"{path}/shingles/batch_id={batch_id}"
+    )
+    spark.createDataFrame([(n,)], "n long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/counts/batch_id={batch_id}")
+    post.unpersist()
+    shset.unpersist()
+    return n
+
+
 def build_minhash_index(
     docs: DataFrame,
     path: str,
@@ -97,9 +134,10 @@ def build_minhash_index(
     max_df: int = MAX_DF,
     max_df_frac: float = MAX_DF_FRAC,
 ) -> int:
-    """Build the persisted index over ``docs``; returns n_docs indexed.
-    The DF prune uses the same relative cap as the batch family:
-    ``max(max_df, ceil(max_df_frac·n_docs))``."""
+    """Build the index over ``docs`` as batch 0; returns n_docs indexed.
+    The DF stop list uses the same relative cap as the batch family:
+    shingles in more than ``max(max_df, ceil(max_df_frac·n_docs))``
+    docs are excluded."""
     spark = docs.sparkSession
     shset = _shingled(docs, text_col).persist()
     n_docs = shset.count()
@@ -115,20 +153,26 @@ def build_minhash_index(
     stop.write.mode("overwrite").parquet(f"{path}/stoplist")
     stop = spark.read.parquet(f"{path}/stoplist")  # re-read: frozen on disk
 
-    sig = _sign_excluding(shex, stop)
-    postings = sig.select("doc_id", F.explode(_band_keys_col()).alias("bk")).select(
-        "bk", "doc_id"
-    )
-    postings.write.mode("overwrite").parquet(f"{path}/postings")
-    spark.read.parquet(f"{path}/postings").groupBy("bk").agg(
-        F.count("*").alias("n")
-    ).write.mode("overwrite").parquet(f"{path}/bucket_sizes")
-    shset.select("doc_id", "sh").write.mode("overwrite").parquet(f"{path}/shingles")
-    spark.createDataFrame(
-        [(n_docs, 0)], "n_docs long, n_since_fit long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_batch(path, 0, shset, stop)
+    spark.createDataFrame([(n_docs,)], "n_fit long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
     shset.unpersist()
     return n_docs
+
+
+def index_doc_count(spark, path: str) -> int:
+    return spark.read.parquet(f"{path}/counts").agg(F.sum("n")).collect()[0][0]
+
+
+def committed_batches(spark, path: str) -> set[int]:
+    """Batch ids whose counts partition is live — counts is written LAST
+    per batch, so presence means the batch's partitions are complete."""
+    return {
+        r.batch_id
+        for r in spark.read.parquet(f"{path}/counts")
+        .select("batch_id").distinct().collect()
+    }
 
 
 def incremental_dup_pairs(
@@ -137,23 +181,39 @@ def incremental_dup_pairs(
     text_col: str = "text",
     jaccard_threshold: float = JACCARD_THRESHOLD,
     max_bucket: int = MAX_BUCKET,
+    exclude_batch_id: int | None = None,
 ) -> DataFrame:
     """Verified near-dup pairs INVOLVING the new batch — (d1, d2,
     jaccard) with d1 < d2, covering new×indexed and new×new. Never
     rescans indexed documents' text: old shingle sets come from the
     index, old bucket membership from the postings, and the bucket cap
-    reads the precomputed sizes (combined old+new count per bucket).
+    sums the per-batch size tables (combined old+new count per bucket).
+
+    ``exclude_batch_id`` drops that ingest batch from the "old" side —
+    the streaming bridge passes the current batch_id so a replay AFTER
+    its append still computes the identical pair set (the batch never
+    sees itself as already indexed).
+
+    Contract: batch doc_ids are DISJOINT from indexed ones (an id
+    re-appearing is an upsert, not an append — out of scope here).
 
     Scale shape: new docs hash over everything outside the frozen stop
-    list (anti-join by shingle — stop-list-sized side), the probe
-    join is keyed on bk and touches only buckets the batch lands in,
-    and verification is candidate-bounded. Nothing scales with corpus
-    size except the bk/doc_id-keyed joins Spark shuffles by key."""
+    list (anti-join by shingle — stop-list-sized side), the probe join
+    is keyed on bk and touches only buckets the batch lands in, and
+    verification is candidate-bounded. Nothing scales with corpus size
+    except the bk/doc_id-keyed joins Spark shuffles by key."""
     spark = new_docs.sparkSession
     stop = spark.read.parquet(f"{path}/stoplist")
     old_post = spark.read.parquet(f"{path}/postings")
     old_bsz = spark.read.parquet(f"{path}/bucket_sizes")
     old_sh = spark.read.parquet(f"{path}/shingles")
+    if exclude_batch_id is not None:
+        old_post = old_post.filter(F.col("batch_id") != exclude_batch_id)
+        old_bsz = old_bsz.filter(F.col("batch_id") != exclude_batch_id)
+        old_sh = old_sh.filter(F.col("batch_id") != exclude_batch_id)
+    old_post = old_post.select("bk", "doc_id")
+    old_bsz = old_bsz.groupBy("bk").agg(F.sum("n").alias("n"))
+    old_sh = old_sh.select("doc_id", "sh")
 
     new_shset = _shingled(new_docs, text_col).persist()
     shex = new_shset.select("doc_id", F.explode("sh").alias("s"))
@@ -187,9 +247,6 @@ def incremental_dup_pairs(
     )
     cand = cross.filter(F.col("d1") != F.col("d2")).unionByName(within).distinct()
 
-    # contract: batch doc_ids are DISJOINT from indexed ones (an id
-    # re-appearing is an upsert, not an append — out of scope here), so
-    # the union has exactly one shingle row per doc_id
     shs = old_sh.unionByName(new_shset)
     s1 = shs.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shs.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
@@ -206,62 +263,34 @@ def incremental_dup_pairs(
 def append_to_minhash_index(
     path: str,
     new_docs: DataFrame,
+    batch_id: int | None = None,
     text_col: str = "text",
     refit_threshold: float = REFIT_THRESHOLD,
 ) -> tuple[int, bool]:
-    """Fold the batch into the index: append postings/shingles under the
-    FROZEN vocabulary, merge bucket sizes, bump meta. When docs added
-    since the last (re)fit exceed ``refit_threshold`` of the corpus,
-    rebuild the whole index aside (fresh DF prune over the grown corpus)
-    and swap it in. Returns ``(n_appended, refit_performed)``."""
+    """Fold a batch into the index under the FROZEN stop list. The write
+    is an overwrite of the batch's OWN partition directories, so
+    replaying the same ``batch_id`` (foreachBatch redelivery, crash
+    half-way through) converges instead of double-appending. With
+    ``batch_id=None`` the next free id is used (manual ingest).
+
+    When docs added since the last (re)fit exceed ``refit_threshold``
+    of the corpus, the whole index rebuilds aside from the persisted
+    shingle sets (fresh relative DF prune, consolidated as batch 0) and
+    swaps in. Returns ``(n_appended, refit_performed)``."""
     spark = new_docs.sparkSession
     recover_swap(path.rstrip("/"), _SWAP_SUFFIX)
-    recover_swap(f"{path}/bucket_sizes", _SWAP_SUFFIX)
 
+    if batch_id is None:
+        batch_id = max(committed_batches(spark, path)) + 1
     stop = spark.read.parquet(f"{path}/stoplist")
-    new_shset = _shingled(new_docs, text_col).persist()
-    n_new = new_shset.count()
-    shex = new_shset.select("doc_id", F.explode("sh").alias("s"))
-    sig = _sign_excluding(shex, stop)
-    new_post = sig.select("doc_id", F.explode(_band_keys_col()).alias("bk")).select(
-        "bk", "doc_id"
-    )
-    new_post.persist().count()  # sever lineage from files about to grow
-    new_post.write.mode("append").parquet(f"{path}/postings")
-    new_shset.select("doc_id", "sh").write.mode("append").parquet(f"{path}/shingles")
+    n_new = _write_batch(path, batch_id, _shingled(new_docs, text_col), stop)
 
-    merged_bsz = (
-        spark.read.parquet(f"{path}/bucket_sizes")
-        .unionByName(new_post.groupBy("bk").agg(F.count("*").alias("n")))
-        .groupBy("bk")
-        .agg(F.sum("n").alias("n"))
-    )
-    # bucket_sizes is derived state: rewrite aside + atomic swap so a
-    # crash mid-overwrite can't leave it half-written (the mid-swap
-    # window is healed by the recover_swap at entry). A crash BETWEEN
-    # the postings append and this swap under-counts the batch's
-    # buckets until the next append or rebuild — conservative only in
-    # the cap's favor-of-work direction, never corrupting results
-    # (verification is exact regardless).
-    bsz_tmp = f"{path}/bucket_sizes{_SWAP_SUFFIX}"
-    merged_bsz.write.mode("overwrite").parquet(bsz_tmp)
-    old = f"{path}/bucket_sizes.old"
-    shutil.rmtree(old, ignore_errors=True)
-    os.rename(f"{path}/bucket_sizes", old)
-    os.rename(bsz_tmp, f"{path}/bucket_sizes")
-    shutil.rmtree(old)
-
-    meta = spark.read.parquet(f"{path}/meta").collect()[0]
-    n_docs, n_since = meta.n_docs + n_new, meta.n_since_fit + n_new
-    new_post.unpersist()
-    new_shset.unpersist()
-
-    if n_since / n_docs > refit_threshold:
-        # rebuild from the persisted shingle sets — no document text
-        # rescan; fresh relative DF prune over the grown corpus
+    n_docs = index_doc_count(spark, path)
+    n_fit = spark.read.parquet(f"{path}/meta").collect()[0].n_fit
+    if (n_docs - n_fit) / n_docs > refit_threshold:
         staged = path.rstrip("/") + _SWAP_SUFFIX
         shutil.rmtree(staged, ignore_errors=True)
-        all_sh = spark.read.parquet(f"{path}/shingles")
+        all_sh = spark.read.parquet(f"{path}/shingles").select("doc_id", "sh")
         _rebuild_from_shingles(all_sh, staged)
         oldp = path.rstrip("/") + ".old"
         shutil.rmtree(oldp, ignore_errors=True)
@@ -269,16 +298,13 @@ def append_to_minhash_index(
         os.rename(staged, path)
         shutil.rmtree(oldp)
         return n_new, True
-
-    spark.createDataFrame(
-        [(n_docs, n_since)], "n_docs long, n_since_fit long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
     return n_new, False
 
 
 def _rebuild_from_shingles(shset: DataFrame, path: str) -> None:
     """Full index rebuild from persisted (doc_id, sh) rows — fresh
-    relative DF prune over the grown corpus, no document text needed."""
+    relative DF prune over the grown corpus, consolidated as batch 0.
+    No document text needed."""
     spark = shset.sparkSession
     shset = shset.persist()
     n_docs = shset.count()
@@ -292,16 +318,41 @@ def _rebuild_from_shingles(shset: DataFrame, path: str) -> None:
     )
     stop.write.mode("overwrite").parquet(f"{path}/stoplist")
     stop = spark.read.parquet(f"{path}/stoplist")
-    sig = _sign_excluding(shex, stop)
-    postings = sig.select("doc_id", F.explode(_band_keys_col()).alias("bk")).select(
-        "bk", "doc_id"
-    )
-    postings.write.mode("overwrite").parquet(f"{path}/postings")
-    spark.read.parquet(f"{path}/postings").groupBy("bk").agg(
-        F.count("*").alias("n")
-    ).write.mode("overwrite").parquet(f"{path}/bucket_sizes")
-    shset.write.mode("overwrite").parquet(f"{path}/shingles")
-    spark.createDataFrame(
-        [(n_docs, 0)], "n_docs long, n_since_fit long"
-    ).coalesce(1).write.mode("overwrite").parquet(f"{path}/meta")
+    _write_batch(path, 0, shset, stop)
+    spark.createDataFrame([(n_docs,)], "n_fit long").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/meta")
     shset.unpersist()
+
+
+def run_incremental_dedup_stream(
+    stream: DataFrame,
+    index_path: str,
+    pairs_path: str,
+    text_col: str = "text",
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    checkpoint: str | None = None,
+):
+    """Streaming front for the incremental index: per micro-batch,
+    probe the index for near-dup pairs (emitted under
+    ``pairs_path/batch_id=N/`` — overwrite, so replays converge), then
+    fold the batch into the index. Exactly-once by IDEMPOTENCE, not
+    ledgers: every write in both steps is a partition-scoped overwrite
+    keyed by the Structured Streaming batch_id, and the probe excludes
+    the batch's own id from the index side so a post-append replay
+    computes the identical pair set. Returns the started query."""
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id) + 1  # batch 0 is the build
+        pairs = incremental_dup_pairs(
+            batch_df, index_path, text_col=text_col,
+            jaccard_threshold=jaccard_threshold, exclude_batch_id=bid,
+        )
+        pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={bid}")
+        append_to_minhash_index(index_path, batch_df, batch_id=bid,
+                                text_col=text_col)
+
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

@@ -1,11 +1,14 @@
 """Incremental batch dedup (operators/incremental_dedup.py): the disk
 index must reproduce the registered relational twin row-for-row, appends
-must make earlier batches visible to later probes, the drift refit must
-re-prune the vocabulary, and the swap windows must heal."""
+must make earlier batches visible to later probes AND be idempotent
+under replay/half-written crashes (the partition-overwrite layout), the
+drift refit must re-prune the stop list, and the streaming bridge must
+deliver cross-batch pairs exactly-once."""
 
 from __future__ import annotations
 
 import os
+import shutil
 
 from pyspark.sql import functions as F
 
@@ -15,7 +18,10 @@ from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.operators.incremental_dedup import (
     append_to_minhash_index,
     build_minhash_index,
+    committed_batches,
     incremental_dup_pairs,
+    index_doc_count,
+    run_incremental_dedup_stream,
 )
 from bigdata_processing_spark.queries.dedup import (
     clear_dedup_memos,
@@ -56,7 +62,9 @@ def _mini_corpus(spark, texts_by_id):
 
 def test_append_makes_batch_visible_to_later_probes(spark, tmp_path):
     """A doc appended in batch B must pair with a near-identical doc
-    arriving later in batch C — the cross-batch state is the point."""
+    arriving later in batch C — the cross-batch state is the point.
+    B carries NOVEL vocabulary: the frozen stop list must not make it
+    invisible (stop list, not allow list)."""
     base = {
         i: f"wholly unrelated document number {i} tokens t{i} u{i*3} v{i*7}"
         for i in range(20)
@@ -72,14 +80,15 @@ def test_append_makes_batch_visible_to_later_probes(spark, tmp_path):
 
     n, refit = append_to_minhash_index(idx, _mini_corpus(spark, b_doc))
     assert (n, refit) == (1, False)
+    assert committed_batches(spark, idx) == {0, 1}
     after = incremental_dup_pairs(_mini_corpus(spark, c_doc), idx).collect()
     assert [(r.d1, r.d2, r.jaccard) for r in after] == [(100, 200, 1.0)]
 
 
-def test_refit_reprunes_vocabulary(spark, tmp_path):
+def test_refit_reprunes_stop_list(spark, tmp_path):
     """Appending more than refit_threshold of the corpus rebuilds the
-    index with a fresh DF prune; meta resets and the index still
-    answers probes."""
+    index with a fresh DF prune (consolidated as batch 0); the fit
+    marker resets and the index still answers probes."""
     base = {i: f"distinct base doc {i} alpha{i} beta{i*3}" for i in range(10)}
     big = {100 + i: f"distinct new doc {i} gamma{i} delta{i*5}" for i in range(15)}
     idx = os.path.join(str(tmp_path), "mh_index")
@@ -88,34 +97,103 @@ def test_refit_reprunes_vocabulary(spark, tmp_path):
         idx, _mini_corpus(spark, big), refit_threshold=0.5
     )
     assert (n, refit) == (15, True)
-    meta = spark.read.parquet(os.path.join(idx, "meta")).collect()[0]
-    assert meta.n_docs == 25 and meta.n_since_fit == 0
+    assert index_doc_count(spark, idx) == 25
+    assert spark.read.parquet(os.path.join(idx, "meta")).collect()[0].n_fit == 25
+    assert committed_batches(spark, idx) == {0}  # consolidated
     probe = {300: "distinct new doc 3 gamma3 delta15"}  # clone of id 103
     got = incremental_dup_pairs(_mini_corpus(spark, probe), idx).collect()
     assert [(r.d1, r.d2, r.jaccard) for r in got] == [(103, 300, 1.0)]
 
 
-def test_append_crash_window_heals(spark, tmp_path):
-    """A crash between rename(bucket_sizes→old) and rename(tmp→live)
-    leaves the sizes parked; the next append heals and the cap still
-    sees correct combined counts."""
-    import shutil
-
-    base = {i: f"crash test doc {i} w{i} x{i*2} y{i*3}" for i in range(8)}
+def test_append_replay_and_half_write_converge(spark, tmp_path):
+    """The partition-overwrite layout makes appends idempotent: a full
+    replay of the same batch_id, and a replay after a crash that left
+    only SOME of the batch's partitions written, both converge to the
+    single-copy state (no double-append, cap counts correct)."""
+    base = {i: f"replay test doc {i} w{i} x{i*2} y{i*3}" for i in range(8)}
     idx = os.path.join(str(tmp_path), "mh_index")
     build_minhash_index(_mini_corpus(spark, base), idx)
-    bsz = os.path.join(idx, "bucket_sizes")
-    os.rename(bsz, bsz + ".old")  # simulate the crash window
-    shutil.copytree(bsz + ".old", bsz + ".rebuild")  # orphaned scratch
-    n, refit = append_to_minhash_index(
-        idx, _mini_corpus(spark, {500: "crash test doc 3 w3 x6 y9"})
-    )
-    assert n == 1 and not refit
-    assert os.path.isdir(bsz)
-    assert not os.path.isdir(bsz + ".old") and not os.path.isdir(bsz + ".rebuild")
-    # the healed index still finds the planted clone of doc 3
+    batch = _mini_corpus(spark, {500: "replay test doc 3 w3 x6 y9"})
+
+    append_to_minhash_index(idx, batch, batch_id=1)
+    postings_once = spark.read.parquet(f"{idx}/postings").count()
+
+    # full replay of the same batch_id: byte-identical state, no growth
+    append_to_minhash_index(idx, batch, batch_id=1)
+    assert spark.read.parquet(f"{idx}/postings").count() == postings_once
+    assert index_doc_count(spark, idx) == 9
+
+    # crash half-way: counts+shingles of the batch lost, postings kept
+    shutil.rmtree(f"{idx}/counts/batch_id=1")
+    shutil.rmtree(f"{idx}/shingles/batch_id=1")
+    assert committed_batches(spark, idx) == {0}  # marker gone -> uncommitted
+    append_to_minhash_index(idx, batch, batch_id=1)  # replay heals
+    assert spark.read.parquet(f"{idx}/postings").count() == postings_once
+    assert committed_batches(spark, idx) == {0, 1}
     got = incremental_dup_pairs(
-        _mini_corpus(spark, {600: "crash test doc 3 w3 x6 y9"}), idx
+        _mini_corpus(spark, {600: "replay test doc 3 w3 x6 y9"}), idx
     ).collect()
-    assert (3, 600) in {(r.d1, r.d2) for r in got}
-    assert (500, 600) in {(r.d1, r.d2) for r in got}  # appended batch visible
+    assert {(r.d1, r.d2) for r in got} == {(3, 600), (500, 600)}
+
+
+def test_streaming_bridge_exactly_once_pairs(spark, tmp_path):
+    """Two arrival waves through run_incremental_dedup_stream: wave-1
+    finds its within-batch pair, wave-2 finds its cross-batch partner
+    from wave 1, the index ends holding every batch, and re-running the
+    wave-2 step (simulated redelivery) leaves pairs byte-identical —
+    the probe excludes the batch's own id so post-append replays agree."""
+    base = {i: f"stream base doc {i} p{i} q{i*2} r{i*3}" for i in range(10)}
+    idx = os.path.join(str(tmp_path), "mh_index")
+    pairs = os.path.join(str(tmp_path), "pairs")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+
+    w0 = {100: "streaming wave copy alpha beta gamma delta epsilon",
+          101: "streaming wave copy alpha beta gamma delta epsilon"}
+    w1 = {200: "streaming wave copy alpha beta gamma delta epsilon"}
+    stage = os.path.join(str(tmp_path), "arrivals")
+    _mini_corpus(spark, w0).coalesce(1).write.parquet(os.path.join(stage, "w0"))
+    _mini_corpus(spark, w1).coalesce(1).write.parquet(os.path.join(stage, "w1"))
+
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(stage)
+    )
+    q = run_incremental_dedup_stream(
+        stream, idx, pairs,
+        checkpoint=os.path.join(str(tmp_path), "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.d1, r.d2)
+        for r in spark.read.parquet(pairs).select("d1", "d2").collect()
+    }
+    # the two waves may land as one or two micro-batches; either way the
+    # within-wave pair and (if split) the cross-batch pair must be found
+    assert (100, 101) in got
+    assert (100, 200) in got and (101, 200) in got
+    assert index_doc_count(spark, idx) == 13
+
+    # simulated redelivery of the LAST batch after its append: identical
+    last_bid = max(committed_batches(spark, idx))
+    before = sorted(
+        tuple(r) for r in spark.read.parquet(pairs).collect()
+    )
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        incremental_dup_pairs as probe,
+    )
+    last_docs = (
+        spark.read.parquet(f"{idx}/shingles/batch_id={last_bid}")
+        .select("doc_id").collect()
+    )
+    redelivered = _mini_corpus(
+        spark, {r.doc_id: (w0 | w1)[r.doc_id] for r in last_docs}
+    )
+    p = probe(redelivered, idx, exclude_batch_id=last_bid)
+    p.write.mode("overwrite").parquet(f"{pairs}/batch_id={last_bid}")
+    append_to_minhash_index(idx, redelivered, batch_id=last_bid)
+    after = sorted(tuple(r) for r in spark.read.parquet(pairs).collect())
+    assert after == before
+    assert index_doc_count(spark, idx) == 13
