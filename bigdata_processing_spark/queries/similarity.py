@@ -1240,7 +1240,7 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         # empty corpus/partition: no codebook can exist — degrade to an
         # empty result with the contract schema instead of indexing []
         return spark.createDataFrame(
-            [], "qid bigint, cid bigint, adc_cos double, rn int"
+            [], "qid bigint, cid bigint, adc_cos double, rn bigint"
         )
     codebook = [
         [c[PQ_SUB * m: PQ_SUB * (m + 1)] for c in seeds] for m in range(PQ_M)
@@ -1258,7 +1258,7 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
     return (
         joined.select("qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos"))
-        .withColumn("rn", F.row_number().over(w))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
         .filter(F.col("rn") <= 5)
         .orderBy("qid", "rn")
     )
