@@ -287,7 +287,7 @@ def append_to_minhash_index(
 
     n_docs = index_doc_count(spark, path)
     n_fit = spark.read.parquet(f"{path}/meta").collect()[0].n_fit
-    if (n_docs - n_fit) / n_docs > refit_threshold:
+    if n_docs > 0 and (n_docs - n_fit) / n_docs > refit_threshold:
         staged = path.rstrip("/") + _SWAP_SUFFIX
         shutil.rmtree(staged, ignore_errors=True)
         all_sh = spark.read.parquet(f"{path}/shingles").select("doc_id", "sh")

@@ -197,3 +197,35 @@ def test_streaming_bridge_exactly_once_pairs(spark, tmp_path):
     after = sorted(tuple(r) for r in spark.read.parquet(pairs).collect())
     assert after == before
     assert index_doc_count(spark, idx) == 13
+
+
+def test_edge_cases_empty_and_boilerplate_batches(spark, tmp_path):
+    """Empty probe batches return empty; a batch made ENTIRELY of
+    boilerplate (every shingle on the stop list) is unprobeable by
+    design — no signature, no buckets, empty result — but still appends
+    cleanly (its shingles are kept for future verification); an empty
+    index accepts appends without dividing by zero in the refit check."""
+    hot = "the common template " * 5
+    base = {i: hot for i in range(30)} | {
+        100 + i: f"rare doc {i} zz{i} yy{i*3}" for i in range(5)
+    }
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx, max_df=10)
+
+    # empty batch
+    empty = _mini_corpus(spark, {})
+    assert incremental_dup_pairs(empty, idx).count() == 0
+    n, refit = append_to_minhash_index(idx, empty, batch_id=1)
+    assert (n, refit) == (0, False)
+
+    # all-boilerplate batch: stop-listed shingles only -> unprobeable
+    boiler = _mini_corpus(spark, {500: hot})
+    assert incremental_dup_pairs(boiler, idx).count() == 0
+    n, refit = append_to_minhash_index(idx, boiler, batch_id=2)
+    assert n == 1 and not refit
+
+    # empty index: build on zero docs, append without ZeroDivisionError
+    idx0 = os.path.join(str(tmp_path), "mh_empty")
+    assert build_minhash_index(_mini_corpus(spark, {}), idx0) == 0
+    n, refit = append_to_minhash_index(idx0, empty, batch_id=1)
+    assert (n, refit) == (0, False)
