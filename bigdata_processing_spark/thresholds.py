@@ -63,7 +63,14 @@ WIN_W = 4            # winnowing window (in grams)
 # guarantee: any shared token run of length >= WIN_W + WIN_K - 1 (= 6
 # tokens) shares at least one selected fingerprint
 WIN_MIN_SHARED = 2   # doc pairs reported at >= this many shared fingerprints
-WIN_MAX_DF = MAX_DF  # fingerprints in more docs than this are boilerplate
+# Deliberately ABSOLUTE (unlike the signature DF prune): a fingerprint's
+# df IS its pair-expansion bucket size (df² pairs), so this is the
+# MAX_BUCKET analogue — a pair-work bound, not a signability filter.
+# Pruning an fp only drops that fp's pair contributions (docs stay
+# discoverable via their other fingerprints); fps shared by larger
+# clone families fall to exact dedup, the same division of labor the
+# LSH bucket cap encodes.
+WIN_MAX_DF = MAX_DF  # fingerprints in more docs than this are skipped
 
 
 def edit_len_gap_mult(threshold: float) -> int:
