@@ -174,3 +174,87 @@ def cms_state_estimates(
     if cells is None:
         raise FileNotFoundError(f"no CMS state committed at {state_path}")
     return cms_estimates_from_cells(cells, key, probes, depth, width)
+
+
+# ---------------------------------------------------------------------------
+# Streaming bottom-k sample: the quantile sketch's streaming form.
+# Unlike the CMS (additive counters — replay double-counts without the
+# atomic ledger above), the bottom-k merge is a SET operation: union
+# the stored sample with the batch's sample and re-cut to the k
+# smallest hashes. Merging the same batch twice is a no-op (set union
+# is idempotent), so exactly-once needs NO ledger at all — only the
+# staged swap that keeps readers off half-written state. State is
+# ≤ k rows per group forever, any stream length or cardinality.
+# ---------------------------------------------------------------------------
+
+
+def bottomk_merge_batch(
+    state_path: str,
+    batch: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    k: int = 256,
+) -> None:
+    """Merge one micro-batch into the persisted per-group bottom-k
+    sample (rows keep their input columns). Idempotent: replaying a
+    batch unions rows already in the sample and the re-cut returns the
+    identical state."""
+    from bigdata_processing_spark.operators.sketches import bottomk_sample
+
+    spark = batch.sparkSession
+    cells = _cells_path(state_path)
+    recover_swap(cells, _SWAP_SUFFIX)
+    new = bottomk_sample(batch, id_col, group_cols, k)
+    if os.path.isdir(cells):
+        state = spark.read.parquet(cells)
+        # distinct: replayed rows appear in both operands; the id hash
+        # makes re-cutting the union exact (see operators/sketches)
+        new = bottomk_sample(
+            state.unionByName(new).distinct(), id_col, group_cols, k
+        )
+    tmp = cells + _SWAP_SUFFIX
+    old = cells + ".old"
+    new.write.mode("overwrite").parquet(tmp)
+    if os.path.isdir(cells):
+        import shutil
+
+        shutil.rmtree(old, ignore_errors=True)
+        os.rename(cells, old)
+        os.rename(tmp, cells)
+        shutil.rmtree(old)
+    else:
+        os.makedirs(state_path, exist_ok=True)
+        os.rename(tmp, cells)
+
+
+def read_bottomk_state(spark: SparkSession, state_path: str) -> DataFrame | None:
+    cells = _cells_path(state_path)
+    if not os.path.isdir(cells):
+        return None
+    return spark.read.parquet(cells)
+
+
+def run_bottomk_stream(
+    stream: DataFrame,
+    state_path: str,
+    id_col: str,
+    group_cols: list[str],
+    k: int = 256,
+    checkpoint: str | None = None,
+):
+    """Wire a stream into the bottom-k sample state via foreachBatch;
+    returns the started query. Estimates over the state (quantiles,
+    means, any statistic) equal estimates over a batch sample of the
+    same rows — the md5 bottom-k picks identical rows regardless of
+    how they arrived (test_streaming_sketches parity)."""
+    writer = (
+        stream.writeStream.foreachBatch(
+            lambda df, bid: bottomk_merge_batch(
+                state_path, df, id_col, group_cols, k
+            )
+        )
+        .trigger(availableNow=True)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()

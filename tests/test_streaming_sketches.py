@@ -142,3 +142,50 @@ def test_streaming_cms_crash_window_recovery(spark, tmp_path):
     cms_merge_batch(state, events, 1, "user_id")
     total = read_cms_state(spark, state).agg(F.sum("c")).collect()[0][0]
     assert total == 2 * events.count() * 3  # both batches, depth=3 rows each
+
+
+def test_streaming_bottomk_parity_and_idempotent_replay(spark, tmp_path):
+    """The streamed bottom-k sample equals the batch sample of the same
+    rows (the md5 hash picks identical rows however they arrived), and
+    re-merging a batch is a no-op — set-union idempotence is the
+    exactly-once mechanism, no ledger involved."""
+    from bigdata_processing_spark.operators.sketches import bottomk_sample
+    from bigdata_processing_spark.streaming.sketches import (
+        bottomk_merge_batch,
+        read_bottomk_state,
+        run_bottomk_stream,
+    )
+
+    stage, events = _staged_events(spark, tmp_path)
+    state = os.path.join(str(tmp_path), "bk_state")
+    stream = (
+        spark.readStream.schema("event_id bigint, user_id bigint")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(stage)
+    )
+    q = run_bottomk_stream(
+        stream, state, id_col="event_id", group_cols=["user_id"], k=8,
+        checkpoint=os.path.join(str(tmp_path), "ckpt"),
+    )
+    q.awaitTermination()
+
+    got = {
+        (r.user_id, r.event_id)
+        for r in read_bottomk_state(spark, state).collect()
+    }
+    want = {
+        (r.user_id, r.event_id)
+        for r in bottomk_sample(events, "event_id", ["user_id"], k=8).collect()
+    }
+    assert got == want
+
+    # replaying an arbitrary slice of already-merged rows: state unchanged
+    bottomk_merge_batch(
+        state, events.limit(50), id_col="event_id",
+        group_cols=["user_id"], k=8,
+    )
+    after = {
+        (r.user_id, r.event_id)
+        for r in read_bottomk_state(spark, state).collect()
+    }
+    assert after == got
