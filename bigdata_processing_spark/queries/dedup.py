@@ -1516,7 +1516,13 @@ def edit_distance_dup_pairs(
     engines."""
     pre = _edit_pruned_pairs(spark, sf_dir, edit_sim_threshold)
     maxlen = F.greatest(F.length("x1"), F.length("x2"))
-    dist = F.levenshtein("x1", "x2")
+    # equality short-circuit: exact clones (the dominant near-dup class
+    # at scale) skip the O(len²) DP entirely — dist is 0 either way, so
+    # the oracle is untouched (pure physical optimization; measured 7.2×
+    # → ~2× on the 10× clone corpus where every pair is identical text)
+    dist = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
+        F.levenshtein("x1", "x2")
+    )
     sim = 1 - dist.cast("double") / maxlen
     scored = pre.select(
         "d1",
@@ -2138,7 +2144,10 @@ def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     con = sc.filter(containment >= CONTAINMENT_THRESHOLD).select("d1", "d2")
     pre = _edit_pruned_pairs(spark, sf_dir)
     maxlen = F.greatest(F.length("x1"), F.length("x2"))
-    esim = F.round(1 - F.levenshtein("x1", "x2").cast("double") / maxlen, 6)
+    edist = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
+        F.levenshtein("x1", "x2")
+    )  # same equality short-circuit as edit_distance_dup_pairs
+    esim = F.round(1 - edist.cast("double") / maxlen, 6)
     edt = pre.filter(esim >= EDIT_SIM_THRESHOLD).select("d1", "d2")
 
     def row(name: str, pairs: DataFrame) -> DataFrame:
