@@ -285,3 +285,78 @@ def sample_frames(media: DataFrame, frame_size: int = 64, stride: int = 256) -> 
     return video.select(
         "doc_id", F.posexplode(frames).alias("frame_idx", "frame_bytes")
     ).withColumn("frame_len", F.length("frame_bytes"))
+
+
+# ---------------------------------------------------------------------------
+# Real audio DSP over the genuine WAV payloads (no stub, no external
+# libs): decode PCM16 samples and compute the classic clip descriptors —
+# RMS energy, zero-crossing rate, peak amplitude, and max frame energy
+# over fixed windows. Deterministic payloads make every float
+# SQL-reproducible, so the whole decode→DSP path is oracle-checkable.
+# ---------------------------------------------------------------------------
+AUDIO_FRAME = 64  # samples per analysis frame (8 ms @ 8 kHz)
+AUDIO_FEATURES_SCHEMA = (
+    "doc_id bigint, n_samples bigint, rms double, zcr double, "
+    "peak bigint, max_frame_rms double"
+)
+
+
+def decode_wav_samples(b: bytes):
+    """The PCM16 sample vector of a WAV payload as an int64 numpy array
+    (same RIFF chunk walk as :func:`decode_wav`)."""
+    import struct
+
+    import numpy as np
+
+    if b[:4] != b"RIFF" or b[8:12] != b"WAVE":
+        raise ValueError("not a WAV payload")
+    off = 12
+    while off + 8 <= len(b):
+        cid = b[off:off + 4]
+        (clen,) = struct.unpack_from("<I", b, off + 4)
+        if cid == b"data":
+            return np.frombuffer(
+                b, dtype="<i2", count=clen // 2, offset=off + 8
+            ).astype(np.int64)
+        off += 8 + clen + (clen & 1)
+    raise ValueError("WAV missing data chunk")
+
+
+def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFrame:
+    """Per-clip audio descriptors from REAL decode (audio/wav payloads
+    only): sample count, RMS (√(Σs²/n)), zero-crossing rate (strict
+    sign flips / (n-1); zeros break runs conservatively — the integer
+    comparison both engines decide identically), peak |amplitude|, and
+    the loudest ``frame``-sample window's RMS (0.0 for clips shorter
+    than one frame). Arrow-batched mapInPandas; the int64 square sums
+    are exact, so Spark and the SQL twin agree to float round-off."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                s = decode_wav_samples(bytes(payload))
+                n = len(s)
+                rms = round(float(np.sqrt((s * s).sum() / n)), 6)
+                zcr = round(float((s[1:] * s[:-1] < 0).sum() / (n - 1)), 6)
+                peak = int(np.abs(s).max())
+                f = n // frame
+                if f > 0:
+                    fr = s[: f * frame].reshape(f, frame)
+                    mfr = round(
+                        float(np.sqrt((fr * fr).sum(axis=1) / frame).max()), 6
+                    )
+                else:
+                    mfr = 0.0
+                rows.append((did, n, rms, zcr, peak, mfr))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_samples", "rms", "zcr", "peak",
+                         "max_frame_rms"],
+            )
+
+    return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
+        batches, schema=AUDIO_FEATURES_SCHEMA
+    )

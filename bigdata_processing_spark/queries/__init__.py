@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_dedup_pairs",
     "quantile_sketch_audit",
     "hard_negative_probe_sweep",
+    "audio_feature_stats",
     "minhash_unguarded_dup_pairs",
     "minhash_lsh_dup_pairs",
     "dup_clusters",

@@ -203,3 +203,69 @@ def multimodal_real_codec(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n_bytes").cast("long").alias("n_bytes"),
         "checksum",
     ).orderBy("doc_id")
+
+
+@register(
+    "audio_feature_stats",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, doc_id % 256 + 16 AS ns
+            FROM documents WHERE doc_id % 2 = 1 AND doc_id < 120
+        ),
+        ks AS (SELECT range AS k FROM range(272)),
+        samp AS (
+            SELECT m.doc_id, ks.k,
+                   ((m.doc_id * 31 + ks.k * 17) % 65536 - 32768) AS s,
+                   m.ns
+            FROM m JOIN ks ON ks.k < m.ns
+        ),
+        lagd AS (
+            SELECT doc_id, k, s, ns,
+                   lag(s) OVER (PARTITION BY doc_id ORDER BY k) AS sp
+            FROM samp
+        ),
+        clip AS (
+            SELECT doc_id,
+                   CAST(max(ns) AS BIGINT) AS n_samples,
+                   round(sqrt(sum(s * s)::DOUBLE / max(ns)), 6) AS rms,
+                   round(sum(CASE WHEN sp IS NOT NULL AND s * sp < 0
+                                  THEN 1 ELSE 0 END)::DOUBLE / (max(ns) - 1), 6)
+                       AS zcr,
+                   CAST(max(abs(s)) AS BIGINT) AS peak
+            FROM lagd GROUP BY doc_id
+        ),
+        fr AS (
+            SELECT doc_id, k // 64 AS fidx,
+                   sqrt(sum(s * s)::DOUBLE / 64) AS frms
+            FROM samp WHERE k < (ns // 64) * 64
+            GROUP BY doc_id, k // 64
+        ),
+        fmax AS (
+            SELECT doc_id, round(max(frms), 6) AS max_frame_rms
+            FROM fr GROUP BY doc_id
+        )
+        SELECT c.doc_id AS doc_id, n_samples, rms, zcr, peak,
+               coalesce(f.max_frame_rms, 0.0) AS max_frame_rms
+        FROM clip c LEFT JOIN fmax f ON c.doc_id = f.doc_id
+        ORDER BY doc_id
+    """,
+)
+def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio DSP over genuine WAV files: encode (valid RIFF/PCM16),
+    decode the sample vectors back, and compute RMS energy,
+    zero-crossing rate, peak amplitude, and loudest-64-sample-frame RMS
+    per clip — the feature-extraction stage of an audio data pipeline,
+    lib-free and end-to-end. Payload samples are closed-form in doc_id,
+    so the oracle re-derives every float by SQL arithmetic alone (the
+    int64 square sums are exact in both engines; floats agree to
+    round-off)."""
+    from bigdata_processing_spark.operators.multimodal import (
+        attach_encoded_media,
+        audio_frame_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 2 == 1)
+    )
+    feats = audio_frame_features(attach_encoded_media(docs))
+    return feats.orderBy("doc_id")
