@@ -360,3 +360,62 @@ def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFram
     return media.filter(F.col("media_type") == "audio/wav").mapInPandas(
         batches, schema=AUDIO_FEATURES_SCHEMA
     )
+
+
+# ---------------------------------------------------------------------------
+# Real image statistics over the genuine BMP payloads — the image
+# sibling of audio_frame_features: decode pixel bytes and compute
+# brightness and horizontal-gradient descriptors, all integer-exact.
+# ---------------------------------------------------------------------------
+IMAGE_FEATURES_SCHEMA = (
+    "doc_id bigint, width bigint, height bigint, n_px_bytes bigint, "
+    "mean_byte double, max_byte bigint, grad_energy bigint"
+)
+
+
+def decode_bmp_pixels(b: bytes):
+    """The un-padded pixel byte matrix (h × w·3 uint8 → int64 numpy)
+    of a 24bpp BMP — same header walk as :func:`decode_bmp`."""
+    import struct
+
+    import numpy as np
+
+    if b[:2] != b"BM":
+        raise ValueError("not a BMP payload")
+    off = struct.unpack_from("<I", b, 10)[0]
+    w, h = struct.unpack_from("<ii", b, 18)
+    row_size = (w * 3 + 3) & ~3
+    rows = np.frombuffer(b, dtype=np.uint8, count=row_size * abs(h), offset=off)
+    return rows.reshape(abs(h), row_size)[:, : w * 3].astype(np.int64)
+
+
+def image_pixel_features(media: DataFrame) -> DataFrame:
+    """Per-image descriptors from REAL decode (image/bmp payloads only):
+    dimensions, mean/max pixel byte, and horizontal gradient energy
+    (Σ|p[x+1 px] − p[x]| within rows, per channel) — the
+    brightness/edge screens an image curation pipeline runs before
+    anything learned. Integer sums are exact, so the SQL twin re-derives
+    every value from the closed-form payload arithmetic."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf["doc_id"], pdf["payload"]):
+                px = decode_bmp_pixels(bytes(payload))
+                h, w3 = px.shape
+                grad = int(np.abs(px[:, 3:] - px[:, :-3]).sum())
+                rows.append((
+                    did, w3 // 3, h, h * w3,
+                    round(float(px.mean()), 6), int(px.max()), grad,
+                ))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "n_px_bytes",
+                         "mean_byte", "max_byte", "grad_energy"],
+            )
+
+    return media.filter(F.col("media_type") == "image/bmp").mapInPandas(
+        batches, schema=IMAGE_FEATURES_SCHEMA
+    )

@@ -70,6 +70,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "quantile_sketch_audit",
     "hard_negative_probe_sweep",
     "audio_feature_stats",
+    "image_feature_stats",
     "minhash_unguarded_dup_pairs",
     "minhash_lsh_dup_pairs",
     "dup_clusters",

@@ -269,3 +269,56 @@ def audio_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     feats = audio_frame_features(attach_encoded_media(docs))
     return feats.orderBy("doc_id")
+
+
+@register(
+    "image_feature_stats",
+    oracle="""
+        WITH m AS (
+            SELECT doc_id, doc_id % 16 + 1 AS w, doc_id % 12 + 1 AS h
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id < 120
+        ),
+        ks AS (SELECT range AS k FROM range(576)),
+        px AS (
+            SELECT m.doc_id, ks.k, (m.doc_id * 7 + ks.k * 13) % 256 AS p,
+                   m.w, m.h
+            FROM m JOIN ks ON ks.k < m.w * m.h * 3
+        ),
+        clip AS (
+            SELECT doc_id,
+                   CAST(max(w) AS BIGINT) AS width,
+                   CAST(max(h) AS BIGINT) AS height,
+                   count(*) AS n_px_bytes,
+                   round(avg(p), 6) AS mean_byte,
+                   CAST(max(p) AS BIGINT) AS max_byte
+            FROM px GROUP BY doc_id
+        ),
+        grad AS (
+            SELECT doc_id,
+                   CAST(sum(abs(((doc_id * 7 + (k + 3) * 13) % 256) - p))
+                        AS BIGINT) AS grad_energy
+            FROM px
+            WHERE (k % (w * 3)) < w * 3 - 3
+            GROUP BY doc_id
+        )
+        SELECT c.doc_id AS doc_id, width, height, n_px_bytes, mean_byte,
+               max_byte, coalesce(g.grad_energy, 0) AS grad_energy
+        FROM clip c LEFT JOIN grad g ON c.doc_id = g.doc_id
+        ORDER BY doc_id
+    """,
+)
+def image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL image statistics over genuine BMP files: encode, decode the
+    un-padded pixel matrix back, and compute brightness (mean/max byte)
+    and horizontal gradient energy per image — the pre-learned screens
+    of an image curation pipeline, lib-free end-to-end, every value
+    re-derived by the oracle from the closed-form pixel arithmetic."""
+    from bigdata_processing_spark.operators.multimodal import (
+        attach_encoded_media,
+        image_pixel_features,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 2 == 0)
+    )
+    return image_pixel_features(attach_encoded_media(docs)).orderBy("doc_id")
