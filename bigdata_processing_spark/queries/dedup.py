@@ -592,6 +592,7 @@ def minhash_unguarded_dup_pairs(
         ORDER BY d1, d2
     """,
 )
+@_memo_output
 def incremental_dedup_pairs(
     spark: SparkSession, sf_dir: str,
     jaccard_threshold: float = JACCARD_THRESHOLD,
