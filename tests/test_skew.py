@@ -112,3 +112,45 @@ def test_lsh_bucket_cap_bounds_hot_template(spark, tmp_path):
     ex = dedup_exact_summary(spark, sf).collect()[0]
     assert ex.n_removed >= 299
     clear_dedup_memos()
+
+
+def test_relative_df_cap_preserves_recall_at_scale(spark, tmp_path):
+    """The r05 scale bug, pinned: document frequency scales with corpus
+    size, so an ABSOLUTE df cap eventually prunes the whole vocabulary
+    and candidate generation silently returns zero pairs (measured at
+    10x sf0.1 before the fix). This corpus makes every bigram's df land
+    between the absolute floor (40) and the relative cap
+    (ceil(0.08 * 2000) = 160): the production default must still find
+    the planted clone pairs; the absolute-only configuration
+    (max_df_frac=0) must find nothing."""
+    import os
+
+    from bigdata_processing_spark.queries.dedup import (
+        _scored_candidates,
+        _verified_dup_pairs,
+        clear_dedup_memos,
+    )
+
+    # 200 clone families x 10 copies; family f's text is a 6-token
+    # window t_f..t_{f+5} over a 200-token ring, so every bigram is
+    # shared by 5 families = 50 docs: above the 40 floor, below the
+    # 160 relative cap.
+    rows = []
+    for fam in range(200):
+        text = " ".join(f"t{(fam + j) % 200}" for j in range(6))
+        for c in range(10):
+            rows.append((fam * 10 + c, text, "src"))
+    sf = os.path.join(str(tmp_path), "scalesf")
+    spark.createDataFrame(rows, "doc_id bigint, text string, source string") \
+        .write.parquet(os.path.join(sf, "documents.parquet"))
+
+    clear_dedup_memos()
+    # production default (relative cap): clone pairs are found
+    assert _scored_candidates(spark, sf).count() > 0
+    pairs = _verified_dup_pairs(spark, sf).count()
+    assert pairs > 0, "relative DF cap lost all recall on a scaled corpus"
+
+    # absolute-only cap: every bigram (df=50) crosses 40 -> nothing
+    clear_dedup_memos()
+    assert _scored_candidates(spark, sf, max_df_frac=0.0).count() == 0
+    clear_dedup_memos()
