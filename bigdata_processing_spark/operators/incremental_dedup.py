@@ -356,3 +356,37 @@ def run_incremental_dedup_stream(
     if checkpoint:
         writer = writer.option("checkpointLocation", checkpoint)
     return writer.start()
+
+
+def _main() -> None:
+    """CLI: build an index over a fixture corpus's 3/4 split, probe the
+    1/4 batch, print one JSON line per stage — the operational smoke a
+    cluster operator runs before wiring the streaming bridge.
+
+    Usage: ``python -m bigdata_processing_spark.operators.incremental_dedup
+    [sf_dir] [index_path]``."""
+    import json
+    import sys
+    import time
+
+    from bigdata_processing_spark.catalog import load_table
+    from bigdata_processing_spark.session import get_spark
+
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    path = sys.argv[2] if len(sys.argv) > 2 else "/tmp/minhash_index"
+    spark = get_spark("incremental-dedup")
+    spark.sparkContext.setLogLevel("ERROR")
+    docs = load_table(spark, sf_dir, "documents")
+
+    t0 = time.monotonic()
+    n = build_minhash_index(docs.filter(F.col("doc_id") % 4 != 0), path)
+    print(json.dumps({"stage": "build", "docs": n,
+                      "sec": round(time.monotonic() - t0, 2), "path": path}))
+    t0 = time.monotonic()
+    pairs = incremental_dup_pairs(docs.filter(F.col("doc_id") % 4 == 0), path)
+    print(json.dumps({"stage": "probe", "pairs": pairs.count(),
+                      "sec": round(time.monotonic() - t0, 2)}))
+
+
+if __name__ == "__main__":
+    _main()
