@@ -69,6 +69,27 @@ from bigdata_processing_spark.thresholds import (
 REFIT_THRESHOLD = 0.5  # rebuild when appended docs exceed this fraction
 _SWAP_SUFFIX = ".rebuild"
 
+# probe-call persists consumed lazily by callers (the returned pair
+# frame still reads them) — same loose-pool discipline as
+# queries/dedup._LOOSE_PERSISTS. The streaming sink releases after each
+# micro-batch's pairs are materialized; long-lived manual sessions call
+# release_loose_persists() themselves (or let session teardown drop it).
+_LOOSE_PERSISTS: list[DataFrame] = []
+
+
+def release_loose_persists() -> None:
+    """Unpersist every probe-call cache handed out so far. Call after
+    the pair frames returned by :func:`incremental_dup_pairs` have been
+    materialized (written/collected) — without this a per-micro-batch
+    caller accumulates one cached shingle frame per batch for the
+    session's lifetime."""
+    for df in _LOOSE_PERSISTS:
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # a stopped session's cache is already gone
+    _LOOSE_PERSISTS.clear()
+
 
 def _shingled(docs: DataFrame, text_col: str) -> DataFrame:
     return docs.select("doc_id", T.word_shingles(F.col(text_col), 2).alias("sh"))
@@ -216,6 +237,7 @@ def incremental_dup_pairs(
     old_sh = old_sh.select("doc_id", "sh")
 
     new_shset = _shingled(new_docs, text_col).persist()
+    _LOOSE_PERSISTS.append(new_shset)
     shex = new_shset.select("doc_id", F.explode("sh").alias("s"))
     sig = _sign_excluding(shex, stop)
     new_post = sig.select("doc_id", F.explode(_band_keys_col()).alias("bk")).select(
@@ -276,29 +298,57 @@ def append_to_minhash_index(
     When docs added since the last (re)fit exceed ``refit_threshold``
     of the corpus, the whole index rebuilds aside from the persisted
     shingle sets (fresh relative DF prune, consolidated as batch 0) and
-    swaps in. Returns ``(n_appended, refit_performed)``."""
+    swaps in. The refit runs BEFORE this batch's write and folds only
+    batches with id strictly below it: by the time foreachBatch delivers
+    batch N, batches < N are checkpoint-committed, so the fold can never
+    consolidate a batch the stream might still replay. (The old
+    refit-AFTER-append order had a duplication window: fold batch N into
+    batch 0, crash before the streaming checkpoint commits, and the
+    replay rewrites ``batch_id=N`` beside its batch-0 copy — duplicated
+    postings/shingles and doubled probe pairs. With refit-at-start a
+    replay of batch N re-runs the same drift check over the same <N
+    corpus and then overwrites only its own partitions; stale
+    ``batch_id>=N`` partitions from a crashed earlier attempt are
+    excluded from the fold and dropped by the swap.) The refit therefore
+    lags one batch behind the drift crossing. Returns ``(n_appended,
+    refit_performed)``."""
     spark = new_docs.sparkSession
     recover_swap(path.rstrip("/"), _SWAP_SUFFIX)
 
     if batch_id is None:
         batch_id = max(committed_batches(spark, path)) + 1
+    refit = _maybe_refit(spark, path, batch_id, refit_threshold)
     stop = spark.read.parquet(f"{path}/stoplist")
     n_new = _write_batch(path, batch_id, _shingled(new_docs, text_col), stop)
+    return n_new, refit
 
-    n_docs = index_doc_count(spark, path)
+
+def _maybe_refit(spark, path: str, below_batch: int, refit_threshold: float) -> bool:
+    """Rebuild-and-swap the index when the committed corpus (batches
+    with id < ``below_batch`` — see append_to_minhash_index for why the
+    current batch is excluded) has drifted past ``refit_threshold``
+    since the stop list was fit."""
+    counts = spark.read.parquet(f"{path}/counts").filter(
+        F.col("batch_id") < below_batch
+    )
+    n_docs = counts.agg(F.sum("n")).collect()[0][0] or 0
     n_fit = spark.read.parquet(f"{path}/meta").collect()[0].n_fit
-    if n_docs > 0 and (n_docs - n_fit) / n_docs > refit_threshold:
-        staged = path.rstrip("/") + _SWAP_SUFFIX
-        shutil.rmtree(staged, ignore_errors=True)
-        all_sh = spark.read.parquet(f"{path}/shingles").select("doc_id", "sh")
-        _rebuild_from_shingles(all_sh, staged)
-        oldp = path.rstrip("/") + ".old"
-        shutil.rmtree(oldp, ignore_errors=True)
-        os.rename(path, oldp)
-        os.rename(staged, path)
-        shutil.rmtree(oldp)
-        return n_new, True
-    return n_new, False
+    if n_docs <= 0 or (n_docs - n_fit) / n_docs <= refit_threshold:
+        return False
+    staged = path.rstrip("/") + _SWAP_SUFFIX
+    shutil.rmtree(staged, ignore_errors=True)
+    all_sh = (
+        spark.read.parquet(f"{path}/shingles")
+        .filter(F.col("batch_id") < below_batch)
+        .select("doc_id", "sh")
+    )
+    _rebuild_from_shingles(all_sh, staged)
+    oldp = path.rstrip("/") + ".old"
+    shutil.rmtree(oldp, ignore_errors=True)
+    os.rename(path, oldp)
+    os.rename(staged, path)
+    shutil.rmtree(oldp)
+    return True
 
 
 def _rebuild_from_shingles(shset: DataFrame, path: str) -> None:
@@ -351,6 +401,7 @@ def run_incremental_dedup_stream(
         pairs.write.mode("overwrite").parquet(f"{pairs_path}/batch_id={bid}")
         append_to_minhash_index(index_path, batch_df, batch_id=bid,
                                 text_col=text_col)
+        release_loose_persists()  # pairs are on disk; drop the batch cache
 
     writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
     if checkpoint:

@@ -340,7 +340,14 @@ def audio_frame_features(media: DataFrame, frame: int = AUDIO_FRAME) -> DataFram
                 s = decode_wav_samples(bytes(payload))
                 n = len(s)
                 rms = round(float(np.sqrt((s * s).sum() / n)), 6)
-                zcr = round(float((s[1:] * s[:-1] < 0).sum() / (n - 1)), 6)
+                # n > 1 guard: a structurally valid single-sample WAV has
+                # no adjacent pairs — define zcr as 0.0 (the same
+                # short-input convention as max_frame_rms) instead of 0/0
+                zcr = (
+                    round(float((s[1:] * s[:-1] < 0).sum() / (n - 1)), 6)
+                    if n > 1
+                    else 0.0
+                )
                 peak = int(np.abs(s).max())
                 f = n // frame
                 if f > 0:

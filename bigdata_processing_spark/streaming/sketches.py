@@ -61,9 +61,17 @@ def committed_batches(state_path: str) -> set[int]:
     racing a swap should ``recover_cms_state`` first (cms_merge_batch
     does)."""
     lp = os.path.join(_cells_path(state_path), _LEDGER_DIR)
-    if not os.path.isdir(lp):
-        return set()
-    return {int(f) for f in os.listdir(lp)}
+    if os.path.isdir(lp):
+        return {int(f) for f in os.listdir(lp)}
+    # legacy layout (pre-atomic-ledger): markers lived beside the cells
+    # dir at state/_batches. Honor them when the in-cells ledger is
+    # absent so an upgraded state dir doesn't re-merge (double-count) a
+    # replayed batch; the next commit rewrites the union into the new
+    # in-cells ledger and the legacy dir goes stale harmlessly.
+    legacy = os.path.join(state_path, "_batches")
+    if os.path.isdir(legacy):
+        return {int(f) for f in os.listdir(legacy)}
+    return set()
 
 
 def recover_cms_state(state_path: str) -> None:

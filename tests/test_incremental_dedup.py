@@ -86,9 +86,10 @@ def test_append_makes_batch_visible_to_later_probes(spark, tmp_path):
 
 
 def test_refit_reprunes_stop_list(spark, tmp_path):
-    """Appending more than refit_threshold of the corpus rebuilds the
-    index with a fresh DF prune (consolidated as batch 0); the fit
-    marker resets and the index still answers probes."""
+    """Crossing refit_threshold rebuilds the index with a fresh DF prune
+    at the START of the NEXT append (refit folds only checkpoint-safe
+    batches — see test_replay_after_refit_window below): the fit marker
+    resets over the folded corpus and the index still answers probes."""
     base = {i: f"distinct base doc {i} alpha{i} beta{i*3}" for i in range(10)}
     big = {100 + i: f"distinct new doc {i} gamma{i} delta{i*5}" for i in range(15)}
     idx = os.path.join(str(tmp_path), "mh_index")
@@ -96,12 +97,58 @@ def test_refit_reprunes_stop_list(spark, tmp_path):
     n, refit = append_to_minhash_index(
         idx, _mini_corpus(spark, big), refit_threshold=0.5
     )
-    assert (n, refit) == (15, True)
+    assert (n, refit) == (15, False)  # drift crossed, refit deferred
     assert index_doc_count(spark, idx) == 25
+
+    tiny = {900: "trailing doc omega sigma tau"}
+    n, refit = append_to_minhash_index(
+        idx, _mini_corpus(spark, tiny), refit_threshold=0.5
+    )
+    assert (n, refit) == (1, True)  # the deferred refit fires here
+    assert index_doc_count(spark, idx) == 26
     assert spark.read.parquet(os.path.join(idx, "meta")).collect()[0].n_fit == 25
-    assert committed_batches(spark, idx) == {0}  # consolidated
+    # batches 0+1 consolidated into 0; the triggering batch keeps its own
+    assert committed_batches(spark, idx) == {0, 2}
     probe = {300: "distinct new doc 3 gamma3 delta15"}  # clone of id 103
     got = incremental_dup_pairs(_mini_corpus(spark, probe), idx).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in got] == [(103, 300, 1.0)]
+
+
+def test_replay_after_refit_window(spark, tmp_path):
+    """The refit-at-start ordering closes the duplication window: a
+    batch whose append previously triggered an immediate fold-into-batch-0
+    could be redelivered by foreachBatch (crash before the checkpoint
+    commit) and rewritten BESIDE its consolidated copy — duplicated
+    postings/shingles, inflated doc count, doubled probe pairs. Now the
+    batch always keeps its own partition until a LATER append folds it,
+    so replaying it (any number of times) converges byte-identically."""
+    base = {i: f"window base doc {i} aa{i} bb{i*3}" for i in range(10)}
+    big = {100 + i: f"window new doc {i} cc{i} dd{i*5}" for i in range(15)}
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+    batch = _mini_corpus(spark, big)
+
+    append_to_minhash_index(idx, batch, batch_id=1, refit_threshold=0.5)
+    postings_once = spark.read.parquet(f"{idx}/postings").count()
+    assert committed_batches(spark, idx) == {0, 1}  # NOT folded yet
+
+    # redelivery of batch 1 (crash before the stream checkpoint commit):
+    # same drift check over the same <1 corpus, own-partition overwrite
+    append_to_minhash_index(idx, batch, batch_id=1, refit_threshold=0.5)
+    assert spark.read.parquet(f"{idx}/postings").count() == postings_once
+    assert index_doc_count(spark, idx) == 25
+
+    # the NEXT batch folds 0+1 (both now checkpoint-committed) and the
+    # probe finds cross-batch partners through the consolidated index
+    append_to_minhash_index(
+        idx, _mini_corpus(spark, {900: "closing doc ee ff gg"}),
+        batch_id=2, refit_threshold=0.5,
+    )
+    assert committed_batches(spark, idx) == {0, 2}
+    assert index_doc_count(spark, idx) == 26
+    got = incremental_dup_pairs(
+        _mini_corpus(spark, {300: "window new doc 3 cc3 dd15"}), idx
+    ).collect()
     assert [(r.d1, r.d2, r.jaccard) for r in got] == [(103, 300, 1.0)]
 
 

@@ -142,3 +142,30 @@ def test_frame_sampling(spark):
     # only video payloads produce frames
     kinds = {r.doc_id % 3 for r in rows}
     assert kinds <= {2}
+
+
+def test_audio_features_single_sample_clip(spark):
+    """A structurally valid WAV with ONE sample has no adjacent pairs:
+    zcr must be the defined 0.0 (the max_frame_rms short-clip
+    convention), not a 0/0 NaN."""
+    import struct
+
+    from bigdata_processing_spark.operators.multimodal import (
+        MEDIA_SCHEMA,
+        WAV_RATE,
+        audio_frame_features,
+    )
+
+    data = struct.pack("<h", -12345)
+    fmt = struct.pack("<HHIIHH", 1, 1, WAV_RATE, WAV_RATE * 2, 2, 16)
+    body = (b"WAVE" + b"fmt " + struct.pack("<I", len(fmt)) + fmt
+            + b"data" + struct.pack("<I", len(data)) + data)
+    wav = b"RIFF" + struct.pack("<I", len(body)) + body
+
+    media = spark.createDataFrame(
+        [(1, bytearray(wav), "audio/wav", 0, 0)], MEDIA_SCHEMA
+    )
+    [r] = audio_frame_features(media).collect()
+    assert (r.n_samples, r.zcr, r.peak) == (1, 0.0, 12345)
+    assert math.isclose(r.rms, 12345.0)
+    assert r.max_frame_rms == 0.0  # shorter than one frame

@@ -117,6 +117,33 @@ def test_streaming_cms_ledger_swaps_with_cells(spark, tmp_path):
     assert committed_batches(state) == {0, 1}
 
 
+def test_streaming_cms_legacy_ledger_honored(spark, tmp_path):
+    """A state dir written by the pre-atomic layout (markers in
+    state/_batches beside the cells dir, not inside it) must still
+    suppress replays after upgrade: fall back to the legacy ledger when
+    cells/_committed is absent, and migrate on the next commit."""
+    events = load_table(spark, SF_SMALL, "events").select("user_id")
+    state = os.path.join(str(tmp_path), "cms_state")
+    cms_merge_batch(state, events, 0, "user_id")
+    before = sorted(tuple(r) for r in read_cms_state(spark, state).collect())
+    # rewrite the state into the LEGACY shape: marker beside the cells
+    cells = os.path.join(state, "cells")
+    shutil.rmtree(os.path.join(cells, "_committed"))
+    legacy = os.path.join(state, "_batches")
+    os.makedirs(legacy)
+    open(os.path.join(legacy, "0"), "w").close()
+
+    assert committed_batches(state) == {0}  # read through the fallback
+    assert cms_merge_batch(state, events, 0, "user_id") is False  # replay
+    assert sorted(
+        tuple(r) for r in read_cms_state(spark, state).collect()
+    ) == before
+    # a new batch migrates the union into the in-cells ledger
+    assert cms_merge_batch(state, events, 1, "user_id") is True
+    assert os.path.isdir(os.path.join(cells, "_committed"))
+    assert committed_batches(state) == {0, 1}
+
+
 def test_streaming_cms_ledger_bounded(spark, tmp_path):
     """Markers more than LEDGER_KEEP behind the newest batch are pruned
     at commit, and a pruned (ancient) batch_id is still replay-suppressed."""
