@@ -168,9 +168,18 @@ _SQL_BANDS = (
 # boilerplate: no near-dup signal, dominant shuffle volume — the cap must
 # scale with the corpus or it prunes everything at 10×, see thresholds.py)
 # and an LSH bucket cap (a B-doc bucket makes B² pairs; capping bounds
-# the worst key). Produces the ``cand`` CTE; internal names are suffixed
-# _p so unguarded ``sig``/``bands`` (audit queries) can coexist in the
-# same WITH list.
+# the worst key). Over-cap buckets are NOT skipped whole (that silently
+# kept large non-identical near-dup families — boilerplate templates,
+# the dominant dup class in web corpora; exact dedup only catches their
+# identical subsets): each over-cap bucket keeps ceil(B/MAX_BUCKET)
+# hash-ordered REPRESENTATIVES and pairs every member against the
+# representatives only — O(B·B/MAX_BUCKET) pairs instead of O(B²), a
+# star per representative that the connected-components stage merges
+# into the full family cluster. Hash ordering (md5 of doc_id) makes the
+# sample deterministic and ingestion-order-free, and is reproduced
+# verbatim by the twin SQL. Produces the ``cand`` CTE; internal names
+# are suffixed _p so unguarded ``sig``/``bands`` (audit queries) can
+# coexist in the same WITH list.
 _SQL_CAND_GUARDED = f"""
         dfreq AS (SELECT s, count(DISTINCT doc_id) AS df FROM shex GROUP BY s),
         ncorp AS (SELECT count(*) AS n_docs FROM documents),
@@ -187,12 +196,30 @@ _SQL_CAND_GUARDED = f"""
     f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
 ) + f"""]) AS bk FROM sig_p),
         bsz AS (SELECT bk, count(*) AS n FROM bands_p GROUP BY bk),
+        reps_p AS (
+            SELECT bk, doc_id FROM (
+                SELECT a.bk, a.doc_id, z.n,
+                       row_number() OVER (
+                           PARTITION BY a.bk
+                           ORDER BY md5(CAST(a.doc_id AS VARCHAR)), a.doc_id
+                       ) AS rn
+                FROM bands_p a JOIN bsz z ON a.bk = z.bk
+                WHERE z.n > {MAX_BUCKET}
+            ) WHERE rn <= CAST(ceil(n / CAST({MAX_BUCKET} AS DOUBLE)) AS BIGINT)
+        ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands_p a
-            JOIN bands_p b ON a.bk = b.bk AND a.doc_id < b.doc_id
-            JOIN bsz ON a.bk = bsz.bk
-            WHERE bsz.n <= {MAX_BUCKET}
+            SELECT DISTINCT d1, d2 FROM (
+                SELECT a.doc_id AS d1, b.doc_id AS d2
+                FROM bands_p a
+                JOIN bands_p b ON a.bk = b.bk AND a.doc_id < b.doc_id
+                JOIN bsz ON a.bk = bsz.bk
+                WHERE bsz.n <= {MAX_BUCKET}
+                UNION ALL
+                SELECT least(r.doc_id, m.doc_id) AS d1,
+                       greatest(r.doc_id, m.doc_id) AS d2
+                FROM reps_p r
+                JOIN bands_p m ON r.bk = m.bk AND r.doc_id <> m.doc_id
+            )
         )
 """
 
@@ -369,16 +396,23 @@ def _scored_candidates(
     dominates shuffle volume; "common" must be RELATIVE to corpus size —
     an absolute cap prunes the whole vocabulary at 10×, measured in
     tools/sf1_dedup_proof.py) and LSH buckets larger than ``max_bucket``
-    are skipped (a B-doc bucket expands to B² candidate pairs; a single
-    hot template bucket is quadratic at 100×; deliberately absolute —
-    pair cost doesn't scale with corpus size). Pass ``max_df=None`` /
-    ``max_bucket=None`` to disable — ``minhash_unguarded_dup_pairs`` is
-    the registered small-scale audit baseline that does. Guards only
-    bound CANDIDATE GENERATION; verification always scores the full
-    shingle sets, so a surfaced pair's similarity is exact regardless of
-    configuration. Both guards are relational and mirrored verbatim in
-    the family's DuckDB twins (_SQL_CAND_GUARDED, same thresholds.py
-    constants)."""
+    are SAMPLED, not expanded (a B-doc bucket expands to B² candidate
+    pairs; a single hot template bucket is quadratic at 100×): each
+    over-cap bucket keeps ``ceil(B/max_bucket)`` hash-ordered
+    representatives and pairs every member against the representatives
+    only — O(B·B/max_bucket) bounded work, and the star-per-
+    representative shape still lets connected components recover the
+    whole family as one cluster. (Skipping over-cap buckets WHOLE — the
+    pre-round-6 behavior — silently kept large NON-identical near-dup
+    families: exact dedup only catches identical members, so a 50-doc
+    mutated boilerplate template survived dedup entirely; pinned by
+    test_skew.) Pass ``max_df=None`` / ``max_bucket=None`` to disable —
+    ``minhash_unguarded_dup_pairs`` is the registered small-scale audit
+    baseline that does. Guards only bound CANDIDATE GENERATION;
+    verification always scores the full shingle sets, so a surfaced
+    pair's similarity is exact regardless of configuration. Both guards
+    are relational and mirrored verbatim in the family's DuckDB twins
+    (_SQL_CAND_GUARDED, same thresholds.py constants)."""
     memo_key = (spark.sparkContext.applicationId, sf_dir, max_df, max_bucket,
                 max_df_frac, verify_broadcast_max_bytes)
     cached = _CAND_MEMO.get(memo_key)
@@ -433,8 +467,48 @@ def _scored_candidates(
         members.filter(bucket_pred)
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-        .distinct()
     )
+    if max_bucket is not None:
+        # Over-cap buckets: member×representative stars instead of a skip.
+        # Representatives are the first ceil(B/max_bucket) members in
+        # md5(doc_id) order — deterministic, ingestion-order-free, and
+        # reproduced verbatim by the DuckDB twin's row_number window.
+        # All array ops on the grouped member list: no extra shuffle
+        # beyond the (bk, doc_id) groupBy the under-cap branch already
+        # paid for.
+        ds_hash_ordered = F.transform(
+            F.array_sort(
+                F.transform(
+                    "ds",
+                    lambda d: F.struct(
+                        F.md5(d.cast("string")).alias("h"), d.alias("d")
+                    ),
+                )
+            ),
+            lambda s: s.getField("d"),
+        )
+        n_reps = F.ceil(
+            F.size("ds").cast("double") / F.lit(float(max_bucket))
+        ).cast("int")
+        rep_pairs = F.flatten(
+            F.transform(
+                F.slice(ds_hash_ordered, F.lit(1), n_reps),
+                lambda r: F.transform(
+                    "ds",
+                    lambda m: F.struct(
+                        F.least(r, m).alias("d1"), F.greatest(r, m).alias("d2")
+                    ),
+                ),
+            )
+        )
+        cand_over = (
+            members.filter(F.size("ds") > max_bucket)
+            .select(F.explode(rep_pairs).alias("p"))
+            .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+            .filter(F.col("d1") != F.col("d2"))
+        )
+        cand = cand.unionByName(cand_over)
+    cand = cand.distinct()
     # Size-aware verify join: broadcasting the shingle-set lookups avoids
     # shuffling the candidate pairs twice (measured 1.7x on the full
     # pipeline) — but only while the doc→shingles map fits an executor.
@@ -1618,9 +1692,11 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 # upper-bound estimate, comparable ACROSS configs by construction.
 # No sampling, no doc_id-space assumption (ADVICE r03), any corpus size:
 # cost is 4 linear bandings + verification on pooled candidates only.
-# The bucket cap mirrors production (_scored_candidates' default): 1-row
-# bands collapse into vocabulary-sized buckets the cap must skip, and
-# the sweep row shows that config's resulting recall collapse.
+# The sweep keeps the PLAIN bucket cap (no representative sampling —
+# it measures banding geometry, and 1-row bands collapse into
+# vocabulary-sized buckets whose recall collapse the sweep row should
+# show undiluted); production candidates additionally rescue over-cap
+# buckets via representatives (_scored_candidates).
 # ---------------------------------------------------------------------------
 LSH_SWEEP_CONFIGS = ((1, 8), (2, 4), (4, 2), (8, 1))  # (bands, rows), b·r = 8
 

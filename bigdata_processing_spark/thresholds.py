@@ -50,9 +50,15 @@ HARD_NEG_PROBE_SWEEP = (1, 2, 4, 8, 12)
 MAX_DF = 40           # floor: shingles in more docs than this are pruned
 MAX_DF_FRAC = 0.08    # scale term: prune shingles in > 8% of the corpus
 # The bucket cap is deliberately ABSOLUTE: a B-doc LSH bucket costs B²
-# candidate pairs regardless of corpus size, and mega-buckets are exact
-# duplication's job (dedup_exact_summary), not MinHash's.
-MAX_BUCKET = 25       # LSH buckets larger than this are skipped
+# candidate pairs regardless of corpus size. Over-cap buckets are not
+# dropped, though — that would silently keep large NON-identical
+# near-dup families (mutated boilerplate templates; exact dedup only
+# catches the identical subsets). Instead each over-cap bucket keeps
+# ceil(B/MAX_BUCKET) hash-ordered representatives and pairs members
+# against representatives only: O(B·B/MAX_BUCKET) work, and the
+# representative stars still connect the family into one CC cluster
+# (queries/dedup._scored_candidates / _SQL_CAND_GUARDED).
+MAX_BUCKET = 25       # LSH buckets above this switch to representative pairs
 
 # Audit sampling
 AUDIT_SAMPLE_DOCS = 200  # all-pairs ground truth is quadratic: sample-bounded

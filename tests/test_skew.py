@@ -154,3 +154,65 @@ def test_relative_df_cap_preserves_recall_at_scale(spark, tmp_path):
     clear_dedup_memos()
     assert _scored_candidates(spark, sf, max_df_frac=0.0).count() == 0
     clear_dedup_memos()
+
+
+def test_overcap_bucket_representatives_recover_template_family(spark, tmp_path):
+    """A 50-member MUTATED-clone family (near- but not exact-dups — the
+    boilerplate-template class that dominates real web corpora) lands in
+    over-cap LSH buckets. Skipping those buckets whole (the pre-round-6
+    behavior) silently KEPT the family: exact dedup sees no identical
+    text, recall was 0. The representative pass must rescue it at
+    bounded cost: ceil(B/MAX_BUCKET) hash-ordered representatives per
+    over-cap bucket, members paired against representatives only, and
+    connected components still merges the stars into ONE family
+    cluster."""
+    import os
+
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.queries.dedup import (
+        _scored_candidates,
+        clear_dedup_memos,
+        dedup_exact_summary,
+        dup_clusters,
+        minhash_lsh_dup_pairs,
+    )
+
+    # 1000 background docs so the relative DF cap (ceil(0.08*1050)=84)
+    # KEEPS the family's shared bigrams (df=50) — at real scale the
+    # fraction term always clears a bounded-size family, so the bucket
+    # cap is the only guard standing between the family and recall
+    base = ("alpha beta gamma delta epsilon zeta eta theta iota kappa "
+            "lambda mu nu xi omicron pi rho sigma tau upsilon "
+            "phi chi psi omega one two three four five six")
+    rows = [
+        (i, f"background doc {i} tokens a{i} b{i*3} c{i*7} d{i*11}", "bg")
+        for i in range(1000)
+    ] + [(5000 + i, base + f" mutation{i}", "tmpl") for i in range(50)]
+    sf = os.path.join(str(tmp_path), "tmplsf")
+    spark.createDataFrame(rows, "doc_id bigint, text string, source string") \
+        .write.parquet(os.path.join(sf, "documents.parquet"))
+
+    clear_dedup_memos()
+    # exact dedup CANNOT catch this family (every member distinct)
+    assert dedup_exact_summary(spark, sf).collect()[0].n_removed == 0
+
+    # bounded candidates: 2 representatives x 50 members (x4 bands,
+    # distinct) — not the 1225 all-pairs expansion
+    n_cand = _scored_candidates(spark, sf).count()
+    assert 0 < n_cand < 300, f"expected bounded star candidates, got {n_cand}"
+
+    # recall > 0 where the skip-whole behavior produced 0, and every
+    # surfaced pair is family-internal and exactly verified
+    pairs = minhash_lsh_dup_pairs(spark, sf)
+    fam = pairs.filter((F.col("d1") >= 5000) & (F.col("d2") >= 5000)).count()
+    assert fam > 0 and fam == pairs.count()
+
+    # the representative stars connect the WHOLE family into one cluster
+    cl = dup_clusters(spark, sf).filter(F.col("doc_id") >= 5000)
+    got = cl.agg(
+        F.count("*").alias("n"),
+        F.countDistinct("cluster_id").alias("k"),
+    ).collect()[0]
+    assert (got.n, got.k) == (50, 1)
+    clear_dedup_memos()
