@@ -315,3 +315,50 @@ def test_verify_join_size_aware_regimes(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         clear_dedup_memos()
+
+
+def test_incremental_probe_prunes_shingle_store(spark, tmp_path):
+    """The incremental-dedup verify leg must NOT scan the whole shingle
+    store (pre-round-6 it streamed the full corpus-sized table past a
+    candidate filter every batch): the store is hash-bucketed by doc_id,
+    the probe collects the candidate ids' bucket values and pushes them
+    as a PARTITION filter (only touched directories are read), and the
+    pruned scan semi-joins the broadcast candidate-id set — no
+    corpus-wide shuffle anywhere on the verify side."""
+    import os
+
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        build_minhash_index,
+        incremental_dup_pairs,
+        release_loose_persists,
+    )
+    from bigdata_processing_spark.plans import explain_str
+
+    docs = spark.createDataFrame(
+        [(i, f"plan test doc {i} j{i} k{i*3} l{i*7}", "s") for i in range(40)],
+        "doc_id bigint, text string, source string",
+    )
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(docs, idx)
+    probe = spark.createDataFrame(
+        [(500, "plan test doc 7 j7 k21 l49", "s")],
+        "doc_id bigint, text string, source string",
+    )
+    pairs = incremental_dup_pairs(probe, idx)
+    plan = explain_str(pairs, mode="formatted")
+
+    # partition pruning: the shingle scan carries an sbucket IN (...)
+    # PartitionFilters entry — the verify leg reads touched buckets only
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "sbucket" in ln
+    ]
+    assert pf and any("INSET" in ln or " IN " in ln for ln in pf), (
+        "shingle scan is not partition-pruned:\n" + plan
+    )
+    # candidate-id filter is a broadcast semi join, not a shuffle of the
+    # store
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan, plan
+    # and the result is right: the planted near-dup pair verifies
+    assert [(r.d1, r.d2) for r in pairs.collect()] == [(7, 500)]
+    release_loose_persists()
