@@ -96,6 +96,60 @@ def seed_centroids(
     ]
 
 
+def trained_centroids(
+    emb: DataFrame,
+    k: int,
+    n_iter: int = 2,
+    vec_col: str = "embedding",
+    id_col: str = "vec_id",
+) -> list[list[float]]:
+    """Deterministic, SQL-reproducible Lloyd refinement of
+    :func:`seed_centroids`: ``n_iter`` rounds of (bit-exact argmin
+    assignment → per-(cell, pos) mean rounded to 6 decimals), empty
+    cells keeping their previous centroid.
+
+    This is the TRAINED quantizer for surfaces that need a DuckDB twin
+    (queries/dedup._SQL_EMB_ASSIGN unrolls the same fixed iterations as
+    chained CTEs): no RNG, no convergence test — the iteration count is
+    part of the contract. Cross-engine equality argument: assignment
+    uses :func:`seeded_assign_cells` (ordered-fold dots, (s, cell)
+    struct-min — bit-equal to the oracle's correlated ORDER BY), so both
+    engines compute means over IDENTICAL member sets; the float sums
+    behind each mean may differ in ulps across summation orders, but
+    ``round(·, 6)`` collapses them to the same double except when a mean
+    sits within ~1e-16 of a decimal rounding boundary (the same accepted
+    risk class as every round-6 oracle in this repo). The refined
+    centroids are therefore equal as VALUES, and every downstream argmin
+    stays bit-identical.
+
+    Cost: per iteration, one broadcast-join assignment pass + one
+    (cell, pos)-keyed aggregation collected as k rows to the driver —
+    the same k-row collect discipline as operators/clustering. At 100 TB
+    fit on a hash-sample (as build_ivf_index does); k·d doubles stay
+    driver-sized at any corpus scale."""
+    cents = seed_centroids(emb, k, vec_col=vec_col, id_col=id_col)
+    if not cents:
+        return cents
+    base = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__tc_e"))
+    for _ in range(n_iter):
+        assigned = seeded_assign_cells(base, cents, id_col=id_col, e_col="__tc_e")
+        rows = (
+            base.join(assigned, id_col)
+            .select("cell", F.posexplode("__tc_e").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.round(F.avg("val"), 6).alias("m"))
+            .groupBy("cell")
+            .agg(
+                F.array_sort(F.collect_list(F.struct("pos", "m"))).alias("pm")
+            )
+            .select("cell", F.expr("transform(pm, x -> x.m)").alias("c"))
+            .collect()
+        )
+        by_cell = {r.cell: list(r.c) for r in rows}
+        cents = [by_cell.get(i, c) for i, c in enumerate(cents)]
+    return cents
+
+
 def _scores_sql(cents: list[list[float]], e_col: str) -> str:
     """SQL text for the per-centroid score array: element ``i`` is a
     struct ``(s, cell)`` where ``s = c_i·c_i − 2·e·c_i`` (squared distance

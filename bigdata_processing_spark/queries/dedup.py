@@ -972,22 +972,57 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the corpus (C = allpairs_cell_count(n) = max(ivf_cell_count(n), n//128)
 # — operators/ivf.py), so the expected within-(label,cell) pair count
 # stays ~linear in n — the IVF candidate-pruning shape
-# (operators/ivf.py is the production path with k-means-refined centroids
-# and a pandas-UDF assigner; here the quantizer is deliberately
+# (operators/ivf.py's build_ivf_index is the unconstrained production
+# path with a pandas-UDF assigner; here the quantizer must stay
 # SQL-expressible so DuckDB reproduces cell assignment bit-for-bit).
 #
-# Determinism contract: centroids are the C lowest-vec_id vectors (a
-# deterministic corpus sample — no RNG, no iteration); assignment is
-# argmin over c·c − 2·e·c (same argmin as full squared distance, e·e is
-# constant per row) with cell-index tiebreak. functions/vectors.dot folds
-# doubles in array order, bit-equal to DuckDB list_dot_product, so both
-# engines assign identical cells.
+# Determinism contract (round 6 — TRAINED cells): centroids start as the
+# C lowest-vec_id vectors and are refined by a FIXED number of Lloyd
+# rounds (_EMB_TRAIN_ITERS) whose means are rounded to 6 decimals —
+# deterministic in both engines (operators/ivf.trained_centroids ↔ the
+# unrolled CTE chain below); assignment is argmin over c·c − 2·e·c (same
+# argmin as full squared distance, e·e is constant per row) with
+# cell-index tiebreak. functions/vectors.dot folds doubles in array
+# order, bit-equal to DuckDB list_dot_product, so both engines assign
+# identical cells. Training the cells (vs the round-5 seeded sample)
+# measurably lifts celled recall at the same scan fraction — see
+# BASELINE.md round-6 quantizer table / ivf_sweep.py.
 # ---------------------------------------------------------------------------
-# Shared embedding-assignment CTEs (seeded centroids + argmin cell),
-# consumed by BOTH embedding_neardup_pairs and the SemDeDup-style
-# semantic_dedup_survivors oracle so cell assignment cannot drift.
-_SQL_EMB_ASSIGN = """
-        cents AS (
+# Shared embedding-assignment CTEs — TRAINED quantizer (round 6): seed
+# centroids (lowest-vec_id sample) refined by _EMB_TRAIN_ITERS unrolled
+# Lloyd rounds with round-6 means, mirroring
+# operators/ivf.trained_centroids round for round. Consumed by the whole
+# celled family (embedding_neardup_pairs, semantic_dedup_*,
+# hard_negatives_celled, hard_negative_probe_sweep) so cell assignment
+# cannot drift between Spark and the oracle.
+_EMB_TRAIN_ITERS = 2  # fixed Lloyd rounds — part of the cross-engine contract
+
+
+def _sql_emb_assign(n_iter: int = _EMB_TRAIN_ITERS) -> str:
+    """CTE chain ending in ``cents(cell, c)`` and ``assigned(vec_id,
+    label, v, nrm, cell)`` — the oracle twin of
+    ``trained_centroids(emb, allpairs_cell_count(n), n_iter)`` followed
+    by the final argmin assignment. Each unrolled round re-assigns
+    against the previous round's centroids (bit-equal ordered-fold
+    argmin) and takes per-(cell, pos) means rounded to 6 decimals;
+    empty cells keep their previous centroid (coalesce), matching the
+    Spark side's keep-previous rule."""
+
+    def assign(name: str, cents: str) -> str:
+        return f"""
+        {name} AS (
+            SELECT b.vec_id, b.v,
+                   (SELECT c.cell FROM {cents} c
+                    ORDER BY list_dot_product(c.c, c.c)
+                             - 2 * list_dot_product(b.v, c.c) ASC,
+                             c.cell ASC
+                    LIMIT 1) AS cell
+            FROM tc_base b
+        )"""
+
+    parts = [
+        """
+        tc_c0 AS (
             -- LIMIT = allpairs_cell_count(n): max(ivf_cell_count(n), n//128)
             SELECT row_number() OVER (ORDER BY vec_id) - 1 AS cell,
                    embedding::DOUBLE[] AS c
@@ -999,18 +1034,47 @@ _SQL_EMB_ASSIGN = """
                                            262144) END,
                            count(*) // 128)
                          FROM embeddings))
-        ),
+        )""",
+        """
+        tc_base AS (
+            SELECT vec_id, label, embedding::DOUBLE[] AS v,
+                   sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])) AS nrm
+            FROM embeddings
+        )""",
+    ]
+    for i in range(n_iter):
+        parts.append(assign(f"tc_a{i}", f"tc_c{i}"))
+        parts.append(f"""
+        tc_m{i} AS (
+            SELECT cell, list(m ORDER BY pos) AS c FROM (
+                SELECT cell, pos, round(avg(val), 6) AS m FROM (
+                    SELECT cell, unnest(v) AS val,
+                           unnest(range(1, len(v) + 1)) AS pos
+                    FROM tc_a{i}
+                ) GROUP BY cell, pos
+            ) GROUP BY cell
+        )""")
+        parts.append(f"""
+        tc_c{i + 1} AS (
+            SELECT s.cell, coalesce(m.c, s.c) AS c
+            FROM tc_c{i} s LEFT JOIN tc_m{i} m USING (cell)
+        )""")
+    parts.append(f"""
+        cents AS (SELECT cell, c FROM tc_c{n_iter})""")
+    parts.append("""
         assigned AS (
-            SELECT e.vec_id, e.label, e.embedding::DOUBLE[] AS v,
-                   sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[])) AS nrm,
+            SELECT b.vec_id, b.label, b.v, b.nrm,
                    (SELECT c.cell FROM cents c
                     ORDER BY list_dot_product(c.c, c.c)
-                             - 2 * list_dot_product(e.embedding::DOUBLE[], c.c) ASC,
+                             - 2 * list_dot_product(b.v, c.c) ASC,
                              c.cell ASC
                     LIMIT 1) AS cell
-            FROM embeddings e
-        )
-"""
+            FROM tc_base b
+        )""")
+    return ",".join(parts)
+
+
+_SQL_EMB_ASSIGN = _sql_emb_assign()
 
 
 # Assignment memo (same shape as _PAIR_MEMO): both embedding_neardup_pairs
@@ -1033,8 +1097,8 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
     from bigdata_processing_spark.functions import vectors as V
     from bigdata_processing_spark.operators.ivf import (
         allpairs_cell_count,
-        seed_centroids,
         seeded_assign_cells,
+        trained_centroids,
     )
 
     memo_key = (spark.sparkContext.applicationId, sf_dir)
@@ -1043,7 +1107,7 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
         return cached
     emb = load_table(spark, sf_dir, "embeddings")
     n_cells = allpairs_cell_count(emb.count())
-    cents = seed_centroids(emb, n_cells)
+    cents = trained_centroids(emb, n_cells, n_iter=_EMB_TRAIN_ITERS)
     base = emb.select(
         "vec_id",
         "label",

@@ -214,9 +214,11 @@ def hard_negatives_celled(
 
     Multi-probe is load-bearing here, not a tweak: hard negatives live
     near the DECISION BOUNDARY, which is exactly where cell assignment
-    is ambiguous — n_probe=1 measured recall@3 of just 0.083 vs the
+    is ambiguous — n_probe=1 measured recall@3 of just 0.067 vs the
     brute-force truth at sf0.1, while 8 of ~51 cells (≈16% of the
-    corpus per anchor) recovers 0.30 (the full measured curve is
+    corpus per anchor) recovers 0.45 (round-6 trained cells; the
+    round-5 seeded quantizer managed only 0.30 at the same scan
+    fraction — ivf_sweep.py's quantizer table. The full measured curve is
     ``hard_negative_probe_sweep``; thresholds.HARD_NEG_N_PROBE pins the
     default).
 

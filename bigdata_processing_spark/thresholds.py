@@ -30,9 +30,11 @@ SEMDEDUP_SWEEP_EPS = (0.3, 0.4, 0.5, 0.6)
 
 # Celled hard-negative mining: cells probed per anchor. Hard negatives
 # are near the DECISION BOUNDARY, not the anchor's cell core, so
-# n_probe=1 recalls almost nothing (measured 0.083@sf0.1); 8 of ~51
-# cells (≈16% scan) recovers 0.30, and hard_negative_probe_sweep records
-# the whole curve so the trade is a measured choice.
+# n_probe=1 recalls almost nothing (measured 0.067@sf0.1); 8 of ~51
+# cells (≈16% scan) recovers 0.45 under the round-6 trained quantizer
+# (0.30 with round-5 seeded cells at the same scan fraction), and
+# hard_negative_probe_sweep records the whole curve so the trade is a
+# measured choice.
 HARD_NEG_N_PROBE = 8
 HARD_NEG_PROBE_SWEEP = (1, 2, 4, 8, 12)
 

@@ -23,13 +23,63 @@ import time
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.operators.ivf import (
     build_ivf_index,
     ivf_cell_count,
     ivf_search,
+    seed_centroids,
+    seeded_assign_cells,
+    trained_centroids,
 )
 from bigdata_processing_spark.queries.similarity import knn_bruteforce
 from bigdata_processing_spark.session import get_spark
+
+
+def quantizer_comparison(spark, emb, n, exact) -> None:
+    """Recall@5 of the three quantizer tiers at the SAME cell count and
+    scan fraction — the round-6 measurement behind switching the celled
+    query family (queries/dedup._emb_assigned) from seeded to trained
+    cells. `seeded` = lowest-vec_id sample (round-5 celled family),
+    `trained` = seeded + 2 deterministic Lloyd rounds (round-6 celled
+    family, SQL-twin-reproducible), `kmeans` = operators/clustering full
+    fit (production build_ivf_index, no SQL twin)."""
+    policy_k = ivf_cell_count(n)
+    base = emb.select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    tiers = {
+        "seeded": lambda: seed_centroids(emb, policy_k),
+        "trained_2lloyd": lambda: trained_centroids(emb, policy_k, n_iter=2),
+    }
+    for tier, fit in tiers.items():
+        t0 = time.monotonic()
+        cents = fit()
+        fit_s = round(time.monotonic() - t0, 2)
+        indexed = base.join(
+            seeded_assign_cells(base, cents), "vec_id"
+        ).persist()
+        indexed.count()
+        q = indexed.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        for n_probe in (1, 2, 4, 8):
+            approx = {
+                (r.qid, r.cid)
+                for r in ivf_search(indexed, cents, q, 5, n_probe=n_probe).collect()
+            }
+            print(json.dumps({
+                "quantizer": tier,
+                "k_cells": policy_k,
+                "n_probe": n_probe,
+                "recall_at_5": round(len(approx & exact) / len(exact), 3),
+                "scan_fraction": round(n_probe / policy_k, 3),
+                "fit_sec": fit_s,
+            }))
+        indexed.unpersist()
 
 
 def main() -> None:
@@ -71,6 +121,7 @@ def main() -> None:
             rows.append(row)
             print(json.dumps(row))
         indexed.unpersist()
+    quantizer_comparison(spark, emb, n, exact)
     print(json.dumps({"bench": "ivf_sweep", "n_vectors": n,
                       "policy_k_cells": policy_k, "configs": len(rows)}))
 

@@ -523,3 +523,57 @@ def test_ivfpq_disk_roundtrip_and_partition_pruning(spark, tmp_path):
     plan = disk_df._jdf.queryExecution().executedPlan().toString()
     m = re.search(r"PartitionFilters: \[([^\]]*)\]", plan)
     assert m and "cell" in m.group(1), "probe predicate did not prune partitions"
+
+
+def test_trained_centroids_deterministic_and_duckdb_reproducible(spark):
+    """trained_centroids is the celled family's round-6 quantizer: the
+    fixed-iteration Lloyd refinement must (a) be run-to-run
+    deterministic, (b) keep a seed centroid verbatim when its cell
+    empties, and (c) produce VALUE-identical centroids to the unrolled
+    DuckDB CTE chain (queries/dedup._sql_emb_assign) — the property the
+    whole celled-family oracle contract rests on."""
+    import duckdb
+
+    from bigdata_processing_spark.operators.ivf import (
+        allpairs_cell_count,
+        trained_centroids,
+    )
+    from bigdata_processing_spark.queries.dedup import _sql_emb_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    k = allpairs_cell_count(emb.count())  # the celled family's real k
+    c1 = trained_centroids(emb, k, n_iter=2)
+    c2 = trained_centroids(emb, k, n_iter=2)
+    assert c1 == c2 and len(c1) == k
+    # refinement moved the centroids off their seeds
+    seeds = [
+        list(r.c) for r in emb.orderBy("vec_id").limit(k)
+        .select(F.col("embedding").cast("array<double>").alias("c")).collect()
+    ]
+    assert c1 != seeds
+
+    # DuckDB runs the oracle CTE chain (its LIMIT subquery computes the
+    # same allpairs_cell_count) over the same parquet
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW embeddings AS SELECT * FROM "
+        f"read_parquet('{SF}/embeddings.parquet')"
+    )
+    rows = con.execute(
+        f"WITH {_sql_emb_assign(2)} SELECT cell, c FROM cents ORDER BY cell"
+    ).fetchall()
+    duck = [list(r[1]) for r in rows]
+    assert duck == c1
+
+
+def test_trained_centroids_empty_cell_keeps_seed(spark):
+    """A seed that captures no members after reassignment must survive
+    unchanged (the coalesce rule) — with k == n every vector is its own
+    seed, ties send each vector to its own cell, and any cell that DOES
+    empty falls back to its seed; the invariant is that no centroid is
+    ever null/dropped and the count stays k."""
+    from bigdata_processing_spark.operators.ivf import trained_centroids
+
+    emb = load_table(spark, SF, "embeddings").limit(6)
+    cents = trained_centroids(emb, 6, n_iter=1)
+    assert len(cents) == 6 and all(c is not None and len(c) == 64 for c in cents)
