@@ -171,23 +171,325 @@ def curate_corpus(
     return stats
 
 
+# ---------------------------------------------------------------------------
+# Incremental curation (round 6): append a batch of new documents to an
+# already-curated corpus touching O(batch + touched index buckets) docs,
+# instead of re-running the full O(corpus) chain per batch — the wiring
+# the incremental dedup index (operators/incremental_dedup) exists for.
+#
+# State next to the curated corpus at ``{out}.state/``:
+# - ``mh/``                       the persisted MinHash index over the
+#   FULL raw corpus (near-dup labels are defined on the full corpus —
+#   see the near_dedup stage note above — so removed docs stay indexed),
+# - ``fps/batch_id=N/fbucket=K/`` (doc_id, fp) of every raw doc,
+#   hash-bucketed by fingerprint so the exact-dup probe partition-prunes
+#   to the batch's touched buckets (same layout trick as the mh shingle
+#   store; fp-sorted files add row-group min/max skips),
+# - ``idmax/batch_id=N/``         max doc_id per ingest batch — the
+#   append contract (batch ids strictly above everything indexed, the
+#   same contract as incremental_dup_pairs) is asserted cheaply against
+#   this tiny ledger instead of trusted blindly.
+#
+# Batch survivors land in ``{out}.appends/batch_id=N/`` — an overwrite
+# of the batch's OWN directory, so replays/crash-retries converge
+# (idempotence-based exactly-once, as everywhere else in this repo);
+# ``read_curated`` unions the base emit with the committed appends.
+#
+# Semantics vs full recompute (asserted equal in
+# tests/test_curation_append.py, balance off):
+# - exact: batch doc dropped iff its fingerprint is already indexed or a
+#   lower-id batch doc shares it (ids are ordered, so the full chain's
+#   keep-min-doc_id-per-fp reduces to exactly this),
+# - near-dup: connected components over the probe's batch-involving
+#   verified pairs; a batch doc survives iff it IS its component's
+#   minimum (a component containing any indexed doc has an indexed
+#   minimum, so every batch member drops — matching the full chain's
+#   keep-cluster-min rule). Any path between batch docs through indexed
+#   docs starts with a batch-involving pair, which the probe emits, so
+#   the restricted component test is exact, with ONE documented
+#   exception: a batch doc that BRIDGES two previously-separate indexed
+#   clusters cannot retroactively re-canonicalize the immutable old
+#   corpus — the full recompute would; that correction happens at the
+#   next full run (the standard incremental-dedup approximation),
+# - quality / decontamination: per-doc, independent — identical,
+# - mixture balancing: inherently GLOBAL (every source's keep-fraction
+#   moves with every append), so the append path does not support it;
+#   balanced corpora re-balance at full-recompute cadence.
+# ---------------------------------------------------------------------------
+N_FP_BUCKETS = 64
+
+
+def _fbucket(col):
+    return F.pmod(F.hash(col), F.lit(N_FP_BUCKETS))
+
+
+def _state_path(out_path: str) -> str:
+    return out_path.rstrip("/") + ".state"
+
+
+def _appends_path(out_path: str) -> str:
+    return out_path.rstrip("/") + ".appends"
+
+
+def _write_fp_batch(state: str, batch_id: int, docs: DataFrame) -> None:
+    fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    (
+        fp.withColumn("fbucket", _fbucket(F.col("fp")))
+        .repartition("fbucket")
+        .sortWithinPartitions("fp")
+        .write.mode("overwrite")
+        .partitionBy("fbucket")
+        .parquet(f"{state}/fps/batch_id={batch_id}")
+    )
+    spark = docs.sparkSession
+    mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
+    spark.createDataFrame(
+        [(int(mx) if mx is not None else -1,)], "max_id long"
+    ).coalesce(1).write.mode("overwrite").parquet(
+        f"{state}/idmax/batch_id={batch_id}"
+    )
+
+
+def curate_corpus_with_state(
+    spark: SparkSession,
+    sf_dir: str,
+    out_path: str,
+    holdout: DataFrame | None = None,
+    quality_min: float = QUALITY_MIN,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    balance_sources: bool = True,
+) -> list[StageStats]:
+    """:func:`curate_corpus` plus the append state (MinHash index +
+    fingerprint store over the FULL raw corpus) so later batches can
+    run :func:`curate_append` at O(batch) cost."""
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        build_minhash_index,
+    )
+
+    stats = curate_corpus(
+        spark, sf_dir, out_path, holdout=holdout, quality_min=quality_min,
+        jaccard_threshold=jaccard_threshold, balance_sources=balance_sources,
+    )
+    docs = load_table(spark, sf_dir, "documents")
+    state = _state_path(out_path)
+    build_minhash_index(docs, f"{state}/mh")
+    _write_fp_batch(state, 0, docs)
+    import shutil
+
+    shutil.rmtree(_appends_path(out_path), ignore_errors=True)
+    return stats
+
+
+def curate_append(
+    spark: SparkSession,
+    out_path: str,
+    batch_docs: DataFrame,
+    holdout: DataFrame | None = None,
+    quality_min: float = QUALITY_MIN,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    batch_id: int | None = None,
+) -> list[StageStats]:
+    """Curate ONE append batch against the state built by
+    :func:`curate_corpus_with_state`, writing survivors to
+    ``{out}.appends/batch_id=N/`` and folding the batch into the state.
+
+    Touches O(batch + touched buckets): the exact stage reads only the
+    fingerprint-store buckets the batch's fps hash into, the near stage
+    is the incremental MinHash probe (batch-sized signing, bucket-keyed
+    candidates, sbucket-pruned verification), and quality/decontam are
+    per-doc over the batch. Nothing rescans indexed text."""
+    from bigdata_processing_spark.operators.graph import connected_components
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        append_to_minhash_index,
+        committed_batches,
+        incremental_dup_pairs,
+        release_loose_persists,
+    )
+
+    state = _state_path(out_path)
+    stats: list[StageStats] = []
+    if batch_id is None:
+        batch_id = max(committed_batches(spark, f"{state}/mh")) + 1
+    batch_docs = batch_docs.persist()
+    n = batch_docs.count()
+
+    # append contract: batch ids strictly above everything indexed
+    # (same contract as incremental_dup_pairs) — asserted against the
+    # tiny idmax ledger, excluding this batch's own partition so a
+    # replayed batch doesn't fail against its earlier half-append
+    idmax = (
+        spark.read.parquet(f"{state}/idmax")
+        .filter(F.col("batch_id") != batch_id)
+        .agg(F.max("max_id"))
+        .collect()[0][0]
+    )
+    bmin = batch_docs.agg(F.min("doc_id")).collect()[0][0]
+    if bmin is not None and idmax is not None and bmin <= idmax:
+        raise ValueError(
+            f"append batch ids must exceed indexed ids (batch min {bmin} "
+            f"<= indexed max {idmax}); re-id the batch or run a full recompute"
+        )
+
+    # 1. exact dedup vs the fingerprint store (pruned to touched
+    # buckets when the batch is small) + keep-min within the batch
+    bfp = batch_docs.select(
+        "doc_id", T.fingerprint(F.col("text")).alias("fp")
+    ).persist()
+    store = spark.read.parquet(f"{state}/fps").filter(
+        F.col("batch_id") != batch_id
+    )
+    if n * 2 <= N_FP_BUCKETS:
+        buckets = sorted(
+            r.b for r in bfp.select(_fbucket(F.col("fp")).alias("b"))
+            .distinct().collect()
+        )
+        store = (
+            store.filter(F.col("fbucket").isin(buckets))
+            if buckets else store.filter(F.lit(False))
+        )
+    indexed_hit = bfp.join(
+        F.broadcast(store.select("fp").distinct()), "fp", "semi"
+    ).select("doc_id")
+    batch_keep_fp = (
+        bfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+    )
+    cur = (
+        batch_docs.join(batch_keep_fp, "doc_id", "left_semi")
+        .join(F.broadcast(indexed_hit), "doc_id", "left_anti")
+    )
+    n2 = cur.count()
+    stats.append(StageStats("exact_dedup", n, n2))
+
+    # 2. near-dup: probe the persisted index (batch never sees its own
+    # partitions as "old" on a replay), components over the
+    # batch-involving pair graph, survive iff component minimum
+    pairs = incremental_dup_pairs(
+        batch_docs, f"{state}/mh", jaccard_threshold=jaccard_threshold,
+        exclude_batch_id=batch_id,
+    )
+    labels, _rounds = connected_components(
+        pairs.select("d1", "d2"), src="d1", dst="d2"
+    )
+    near_removed = (
+        labels.toDF("doc_id", "cluster_id")
+        .filter(F.col("doc_id") != F.col("cluster_id"))
+        .select("doc_id")
+    )
+    cur = cur.join(F.broadcast(near_removed), "doc_id", "left_anti")
+    n3 = cur.count()
+    stats.append(StageStats("near_dedup", n2, n3))
+
+    # 3. quality floor (identical per-doc filter)
+    cur = cur.filter(_quality_score() >= quality_min)
+    n4 = cur.count()
+    stats.append(StageStats("quality_filter", n3, n4))
+
+    # 4. decontamination (identical per-doc trigram overlap)
+    if holdout is not None:
+        ho_tri = (
+            holdout.select(F.explode(T.word_shingles(F.col("text"), 3)).alias("s"))
+            .distinct()
+        )
+        tri = cur.select(
+            "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("s")
+        )
+        contaminated = (
+            tri.join(F.broadcast(ho_tri), "s")
+            .groupBy("doc_id")
+            .agg(F.countDistinct("s").alias("n_shared"))
+            .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
+            .select("doc_id")
+        )
+        cur = cur.join(F.broadcast(contaminated), "doc_id", "left_anti")
+    n5 = cur.count()
+    stats.append(StageStats("decontamination", n4, n5))
+
+    # 5. emit survivors — overwrite of this batch's OWN directory
+    # (replay-idempotent), THEN fold the raw batch into the state; the
+    # mh counts partition is written last inside the index append, so
+    # its presence marks the whole batch (output + state) complete
+    out_dir = f"{_appends_path(out_path)}/batch_id={batch_id}"
+    cur.write.mode("overwrite").parquet(out_dir)
+    n_out = spark.read.parquet(out_dir).count()
+    stats.append(StageStats("emit", n5, n_out))
+    _write_fp_batch(state, batch_id, batch_docs)
+    append_to_minhash_index(f"{state}/mh", batch_docs, batch_id=batch_id)
+    release_loose_persists()
+    bfp.unpersist()
+    batch_docs.unpersist()
+    return stats
+
+
+def read_curated(spark: SparkSession, out_path: str) -> DataFrame:
+    """The curated corpus = the base emit plus every COMMITTED append
+    batch (a batch counts as committed once its mh counts partition
+    exists — written last in :func:`curate_append`)."""
+    import os
+
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        committed_batches,
+    )
+
+    base = spark.read.parquet(out_path)
+    ap = _appends_path(out_path)
+    if not os.path.exists(ap):
+        return base
+    committed = committed_batches(spark, f"{_state_path(out_path)}/mh")
+    appended = (
+        spark.read.option("basePath", ap).parquet(ap)
+        .filter(F.col("batch_id").isin([b for b in committed if b > 0]))
+        .drop("batch_id")
+    )
+    return base.unionByName(appended)
+
+
 def main() -> None:
-    """CLI: ``python -m bigdata_processing_spark.pipelines.curation
-    [sf_dir] [out_path]`` — run the full chain and print the ledger as
-    JSON lines."""
+    """CLI:
+
+    - ``python -m bigdata_processing_spark.pipelines.curation [sf_dir]
+      [out_path]`` — full chain (plus append state when ``--with-state``)
+    - ``python -m ... append <batch_parquet> [out_path]`` — curate one
+      append batch through the incremental state, printing the ledger
+      and the O(batch)-vs-corpus accounting.
+    """
     import json
     import sys
+    import time
 
     from bigdata_processing_spark.session import get_spark
 
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    out = sys.argv[2] if len(sys.argv) > 2 else "/tmp/curated_corpus"
+    args = [a for a in sys.argv[1:] if a != "--with-state"]
+    with_state = "--with-state" in sys.argv[1:]
     spark = get_spark("curate")
     spark.sparkContext.setLogLevel("ERROR")
-    import time
 
+    if args and args[0] == "append":
+        batch_path = args[1]
+        out = args[2] if len(args) > 2 else "/tmp/curated_corpus"
+        batch = spark.read.parquet(batch_path)
+        from bigdata_processing_spark.operators.incremental_dedup import (
+            index_doc_count,
+        )
+
+        idx_docs = index_doc_count(spark, f"{_state_path(out)}/mh")
+        t0 = time.monotonic()
+        sts = curate_append(spark, out, batch)
+        for st in sts:
+            print(json.dumps({"stage": st.stage, "docs_in": st.docs_in,
+                              "docs_out": st.docs_out, "removed": st.removed}))
+        print(json.dumps({
+            "total_wall_sec": round(time.monotonic() - t0, 2),
+            "batch_docs": sts[0].docs_in,
+            "index_docs_untouched": idx_docs,
+            "out": _appends_path(out),
+        }))
+        return
+
+    sf_dir = args[0] if args else "/root/testdata/sf0.1"
+    out = args[1] if len(args) > 1 else "/tmp/curated_corpus"
     t0 = time.monotonic()
-    for st in curate_corpus(spark, sf_dir, out):
+    fn = curate_corpus_with_state if with_state else curate_corpus
+    for st in fn(spark, sf_dir, out):
         print(json.dumps({"stage": st.stage, "docs_in": st.docs_in,
                           "docs_out": st.docs_out, "removed": st.removed}))
     print(json.dumps({"total_wall_sec": round(time.monotonic() - t0, 2),

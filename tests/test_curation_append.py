@@ -1,0 +1,98 @@
+"""Incremental curation (pipelines/curation.curate_append): the append
+path must equal a full recompute over the same corpus (balance off — the
+global stage the append path intentionally does not support), survive
+replays idempotently, and touch O(batch) docs rather than the corpus."""
+
+from __future__ import annotations
+
+import os
+
+from conftest import SF_SMALL
+
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table, table_path
+from bigdata_processing_spark.pipelines.curation import (
+    curate_append,
+    curate_corpus,
+    curate_corpus_with_state,
+    read_curated,
+)
+from bigdata_processing_spark.queries.dedup import clear_dedup_memos
+
+
+def _split_dirs(spark, tmp_path, frac: float = 0.9):
+    """(base_sf, full_sf, batch_df): the fixture documents split by id
+    ORDER — the append contract requires batch ids above indexed ids,
+    exactly the shape of a real ingest tail."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[int(len(ids) * frac)]
+    base_sf = os.path.join(str(tmp_path), "base_sf")
+    full_sf = os.path.join(str(tmp_path), "full_sf")
+    os.makedirs(base_sf, exist_ok=True)
+    os.makedirs(full_sf, exist_ok=True)
+    docs.filter(F.col("doc_id") < cut).write.parquet(
+        table_path(base_sf, "documents")
+    )
+    docs.write.parquet(table_path(full_sf, "documents"))
+    return base_sf, full_sf, docs.filter(F.col("doc_id") >= cut)
+
+
+def test_append_equals_full_recompute(spark, tmp_path):
+    clear_dedup_memos()
+    base_sf, full_sf, batch = _split_dirs(spark, tmp_path)
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+    sts = curate_append(spark, out, batch)
+    assert [s.stage for s in sts] == [
+        "exact_dedup", "near_dedup", "quality_filter", "decontamination",
+        "emit",
+    ]
+
+    out_full = os.path.join(str(tmp_path), "curated_full")
+    clear_dedup_memos()  # labels memoized per sf_dir — full run is fresh
+    curate_corpus(spark, full_sf, out_full, balance_sources=False)
+
+    incr = {r.doc_id for r in read_curated(spark, out).select("doc_id").collect()}
+    full = {
+        r.doc_id
+        for r in spark.read.parquet(out_full).select("doc_id").collect()
+    }
+    assert incr == full and len(incr) > 0
+    clear_dedup_memos()
+
+
+def test_append_replay_is_idempotent(spark, tmp_path):
+    """Re-running the same batch (foreachBatch redelivery / crash retry)
+    must converge to the identical curated set — every write is an
+    overwrite of the batch's own directories."""
+    clear_dedup_memos()
+    base_sf, _full_sf, batch = _split_dirs(spark, tmp_path)
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+    s1 = curate_append(spark, out, batch, batch_id=1)
+    first = {r.doc_id for r in read_curated(spark, out).select("doc_id").collect()}
+    s2 = curate_append(spark, out, batch, batch_id=1)  # replay
+    second = {r.doc_id for r in read_curated(spark, out).select("doc_id").collect()}
+    assert first == second
+    assert [(x.stage, x.docs_in, x.docs_out) for x in s1] == [
+        (x.stage, x.docs_in, x.docs_out) for x in s2
+    ]
+    clear_dedup_memos()
+
+
+def test_append_rejects_out_of_order_ids(spark, tmp_path):
+    """Batch ids at or below the indexed max violate the append
+    contract (an id reappearing is an upsert, and keep-min semantics
+    would silently invert) — refused loudly, not absorbed."""
+    import pytest
+
+    clear_dedup_memos()
+    base_sf, _full_sf, _batch = _split_dirs(spark, tmp_path)
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+    low = load_table(spark, base_sf, "documents").limit(3)
+    with pytest.raises(ValueError, match="append batch ids"):
+        curate_append(spark, out, low)
+    clear_dedup_memos()
