@@ -283,15 +283,11 @@ def incremental_dup_pairs(
     # combined bucket size = indexed members + batch members; the cap
     # must see both or a hot template split across batches evades it
     new_bsz = new_post.groupBy("bk").agg(F.count("*").alias("n_new"))
-    allowed = (
-        new_bsz.join(old_bsz, "bk", "left")
-        .select(
-            "bk",
-            (F.col("n_new") + F.coalesce(F.col("n"), F.lit(0))).alias("total"),
-        )
-        .filter(F.col("total") <= max_bucket)
-        .select("bk")
+    totals = new_bsz.join(old_bsz, "bk", "left").select(
+        "bk",
+        (F.col("n_new") + F.coalesce(F.col("n"), F.lit(0))).alias("total"),
     )
+    allowed = totals.filter(F.col("total") <= max_bucket).select("bk")
     probe = new_post.join(allowed, "bk")
 
     cross = probe.join(
@@ -303,8 +299,37 @@ def incremental_dup_pairs(
     within = probe.join(b2, "bk").filter(F.col("doc_id") < F.col("d2x")).select(
         F.col("doc_id").alias("d1"), F.col("d2x").alias("d2")
     )
+    # Over-cap buckets the batch lands in: member×representative stars
+    # (operators/skew.rep_star_pairs — same geometry and md5-ordered
+    # selection as the batch family), restricted to batch-involving
+    # pairs. Without this a batch arriving into a LARGE near-dup family
+    # (every band bucket already over cap) probes ZERO pairs — measured
+    # at the 100× clone corpus, the incremental sibling of the skip bug
+    # the batch family fixed in round 6. Membership unions indexed +
+    # batch members of the TOUCHED over-cap buckets only, so the old
+    # side stays bounded by the batch's bucket footprint.
+    from bigdata_processing_spark.operators.skew import rep_star_pairs
+
+    over = totals.filter(F.col("total") > max_bucket).select("bk")
+    over_members = (
+        new_post.join(over, "bk")
+        .unionByName(old_post.join(over, "bk"))
+        .groupBy("bk")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+    )
+    stars = rep_star_pairs(over_members, max_bucket)
+    new_ids = new_shset.select("doc_id")
+    stars_b = stars.join(
+        F.broadcast(new_ids.withColumnRenamed("doc_id", "d1")), "d1", "semi"
+    ).unionByName(
+        stars.join(
+            F.broadcast(new_ids.withColumnRenamed("doc_id", "d2")), "d2", "semi"
+        )
+    )
     cand = (
-        cross.filter(F.col("d1") != F.col("d2")).unionByName(within)
+        cross.filter(F.col("d1") != F.col("d2"))
+        .unionByName(within)
+        .unionByName(stars_b)
         .distinct().persist()
     )
     _LOOSE_PERSISTS.append(cand)

@@ -66,3 +66,57 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     )
     small_s = small.crossJoin(F.broadcast(salts))
     return big_s.join(small_s, [key, "__salt"]).drop("__salt")
+
+
+def rep_star_pairs(members: DataFrame, max_bucket: int) -> DataFrame:
+    """Member×representative star pairs for OVER-CAP LSH buckets — the
+    bounded alternative to both skipping the bucket (silent zero recall
+    on large non-identical near-dup families) and expanding it
+    quadratically (a B-doc bucket is B² pairs).
+
+    ``members`` must carry ``(bk, ds array<id>)`` rows (one per bucket,
+    ``ds`` the sorted member ids). Buckets with ``size(ds) >
+    max_bucket`` keep ``ceil(B/max_bucket)`` representatives — the first
+    members in ``md5(doc_id)`` order, deterministic and ingestion-order-
+    free — and every member pairs against the representatives only:
+    O(B·B/max_bucket) candidates, and the star shape still lets
+    connected components recover the whole family as one cluster. A SQL
+    twin reproduces the selection with ``row_number() OVER (PARTITION BY
+    bk ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)``.
+
+    All array expressions on the grouped member list — no shuffle beyond
+    the groupBy that built ``members``. Known bound: a single bucket's
+    member array must fit one row (the DF prune upstream removes the
+    boilerplate shingles that would otherwise mint corpus-sized
+    buckets)."""
+    ds_hash_ordered = F.transform(
+        F.array_sort(
+            F.transform(
+                "ds",
+                lambda d: F.struct(
+                    F.md5(d.cast("string")).alias("h"), d.alias("d")
+                ),
+            )
+        ),
+        lambda s: s.getField("d"),
+    )
+    n_reps = F.ceil(
+        F.size("ds").cast("double") / F.lit(float(max_bucket))
+    ).cast("int")
+    rep_pairs = F.flatten(
+        F.transform(
+            F.slice(ds_hash_ordered, F.lit(1), n_reps),
+            lambda r: F.transform(
+                "ds",
+                lambda m: F.struct(
+                    F.least(r, m).alias("d1"), F.greatest(r, m).alias("d2")
+                ),
+            ),
+        )
+    )
+    return (
+        members.filter(F.size("ds") > max_bucket)
+        .select(F.explode(rep_pairs).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+        .filter(F.col("d1") != F.col("d2"))
+    )

@@ -69,22 +69,32 @@ def _shingle_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     return docs.select("doc_id", T.word_shingles(F.col("text"), 2).alias("sh"))
 
 
-def _sig_from_shex(shex: DataFrame) -> DataFrame:
+def _sig_from_shex(shex: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
     """(doc_id, shingle) → minhash signature h0..h{k-1}.
 
     Dictionary-encoded hashing: digests are computed once per DISTINCT
     shingle and joined back (n-gram vocabularies are far smaller than
     occurrence counts — 931 vs 256k at sf0.1; 2x on the full pipeline
     WITH the explicit broadcast hint — AQE does not convert this join on
-    its own). At corpus scales where the vocabulary outgrows a
-    broadcast, drop the hint: it degrades to a shuffle join keyed by
-    shingle, still one digest per distinct shingle."""
+    its own). ``broadcast_vocab=False`` drops the hint for corpus scales
+    where the vocabulary outgrows a broadcast (_scored_candidates passes
+    the same uncompressed-size regime switch that gates its verify join): the
+    join degrades to a shuffle keyed by shingle, still one digest per
+    distinct shingle."""
     vocab = shex.select("s").distinct().select(
         "s",
         *[h.alias(f"v{i}") for i, h in enumerate(T.minhash_hashes(F.col("s"), N_HASHES))],
     )
+    # big regime: hint MERGE, don't merely drop the broadcast hint.
+    # Catalyst's static size estimate through explode+aggregate is the
+    # compressed file size shrunk by selectivity guesses — at the 100×
+    # proof corpus it undercounted a ~1 GB relation below the 10 MB
+    # auto-broadcast threshold and OOM'd the driver. The explicit
+    # sort-merge hint makes the big-regime plan independent of the
+    # estimator.
+    vocab = F.broadcast(vocab) if broadcast_vocab else vocab.hint("merge")
     return (
-        shex.join(F.broadcast(vocab), "s")
+        shex.join(vocab, "s")
         .groupBy("doc_id")
         .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(N_HASHES)])
     )
@@ -353,27 +363,52 @@ def _verified_dup_pairs(
     return out
 
 
-def _docs_on_disk_bytes(sf_dir: str) -> int:
-    """On-disk size of the documents table (file or directory) — pure
-    filesystem metadata, no Spark job."""
+def _docs_uncompressed_bytes(sf_dir: str) -> int:
+    """UNCOMPRESSED byte size of the documents table from the parquet
+    column-chunk footers — pure file metadata, no Spark job.
+
+    Compressed file size is the wrong proxy for in-memory relation size:
+    compression ratio varies wildly with content (the 100× clone proof
+    corpus packs 156 MB of text into 56 MB on disk — a ratio a real
+    boilerplate-heavy web crawl can match), so a disk-based threshold
+    silently re-enters broadcast territory exactly when duplication is
+    worst. Footer uncompressed sizes are ratio-independent. Falls back
+    to 3 × file size when a footer can't be read."""
+    import glob
     import os
 
-    from bigdata_processing_spark.operators.compaction import table_file_stats
-
     p = os.path.join(sf_dir, "documents.parquet")
-    if os.path.isfile(p):
-        return os.path.getsize(p)
-    return table_file_stats(p)[1]
+    files = [p] if os.path.isfile(p) else sorted(
+        glob.glob(os.path.join(p, "*.parquet"))
+    )
+    try:
+        import pyarrow.parquet as pq
+
+        total = 0
+        for f in files:
+            md = pq.ParquetFile(f).metadata
+            for rg in range(md.num_row_groups):
+                g = md.row_group(rg)
+                total += sum(
+                    g.column(c).total_uncompressed_size
+                    for c in range(g.num_columns)
+                )
+        return total
+    except Exception:
+        return 3 * sum(os.path.getsize(f) for f in files)
 
 
 # Broadcasting a side of the verify join ships the WHOLE corpus's shingle
 # sets to every executor — fine while the corpus is dimension-table-sized,
-# an OOM at corpus scale. Estimated in-memory bytes = 4 × on-disk parquet
-# (snappy decompresses ~2-3×; array-of-string rows add offset/pointer
-# overhead). Above the cap the verify join degrades to a doc_id-keyed
-# shuffle join: still candidate-bounded, no broadcast anywhere.
+# an OOM at corpus scale. Estimated in-memory bytes = 8 × uncompressed
+# parquet text (each ~15-char shingle string becomes a ~70-byte JVM
+# object — 2-byte chars + header/padding — and the shingle arrays
+# re-materialize most of the text; measured: the 156 MB-uncompressed
+# 100× proof corpus OOM'd an 8 GB driver as a forced broadcast). Above
+# the cap every corpus-sized join in the pipeline degrades to a
+# key-shuffle join: still candidate-bounded, no broadcast anywhere.
 VERIFY_BROADCAST_MAX_BYTES = 512 << 20
-_DISK_TO_MEM_MULT = 4
+_UNCOMP_TO_MEM_MULT = 8
 
 
 def _scored_candidates(
@@ -423,20 +458,34 @@ def _scored_candidates(
     # docs→shingles subtree four times — measured 4x slower).
     shset = _shingle_df(spark, sf_dir).persist()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
+    # ONE regime decision (uncompressed-size proxy) gates every corpus-sized
+    # broadcast in this pipeline: the df-prune vocab join, the signature
+    # dictionary join, and the verify join. Past the bound they all
+    # degrade to key-shuffle joins — the 100x proof OOM'd the first
+    # forced vocab broadcast at 500k docs.
+    fits_broadcast = (
+        _UNCOMP_TO_MEM_MULT * _docs_uncompressed_bytes(sf_dir)
+        <= verify_broadcast_max_bytes
+    )
     if max_df is not None:
         import math
 
         # effective cap: floor for tiny corpora, fraction at scale —
         # n_docs via the persisted shingle frame (one row per doc)
         eff_df = max(max_df, int(math.ceil(max_df_frac * shset.count())))
-        # document frequency per shingle; vocabulary-sized, broadcast back
+        # document frequency per shingle — VOCABULARY-sized, which grows
+        # with the corpus: broadcast only in the small regime
         dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
-        shex_sig = shex.join(
-            F.broadcast(dfreq.filter(F.col("df") <= eff_df)), "s"
-        ).select("doc_id", "s")
+        keep_vocab = dfreq.filter(F.col("df") <= eff_df)
+        # big regime: MERGE hint, not just no-hint — see _sig_from_shex
+        keep_vocab = (
+            F.broadcast(keep_vocab) if fits_broadcast
+            else keep_vocab.hint("merge")
+        )
+        shex_sig = shex.join(keep_vocab, "s").select("doc_id", "s")
     else:
         shex_sig = shex
-    sig = _sig_from_shex(shex_sig)
+    sig = _sig_from_shex(shex_sig, broadcast_vocab=fits_broadcast)
 
     band_keys = F.array(
         *[
@@ -469,45 +518,15 @@ def _scored_candidates(
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
     )
     if max_bucket is not None:
-        # Over-cap buckets: member×representative stars instead of a skip.
-        # Representatives are the first ceil(B/max_bucket) members in
-        # md5(doc_id) order — deterministic, ingestion-order-free, and
-        # reproduced verbatim by the DuckDB twin's row_number window.
-        # All array ops on the grouped member list: no extra shuffle
-        # beyond the (bk, doc_id) groupBy the under-cap branch already
-        # paid for.
-        ds_hash_ordered = F.transform(
-            F.array_sort(
-                F.transform(
-                    "ds",
-                    lambda d: F.struct(
-                        F.md5(d.cast("string")).alias("h"), d.alias("d")
-                    ),
-                )
-            ),
-            lambda s: s.getField("d"),
-        )
-        n_reps = F.ceil(
-            F.size("ds").cast("double") / F.lit(float(max_bucket))
-        ).cast("int")
-        rep_pairs = F.flatten(
-            F.transform(
-                F.slice(ds_hash_ordered, F.lit(1), n_reps),
-                lambda r: F.transform(
-                    "ds",
-                    lambda m: F.struct(
-                        F.least(r, m).alias("d1"), F.greatest(r, m).alias("d2")
-                    ),
-                ),
-            )
-        )
-        cand_over = (
-            members.filter(F.size("ds") > max_bucket)
-            .select(F.explode(rep_pairs).alias("p"))
-            .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-            .filter(F.col("d1") != F.col("d2"))
-        )
-        cand = cand.unionByName(cand_over)
+        # Over-cap buckets: member×representative stars instead of a skip
+        # (operators/skew.rep_star_pairs — md5-ordered representative
+        # selection, reproduced verbatim by the DuckDB twin's row_number
+        # window). All array ops on the grouped member list: no extra
+        # shuffle beyond the (bk, doc_id) groupBy the under-cap branch
+        # already paid for.
+        from bigdata_processing_spark.operators.skew import rep_star_pairs
+
+        cand = cand.unionByName(rep_star_pairs(members, max_bucket))
     cand = cand.distinct()
     # Size-aware verify join: broadcasting the shingle-set lookups avoids
     # shuffling the candidate pairs twice (measured 1.7x on the full
@@ -517,10 +536,12 @@ def _scored_candidates(
     # candidate-bounded, no corpus-sized broadcast to OOM on.
     s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
-    if _DISK_TO_MEM_MULT * _docs_on_disk_bytes(sf_dir) <= verify_broadcast_max_bytes:
+    if fits_broadcast:
         joined = cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
     else:
-        joined = cand.join(s1, "d1").join(s2, "d2")
+        joined = cand.join(s1.hint("merge"), "d1").join(
+            s2.hint("merge"), "d2"
+        )
     out = (
         joined.select(
             "d1",
@@ -644,13 +665,31 @@ def minhash_unguarded_dup_pairs(
         f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
     ) + f"""]) AS bk FROM sig),
         bsz AS (SELECT bk, count(*) AS n FROM bands GROUP BY bk),
+        reps_i AS (
+            SELECT bk, doc_id FROM (
+                SELECT a.bk, a.doc_id, z.n,
+                       row_number() OVER (
+                           PARTITION BY a.bk
+                           ORDER BY md5(CAST(a.doc_id AS VARCHAR)), a.doc_id
+                       ) AS rn
+                FROM bands a JOIN bsz z ON a.bk = z.bk
+                WHERE z.n > {MAX_BUCKET}
+            ) WHERE rn <= CAST(ceil(n / CAST({MAX_BUCKET} AS DOUBLE)) AS BIGINT)
+        ),
         cand AS (
-            SELECT DISTINCT a.doc_id AS d1, b.doc_id AS d2
-            FROM bands a
-            JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
-            JOIN bsz ON a.bk = bsz.bk
-            WHERE bsz.n <= {MAX_BUCKET}
-              AND (a.doc_id % 4 = 0 OR b.doc_id % 4 = 0)
+            SELECT DISTINCT d1, d2 FROM (
+                SELECT a.doc_id AS d1, b.doc_id AS d2
+                FROM bands a
+                JOIN bands b ON a.bk = b.bk AND a.doc_id < b.doc_id
+                JOIN bsz ON a.bk = bsz.bk
+                WHERE bsz.n <= {MAX_BUCKET}
+                UNION ALL
+                SELECT least(r.doc_id, m.doc_id) AS d1,
+                       greatest(r.doc_id, m.doc_id) AS d2
+                FROM reps_i r
+                JOIN bands m ON r.bk = m.bk AND r.doc_id <> m.doc_id
+            )
+            WHERE d1 % 4 = 0 OR d2 % 4 = 0
         )
         SELECT c.d1, c.d2,
                len(list_intersect(s1.sh, s2.sh))::DOUBLE
@@ -706,21 +745,42 @@ def incremental_dedup_pairs(
     bsz = bands.groupBy("bk").agg(F.count("*").alias("n"))
     a = bands.select("bk", F.col("doc_id").alias("d1"))
     b = bands.select("bk", F.col("doc_id").alias("d2"))
-    cand = (
+    under = (
         a.join(b, "bk")
         .filter(F.col("d1") < F.col("d2"))
         .join(bsz.filter(F.col("n") <= MAX_BUCKET).select("bk"), "bk")
-        .filter((F.col("d1") % 4 == 0) | (F.col("d2") % 4 == 0))
         .select("d1", "d2")
+    )
+    # over-cap buckets: member×representative stars (operators/skew),
+    # same geometry as the batch family since round 6 — without it a
+    # batch arriving into a large near-dup family probes ZERO pairs
+    # (measured at the 100× clone corpus)
+    from bigdata_processing_spark.operators.skew import rep_star_pairs
+
+    members = bands.groupBy("bk").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ds")
+    )
+    cand = (
+        under.unionByName(rep_star_pairs(members, MAX_BUCKET))
+        .filter((F.col("d1") % 4 == 0) | (F.col("d2") % 4 == 0))
         .distinct()
     )
     s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    # same uncompressed-size regime switch as _scored_candidates: the
+    # shingle-set lookups are corpus-sized
+    if (
+        _UNCOMP_TO_MEM_MULT * _docs_uncompressed_bytes(sf_dir)
+        <= VERIFY_BROADCAST_MAX_BYTES
+    ):
+        s1, s2 = F.broadcast(s1), F.broadcast(s2)
+    else:
+        s1, s2 = s1.hint("merge"), s2.hint("merge")
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
     return (
-        cand.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        cand.join(s1, "d1")
+        .join(s2, "d2")
         .select(
             "d1",
             "d2",

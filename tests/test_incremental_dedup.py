@@ -377,3 +377,42 @@ def test_streaming_bridge_crash_midbatch_replay_converges(spark, tmp_path):
         for r in spark.read.parquet(pairs_c).select("d1", "d2").collect()
     }
     assert {(100, 200), (100, 201), (200, 201)} <= got
+
+
+def test_probe_into_overcap_family_uses_representative_stars(spark, tmp_path):
+    """A batch arriving into a near-dup family LARGER than MAX_BUCKET
+    must still probe pairs — over-cap buckets pair members against
+    ceil(B/MAX_BUCKET) md5-ordered representatives (operators/skew),
+    matching the batch family's round-6 geometry. Before this fix the
+    probe skipped over-cap buckets whole and returned ZERO pairs
+    (measured at the 100x clone corpus: 0 pairs from 50k probe docs)."""
+    from bigdata_processing_spark.thresholds import MAX_BUCKET
+
+    fam = "template family text alpha beta gamma delta epsilon zeta eta"
+    n_fam = MAX_BUCKET + 15  # every band bucket of the family is over cap
+    base = {i: fam for i in range(n_fam)}
+    base.update({1000 + i: f"filler doc {i} aa{i} bb{i*3} cc{i*7}"
+                 for i in range(10)})
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+
+    batch = _mini_corpus(spark, {5000: fam, 5001: fam})
+    pairs = incremental_dup_pairs(batch, idx)
+    rows = pairs.collect()
+    got = {(r.d1, r.d2) for r in rows}
+    assert got, "over-cap family probe returned zero pairs"
+    # every pair involves the batch and verifies at full similarity
+    assert all(r.d2 >= 5000 or r.d1 >= 5000 for r in rows)
+    assert all(r.jaccard == 1.0 for r in rows)
+    # both batch docs are connected to the family (star recoverability)
+    touched = {d for p in got for d in p}
+    assert 5000 in touched and 5001 in touched
+    assert any(d < n_fam for d in touched), "no link back to indexed family"
+    # bounded: far fewer pairs than the quadratic 2·(n_fam+2) expansion
+    import math
+    n_reps = math.ceil((n_fam + 2) / MAX_BUCKET)
+    assert len(got) <= 4 * (n_reps + 1) * 2 + n_fam  # loose star bound
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        release_loose_persists,
+    )
+    release_loose_persists()

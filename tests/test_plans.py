@@ -280,14 +280,18 @@ def test_verify_join_size_aware_regimes(spark):
     )
 
     def verify_join_lines(df):
-        # the verify joins key on d1/d2; the hinted vocabulary joins
-        # (key `s`, vocabulary-sized, always fine to broadcast) are out
-        # of scope for the regime switch
+        # the verify joins key on d1/d2; the vocabulary join (key `s`)
+        # is covered by the same switch since round 6 (the 100x proof
+        # OOM'd its forced broadcast) and asserted separately below
         plan = df._jdf.queryExecution().executedPlan().toString()
         return [
             ln for ln in plan.splitlines()
             if "Join [d1#" in ln or "Join [d2#" in ln
         ]
+
+    def vocab_join_lines(df):
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [ln for ln in plan.splitlines() if "Join [s#" in ln]
 
     # Disable size-based auto-broadcast so the plans show only what the
     # generator ASKED for. (With it on, AQE rightly re-converts the tiny
@@ -303,12 +307,18 @@ def test_verify_join_size_aware_regimes(spark):
         sh = _scored_candidates(spark, SF_SMALL, verify_broadcast_max_bytes=0)
         sh_joins = verify_join_lines(sh)
         assert sh_joins and all("BroadcastHashJoin" not in ln for ln in sh_joins)
+        sh_vocab = vocab_join_lines(sh)
+        assert sh_vocab and all(
+            "BroadcastHashJoin" not in ln for ln in sh_vocab
+        ), "df-prune vocab join must not force a broadcast past the cap"
         sh_rows = sorted(tuple(r) for r in sh.collect())
 
         clear_dedup_memos()
         bc = _scored_candidates(spark, SF_SMALL)  # default cap: hint present
         bc_joins = verify_join_lines(bc)
         assert bc_joins and all("BroadcastHashJoin" in ln for ln in bc_joins)
+        bc_vocab = vocab_join_lines(bc)
+        assert bc_vocab and all("BroadcastHashJoin" in ln for ln in bc_vocab)
         bc_rows = sorted(tuple(r) for r in bc.collect())
 
         assert bc_rows == sh_rows
