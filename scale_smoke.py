@@ -27,10 +27,19 @@ from bigdata_processing_spark.queries import bench_queries
 from bigdata_processing_spark.session import get_spark
 
 SCALED = {
-    # table -> (id columns to shift, shift key source column for span)
-    "documents": ("doc_id",),
-    "embeddings": ("vec_id",),
-    "events": ("event_id", "user_id"),
+    # table -> {id column -> span group}. Columns sharing a span group
+    # are shifted by the SAME stride (the group's max over all member
+    # columns + 1): l_orderkey and o_orderkey must move together or the
+    # cloned lineitem rows would join the wrong cloned orders.
+    "documents": {"doc_id": "doc_id"},
+    "embeddings": {"vec_id": "vec_id"},
+    "events": {"event_id": "event_id", "user_id": "user_id"},
+    # relational facts (round 6): orders/lineitem clone n-fold with
+    # orderkeys shifted in lockstep; custkey/suppkey/partkey stay
+    # unshifted, referencing the symlinked unscaled dims — the realistic
+    # scale-up shape (fact tables grow, dimensions don't)
+    "orders": {"o_orderkey": "orderkey"},
+    "lineitem": {"l_orderkey": "orderkey"},
 }
 
 QUERIES = [
@@ -71,11 +80,30 @@ QUERIES = [
     "doc_novelty_bands",
     "bigram_perplexity_bands",
     "pq_adc_knn",
+    # round 6: relational-fact operators, never before run above sf0.1
+    # (orders/lineitem now clone with lockstep orderkey shifts)
+    "bloom_prejoin_revenue",
+    "kmv_set_algebra",
+    "salted_supplier_totals",
+    "wei_decimal_topk",
+    "pricing_summary",
+    "hot_key_skew_report",
 ]
 
 
 def build_scaled_dir(spark, sf_dir: str, n: int, out_dir: str) -> str:
     os.makedirs(out_dir, exist_ok=True)
+    # pass 1: span per group = max over every member column + 1 (a
+    # per-column span would collide clones when ranges differ, and
+    # desynchronize join keys shared across tables)
+    group_span: dict[str, int] = {}
+    for t, cols in SCALED.items():
+        if not os.path.exists(table_path(sf_dir, t)):
+            continue
+        df = load_table(spark, sf_dir, t)
+        row = df.agg(*[F.max(c).alias(c) for c in cols]).collect()[0]
+        for c, g in cols.items():
+            group_span[g] = max(group_span.get(g, 0), row[c] + 1)
     for t in TABLES:
         src = table_path(sf_dir, t)
         if not os.path.exists(src):
@@ -85,19 +113,18 @@ def build_scaled_dir(spark, sf_dir: str, n: int, out_dir: str) -> str:
             if not os.path.exists(dst):
                 os.symlink(src, dst)
             continue
-        if os.path.exists(dst):
+        if os.path.islink(dst):  # left by a run before this table scaled
+            os.unlink(dst)
+        elif os.path.exists(dst):
             shutil.rmtree(dst)
         df = load_table(spark, sf_dir, t)
-        id_cols = SCALED[t]
-        # per-column spans: shifting a secondary id by the primary's span
-        # would collide clones with originals if its range were larger
-        spans = df.agg(*[F.max(c).alias(c) for c in id_cols]).collect()[0]
-        span = {c: spans[c] + 1 for c in id_cols}
         parts = [df]
         for k in range(1, n):
             shifted = df
-            for c in id_cols:
-                shifted = shifted.withColumn(c, F.col(c) + F.lit(k * span[c]))
+            for c, g in SCALED[t].items():
+                shifted = shifted.withColumn(
+                    c, F.col(c) + F.lit(k * group_span[g])
+                )
             parts.append(shifted)
         out = parts[0]
         for p in parts[1:]:
