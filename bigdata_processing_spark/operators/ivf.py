@@ -132,10 +132,11 @@ def trained_centroids(
         return cents
     base = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__tc_e"))
     for _ in range(n_iter):
-        assigned = seeded_assign_cells(base, cents, id_col=id_col, e_col="__tc_e")
+        assigned = seeded_assign_cells(
+            base, cents, id_col=id_col, e_col="__tc_e", carry=("__tc_e",)
+        )
         rows = (
-            base.join(assigned, id_col)
-            .select("cell", F.posexplode("__tc_e").alias("pos", "val"))
+            assigned.select("cell", F.posexplode("__tc_e").alias("pos", "val"))
             .groupBy("cell", "pos")
             .agg(F.round(F.avg("val"), 6).alias("m"))
             .groupBy("cell")
@@ -222,10 +223,10 @@ def seeded_probe_cells(cents: list[list[float]], n_probe: int, e_col: str = "e")
 
 def seeded_assign_cells(
     emb: DataFrame, cents: list[list[float]], id_col: str = "vec_id",
-    e_col: str = "e",
+    e_col: str = "e", carry: tuple[str, ...] = (),
 ) -> DataFrame:
-    """(id, cell) assignment against seed centroids via a broadcast
-    join + min-struct aggregation — bit-identical to
+    """(id, *carry, cell) assignment against seed centroids via a
+    broadcast join + min-struct aggregation — bit-identical to
     :func:`seeded_assign_best` but with an O(1)-size plan.
 
     The literal-SQL form embeds cells×dim double literals: at 51 cells ×
@@ -238,6 +239,13 @@ def seeded_assign_cells(
     ``aggregate(zip_with(e, cent))`` IEEE fold, and c·c is the same
     sequential Python fold stored exactly as a double, so assignments
     match the SQL oracle bit-for-bit (asserted in tests/test_ivf.py).
+
+    ``carry`` names columns of ``emb`` to pass through the aggregation
+    (``any_value`` — deterministic because each carried value is
+    constant within its id group), so callers that need the embedding or
+    metadata next to the cell label avoid an n-row shuffle join back
+    onto ``emb`` (the pre-round-6 pattern cost one such join per Lloyd
+    iteration and one per celled-query memo build).
 
     Shuffle: the crossJoin is broadcast (k rows); the argmin agg
     combines map-side to one struct per id before any exchange."""
@@ -258,12 +266,21 @@ def seeded_assign_cells(
         F.lit(0.0),
         lambda acc, v: acc + v,
     )
+    carried = [c for c in carry if c != id_col]
+    in_cols = [id_col, e_col] + [c for c in carried if c != e_col]
     return (
-        emb.select(id_col, e_col)
+        emb.select(*in_cols)
         .crossJoin(F.broadcast(cdf))
-        .select(id_col, F.struct(sc_expr.alias("s"), F.col("cell")).alias("sc"))
+        .select(
+            id_col,
+            *carried,
+            F.struct(sc_expr.alias("s"), F.col("cell")).alias("sc"),
+        )
         .groupBy(id_col)
-        .agg(F.min("sc").getField("cell").alias("cell"))
+        .agg(
+            *[F.any_value(c).alias(c) for c in carried],
+            F.min("sc").getField("cell").alias("cell"),
+        )
     )
 
 

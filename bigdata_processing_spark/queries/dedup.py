@@ -1174,7 +1174,7 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
         F.col("embedding").cast("array<double>").alias("e"),
         V.norm(F.col("embedding")).alias("nrm"),
     )
-    base = base.join(seeded_assign_cells(base, cents), "vec_id").persist()
+    base = seeded_assign_cells(base, cents, carry=("label", "e", "nrm")).persist()
     _EMB_MEMO[memo_key] = (base, cents)
     return base, cents
 

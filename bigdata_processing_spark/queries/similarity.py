@@ -1111,7 +1111,7 @@ def ivf_append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = seed_centroids(emb.filter(F.col("is_base")), APPEND_K, vec_col="e")
     # join-form assigner: bit-equal to the oracle's literal score array
     # with an O(1)-size plan (operators/ivf.seeded_assign_cells)
-    assigned = emb.join(seeded_assign_cells(emb, cents), "vec_id")
+    assigned = seeded_assign_cells(emb, cents, carry=("is_base",))
     counts = assigned.groupBy("cell").agg(
         F.sum(F.when(F.col("is_base"), 1).otherwise(0)).alias("n_base_vecs"),
         F.sum(F.when(F.col("is_base"), 0).otherwise(1)).alias("n_appended_vecs"),

@@ -377,6 +377,41 @@ def test_seeded_assign_join_matches_literal_sql_form(spark):
     assert lit == join and len(lit) == emb.count()
 
 
+def test_seeded_assign_carry_equals_join_back(spark):
+    """carry= passthrough (any_value over columns constant within the id
+    group) must equal the pre-round-6 pattern of joining the assignment
+    back onto the input — same rows, same cells, embeddings intact —
+    while removing the n-row shuffle join (one per Lloyd iteration, one
+    per celled-memo build)."""
+    from bigdata_processing_spark.operators.ivf import (
+        seed_centroids,
+        seeded_assign_cells,
+    )
+
+    emb = load_table(spark, SF, "embeddings").select(
+        "vec_id",
+        "label",
+        F.col("embedding").cast("array<double>").alias("e"),
+    )
+    cents = seed_centroids(emb, 13, vec_col="e")
+    carried = seeded_assign_cells(emb, cents, carry=("label", "e"))
+    assert carried.columns == ["vec_id", "label", "e", "cell"]
+    joined = emb.join(seeded_assign_cells(emb, cents), "vec_id")
+    a = {
+        (r.vec_id, r.label, tuple(r.e), r.cell) for r in carried.collect()
+    }
+    b = {(r.vec_id, r.label, tuple(r.e), r.cell) for r in joined.collect()}
+    assert a == b and len(a) == emb.count()
+    # the carried plan must not re-join the input: exactly one scan of
+    # the embeddings source feeds it (executedPlan().toString() would
+    # double-count — AQE prints Final + Initial sections)
+    from bigdata_processing_spark.plans.inspect import explain_str
+
+    plan = explain_str(carried, "simple").split("== Initial Plan ==")[0]
+    assert plan.count("FileScan") <= 1, plan[:1500]
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+
+
 def test_ivfpq_recall_vs_exact(spark):
     """IVF-PQ (coarse cells × PQ codes — the canonical billion-scale
     layout): multi-probe ADC recall@5 must stay useful vs exact cosine,
