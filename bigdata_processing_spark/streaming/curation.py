@@ -47,6 +47,65 @@ def read_documents_stream(spark: SparkSession, sf_dir: str,
     return reader.parquet(stage)
 
 
+def run_curation_append_stream(
+    stream: DataFrame,
+    out_path: str,
+    holdout: DataFrame | None = None,
+    quality_min: float = QUALITY_MIN,
+    checkpoint: str | None = None,
+):
+    """Streaming front for INCREMENTAL curation: per micro-batch, run
+    :func:`pipelines.curation.curate_append` against the state built by
+    ``curate_corpus_with_state`` — exact dedup vs the bucketed
+    fingerprint store, near-dup via the incremental MinHash probe,
+    quality floor, decontamination — then record the batch's stage
+    funnel under ``{out}.state/stage_log/batch_id=N/`` (state dir, not
+    the appends dir — survivor partition discovery must see only
+    ``batch_id=N`` directories there).
+
+    Exactly-once by IDEMPOTENCE, the same discipline as
+    operators/incremental_dedup.run_incremental_dedup_stream: every
+    write inside curate_append is an overwrite of the batch's OWN
+    directories keyed by the Structured Streaming batch id (+1 — id 0
+    is the base-corpus state), its index probe/fp scan exclude the
+    batch's own id, and the stage log is overwritten last, so a
+    foreachBatch redelivery converges to byte-identical survivors and
+    an identical funnel (tests/test_curation_append.py replay test).
+    Returns the started query."""
+    from bigdata_processing_spark.pipelines.curation import (
+        _state_path,
+        curate_append,
+    )
+
+    def sink(batch_df: DataFrame, batch_id: int) -> None:
+        bid = int(batch_id) + 1  # batch 0 is the base-corpus build
+        stats = curate_append(
+            batch_df.sparkSession, out_path, batch_df, holdout=holdout,
+            quality_min=quality_min, batch_id=bid,
+        )
+        batch_df.sparkSession.createDataFrame(
+            [(s.stage, i, s.docs_in, s.docs_out) for i, s in enumerate(stats)],
+            "stage string, stage_idx int, docs_in long, docs_out long",
+        ).coalesce(1).write.mode("overwrite").parquet(
+            f"{_state_path(out_path)}/stage_log/batch_id={bid}"
+        )
+
+    writer = stream.writeStream.foreachBatch(sink).trigger(availableNow=True)
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer.start()
+
+
+def read_append_funnel(spark: SparkSession, out_path: str) -> DataFrame:
+    """Per-batch stage funnel recorded by the streaming append sink."""
+    from bigdata_processing_spark.pipelines.curation import _state_path
+
+    return (
+        spark.read.parquet(f"{_state_path(out_path)}/stage_log")
+        .orderBy("batch_id", "stage_idx")
+    )
+
+
 def curate_stream(docs: DataFrame, quality_min: float = QUALITY_MIN) -> DataFrame:
     """Quality floor + exact dedup on the content fingerprint.
 

@@ -96,3 +96,43 @@ def test_append_rejects_out_of_order_ids(spark, tmp_path):
     with pytest.raises(ValueError, match="append batch ids"):
         curate_append(spark, out, low)
     clear_dedup_memos()
+
+
+def test_streaming_append_front_matches_full_recompute(spark, tmp_path):
+    """The streaming front (streaming/curation.run_curation_append_stream)
+    must land the same curated set as the batch recompute and record a
+    per-batch stage funnel: foreachBatch -> curate_append, exactly-once
+    by the same overwrite-own-partition idempotence as the dedup bridge."""
+    from bigdata_processing_spark.streaming.curation import (
+        read_append_funnel,
+        run_curation_append_stream,
+    )
+
+    clear_dedup_memos()
+    base_sf, full_sf, batch = _split_dirs(spark, tmp_path)
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+
+    arrivals = os.path.join(str(tmp_path), "arrivals")
+    batch.coalesce(1).write.parquet(arrivals)
+    stream = spark.readStream.schema(batch.schema).parquet(arrivals)
+    q = run_curation_append_stream(
+        stream, out, checkpoint=os.path.join(str(tmp_path), "ckpt")
+    )
+    q.awaitTermination()
+
+    out_full = os.path.join(str(tmp_path), "curated_full")
+    clear_dedup_memos()
+    curate_corpus(spark, full_sf, out_full, balance_sources=False)
+    incr = {r.doc_id for r in read_curated(spark, out).select("doc_id").collect()}
+    full = {
+        r.doc_id for r in spark.read.parquet(out_full).select("doc_id").collect()
+    }
+    assert incr == full and len(incr) > 0
+
+    funnel = read_append_funnel(spark, out).collect()
+    assert [r.stage for r in funnel] == [
+        "exact_dedup", "near_dedup", "quality_filter", "decontamination", "emit"
+    ]
+    assert funnel[0].batch_id == 1 and funnel[0].docs_in == batch.count()
+    clear_dedup_memos()
