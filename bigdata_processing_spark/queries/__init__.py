@@ -58,17 +58,20 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-5 rotation: the round's NEW queries lead (SemDeDup ε sweep,
-    # IVF-celled hard negatives, the unguarded audit baseline), then the
-    # whole dedup family re-confirms under the regenerated guarded
-    # oracles (guards default-on + relative DF cap), then the four
-    # queries r04 flagged for cold re-measure; everything union-green
-    # follows.
+    # round-6 rotation: no NEW registrations this round — instead two
+    # families changed OUTPUTS and lead for re-confirmation: the celled
+    # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
+    # oracles regenerated) and the guarded dedup family (over-cap LSH
+    # buckets now emit representative star pairs instead of being
+    # skipped; incremental index rides the same geometry + the
+    # doc_id-bucketed shingle store). Everything union-green follows.
+    "embedding_neardup_pairs",
+    "semantic_dedup_survivors",
     "semantic_dedup_sweep",
     "hard_negatives_celled",
+    "hard_negative_probe_sweep",
     "incremental_dedup_pairs",
     "quantile_sketch_audit",
-    "hard_negative_probe_sweep",
     "audio_feature_stats",
     "image_feature_stats",
     "minhash_unguarded_dup_pairs",
@@ -86,14 +89,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "curation_funnel",
     # r04 drift-flagged redos (BENCH cold re-measure targets)
     "bigram_perplexity_bands",
-    "embedding_neardup_pairs",
     "ivf_append_assignment",
     "hot_key_skew_report",
     # round-4 rotation block (recorded rows retained)
     "bloom_prejoin_revenue",
     "cms_overestimate_audit",
     "kmv_set_algebra",
-    "semantic_dedup_survivors",
     "lsh_band_sweep",
     "winnowing_dup_passages",
     "doc_novelty_bands",
