@@ -216,3 +216,67 @@ def test_overcap_bucket_representatives_recover_template_family(spark, tmp_path)
     ).collect()[0]
     assert (got.n, got.k) == (50, 1)
     clear_dedup_memos()
+
+
+def test_rep_star_pairs_properties(spark):
+    """Property check (hypothesis): on arbitrary bucket member lists,
+    rep_star_pairs (a) emits nothing for at-or-under-cap buckets,
+    (b) covers every member of an over-cap bucket with at least one
+    star pair, (c) keeps every pair anchored on a representative with
+    the star graph connected (CC can recover the family whole), and
+    (d) is invariant under member-array permutation — the md5 ordering,
+    not ingestion order, picks representatives."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from bigdata_processing_spark.operators.skew import rep_star_pairs
+
+    def run(ds, max_bucket):
+        df = spark.createDataFrame([("b", ds)], "bk string, ds array<bigint>")
+        return {(r.d1, r.d2) for r in rep_star_pairs(df, max_bucket).collect()}
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(st.integers(0, 10_000), min_size=1, max_size=40, unique=True),
+        st.integers(2, 12),
+    )
+    def check(ds, max_bucket):
+        pairs = run(ds, max_bucket)
+        if len(ds) <= max_bucket:
+            assert pairs == set()
+            return
+        import math
+
+        n_reps = math.ceil(len(ds) / max_bucket)
+        # representative set = what the pairs are anchored on
+        import hashlib
+
+        reps = set(
+            sorted(ds, key=lambda d: (hashlib.md5(str(d).encode()).hexdigest(), d))[
+                :n_reps
+            ]
+        )
+        covered = {d for p in pairs for d in p}
+        assert covered == set(ds) or (len(ds) == 1 and pairs == set())
+        assert all(p[0] in reps or p[1] in reps for p in pairs)
+        assert all(p[0] < p[1] for p in pairs)
+        # star graph connects the family: union-find over the pairs
+        parent = {d: d for d in ds}
+
+        def find(x):
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in pairs:
+            parent[find(a)] = find(b)
+        assert len({find(d) for d in ds}) == 1
+        # permutation invariance
+        assert run(list(reversed(ds)), max_bucket) == pairs
+
+    check()
