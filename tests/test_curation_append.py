@@ -136,3 +136,98 @@ def test_streaming_append_front_matches_full_recompute(spark, tmp_path):
     ]
     assert funnel[0].batch_id == 1 and funnel[0].docs_in == batch.count()
     clear_dedup_memos()
+
+
+def test_streaming_append_crash_replay_converges(spark, tmp_path):
+    """Force a mid-batch crash in the curation streaming bridge: batch 2
+    dies after writing stale partials (survivors dir, fp-store batch,
+    stage log) but BEFORE the MinHash counts partition — the completion
+    marker — and before the checkpoint commits. Restarting the stream
+    replays batch 2 over the stale partials; every write is an
+    overwrite of the batch's own directories, so the crashed run must
+    converge to the byte-level result of a run that never crashed."""
+    import shutil
+
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        committed_batches,
+    )
+    from bigdata_processing_spark.pipelines.curation import (
+        _appends_path,
+        _state_path,
+        _write_fp_batch,
+    )
+    from bigdata_processing_spark.streaming.curation import (
+        read_append_funnel,
+        run_curation_append_stream,
+    )
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    c1, c2 = ids[int(len(ids) * 0.8)], ids[int(len(ids) * 0.9)]
+    base_sf = os.path.join(str(tmp_path), "base_sf")
+    os.makedirs(base_sf, exist_ok=True)
+    docs.filter(F.col("doc_id") < c1).write.parquet(
+        table_path(base_sf, "documents")
+    )
+    w0 = docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+    w1 = docs.filter(F.col("doc_id") >= c2)
+
+    def run(root, crash: bool):
+        clear_dedup_memos()
+        out = os.path.join(root, "curated")
+        stage = os.path.join(root, "arrivals")
+        ckpt = os.path.join(root, "ckpt")
+        curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+        w0.coalesce(1).write.parquet(os.path.join(stage, "w0"))
+        q = run_curation_append_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(stage),
+            out, checkpoint=ckpt,
+        )
+        q.awaitTermination()
+        state = _state_path(out)
+        assert committed_batches(spark, f"{state}/mh") == {0, 1}
+
+        w1.coalesce(1).write.parquet(os.path.join(stage, "w1"))
+        if crash:
+            # stale partials from a half-finished batch-2 attempt: raw
+            # (uncurated!) survivors, a fp-store partition for half the
+            # batch, a stage log with wrong counts — everything EXCEPT
+            # the mh counts partition that marks completion
+            half = w1.limit(w1.count() // 2)
+            half.write.mode("overwrite").parquet(
+                f"{_appends_path(out)}/batch_id=2"
+            )
+            _write_fp_batch(state, 2, half)
+            spark.createDataFrame(
+                [("exact_dedup", 0, 1, 1)],
+                "stage string, stage_idx int, docs_in long, docs_out long",
+            ).coalesce(1).write.mode("overwrite").parquet(
+                f"{state}/stage_log/batch_id=2"
+            )
+            assert committed_batches(spark, f"{state}/mh") == {0, 1}
+
+        q = run_curation_append_stream(
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .option("recursiveFileLookup", "true")
+            .parquet(stage),
+            out, checkpoint=ckpt,
+        )
+        q.awaitTermination()
+        assert committed_batches(spark, f"{state}/mh") == {0, 1, 2}
+        surv = {
+            r.doc_id for r in read_curated(spark, out).select("doc_id").collect()
+        }
+        funnel = [
+            (r.batch_id, r.stage, r.docs_in, r.docs_out)
+            for r in read_append_funnel(spark, out).collect()
+        ]
+        clear_dedup_memos()
+        return surv, funnel
+
+    crashed = run(os.path.join(str(tmp_path), "crashed"), crash=True)
+    clean = run(os.path.join(str(tmp_path), "clean"), crash=False)
+    assert crashed == clean
