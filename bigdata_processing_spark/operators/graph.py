@@ -151,9 +151,22 @@ def connected_components(
         labels_map = _driver_union_find(canon.collect())
         spark = edges.sparkSession
         node_t = dict(canon.dtypes)["lo"]
-        out = spark.createDataFrame(
-            list(labels_map.items()), f"node {node_t}, component {node_t}"
-        ).persist()
+        items = list(labels_map.items())
+        if len(items) <= 20_000:
+            # JVM-side VALUES frame: materializing a Python-RDD-backed
+            # createDataFrame into the cache pays a Python-worker
+            # round-trip (~seconds of pure latency for metadata-sized
+            # maps — sources/writers.literal_df rationale); bounded at
+            # 20k rows to keep the parsed SQL text small
+            from bigdata_processing_spark.sources.writers import literal_df
+
+            out = literal_df(
+                spark, items, f"node {node_t}, component {node_t}"
+            ).persist()
+        else:
+            out = spark.createDataFrame(
+                items, f"node {node_t}, component {node_t}"
+            ).persist()
         out.count()
         canon.unpersist()
         log.info(

@@ -65,6 +65,7 @@ from pyspark.sql import functions as F
 
 from bigdata_processing_spark.functions import text as T
 from bigdata_processing_spark.operators.compaction import recover_swap
+from bigdata_processing_spark.sources.writers import literal_df
 from bigdata_processing_spark.thresholds import (
     JACCARD_THRESHOLD,
     MAX_BUCKET,
@@ -165,7 +166,7 @@ def _write_batch(path: str, batch_id: int, shset: DataFrame, stop: DataFrame) ->
         .partitionBy("sbucket")
         .parquet(f"{path}/shingles/batch_id={batch_id}")
     )
-    spark.createDataFrame([(n,)], "n long").coalesce(1).write.mode(
+    literal_df(spark, [(n,)], "n bigint").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/counts/batch_id={batch_id}")
     post.unpersist()
@@ -200,7 +201,7 @@ def build_minhash_index(
     stop = spark.read.parquet(f"{path}/stoplist")  # re-read: frozen on disk
 
     _write_batch(path, 0, shset, stop)
-    spark.createDataFrame([(n_docs,)], "n_fit long").coalesce(1).write.mode(
+    literal_df(spark, [(n_docs,)], "n_fit bigint").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
     shset.unpersist()
@@ -474,7 +475,7 @@ def _rebuild_from_shingles(shset: DataFrame, path: str) -> None:
     stop.write.mode("overwrite").parquet(f"{path}/stoplist")
     stop = spark.read.parquet(f"{path}/stoplist")
     _write_batch(path, 0, shset, stop)
-    spark.createDataFrame([(n_docs,)], "n_fit long").coalesce(1).write.mode(
+    literal_df(spark, [(n_docs,)], "n_fit bigint").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
     shset.unpersist()

@@ -31,6 +31,7 @@ from pyspark.sql import functions as F
 
 from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.operators.clustering import kmeans_centroids, _assign_udf
+from bigdata_processing_spark.sources.writers import literal_df
 
 
 # fraction of post-fit vectors that triggers a quantizer rebuild in
@@ -423,13 +424,14 @@ def write_ivf_index(indexed: DataFrame, centroids: list[list[float]],
     ride along as a tiny parquet (k rows) next to the postings."""
     indexed.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/postings")
     spark = indexed.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, cent array<double>"
+    literal_df(
+        spark, [(i, c) for i, c in enumerate(centroids)],
+        "cell int, cent array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     # drift bookkeeping for append_to_ivf_index: how many vectors the
     # current quantizer was (re)fit against
     n_fit = indexed.count()
-    spark.createDataFrame([(n_fit,)], "n_fit long").coalesce(1).write.mode(
+    literal_df(spark, [(n_fit,)], "n_fit bigint").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/meta")
 
@@ -675,16 +677,17 @@ def write_ivfpq_index(postings: DataFrame, centroids: list[list[float]],
     itself ~40× smaller."""
     postings.write.mode("overwrite").partitionBy("cell").parquet(f"{path}/postings")
     spark = postings.sparkSession
-    spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, cent array<double>"
+    literal_df(
+        spark, [(i, c) for i, c in enumerate(centroids)],
+        "cell int, cent array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
     rows = [
         (m, j, list(c))
         for m, book in enumerate(codebooks)
         for j, c in enumerate(book)
     ]
-    spark.createDataFrame(
-        rows, "m int, code int, cent array<double>"
+    literal_df(
+        spark, rows, "m int, code int, cent array<double>"
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/codebooks")
 
 

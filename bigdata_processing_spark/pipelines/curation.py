@@ -29,6 +29,7 @@ from pyspark.sql import functions as F
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import text as T
 from bigdata_processing_spark.queries.dedup import _cluster_labels
+from bigdata_processing_spark.sources.writers import literal_df
 from bigdata_processing_spark.thresholds import JACCARD_THRESHOLD
 
 QUALITY_MIN = 0.35          # docs scoring below this are dropped
@@ -231,20 +232,28 @@ def _appends_path(out_path: str) -> str:
     return out_path.rstrip("/") + ".appends"
 
 
-def _write_fp_batch(state: str, batch_id: int, docs: DataFrame) -> None:
+def _write_fp_batch(
+    state: str, batch_id: int, docs: DataFrame, n_docs: int | None = None
+) -> None:
     fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
+    fp = fp.withColumn("fbucket", _fbucket(F.col("fp")))
+    # the fbucket shuffle exists to give BIG batches one file per bucket
+    # dir; a micro-batch writes fewer rows than buckets, so the shuffle
+    # is a pure job of latency — coalesce to one task and let the
+    # partitioned write fan its handful of rows into their dirs
+    if n_docs is not None and n_docs * 2 <= N_FP_BUCKETS:
+        fp = fp.coalesce(1).sortWithinPartitions("fp")
+    else:
+        fp = fp.repartition("fbucket").sortWithinPartitions("fp")
     (
-        fp.withColumn("fbucket", _fbucket(F.col("fp")))
-        .repartition("fbucket")
-        .sortWithinPartitions("fp")
-        .write.mode("overwrite")
+        fp.write.mode("overwrite")
         .partitionBy("fbucket")
         .parquet(f"{state}/fps/batch_id={batch_id}")
     )
     spark = docs.sparkSession
     mx = docs.agg(F.max("doc_id").alias("m")).collect()[0].m
-    spark.createDataFrame(
-        [(int(mx) if mx is not None else -1,)], "max_id long"
+    literal_df(
+        spark, [(int(mx) if mx is not None else -1,)], "max_id bigint"
     ).coalesce(1).write.mode("overwrite").parquet(
         f"{state}/idmax/batch_id={batch_id}"
     )
@@ -363,19 +372,27 @@ def curate_append(
     # 2. near-dup: probe the persisted index (batch never sees its own
     # partitions as "old" on a replay), components over the
     # batch-involving pair graph, survive iff component minimum
+    # persist: connected_components takes two actions over the edge set
+    # (size gate + driver collect) — without this each re-runs the
+    # probe's verify join (batch-bounded rows, but several jobs of
+    # latency per pass; measured ~4s of the micro-batch append wall).
+    # The zero-pair fast path (common for clean micro-batches) skips
+    # CC and the anti-join outright — the count doubles as the persist
+    # materializer either way.
     pairs = incremental_dup_pairs(
         batch_docs, f"{state}/mh", jaccard_threshold=jaccard_threshold,
         exclude_batch_id=batch_id,
-    )
-    labels, _rounds = connected_components(
-        pairs.select("d1", "d2"), src="d1", dst="d2"
-    )
-    near_removed = (
-        labels.toDF("doc_id", "cluster_id")
-        .filter(F.col("doc_id") != F.col("cluster_id"))
-        .select("doc_id")
-    )
-    cur = cur.join(F.broadcast(near_removed), "doc_id", "left_anti")
+    ).persist()
+    if pairs.count() > 0:
+        labels, _rounds = connected_components(
+            pairs.select("d1", "d2"), src="d1", dst="d2"
+        )
+        near_removed = (
+            labels.toDF("doc_id", "cluster_id")
+            .filter(F.col("doc_id") != F.col("cluster_id"))
+            .select("doc_id")
+        )
+        cur = cur.join(F.broadcast(near_removed), "doc_id", "left_anti")
     n3 = cur.count()
     stats.append(StageStats("near_dedup", n2, n3))
 
@@ -412,9 +429,10 @@ def curate_append(
     cur.write.mode("overwrite").parquet(out_dir)
     n_out = spark.read.parquet(out_dir).count()
     stats.append(StageStats("emit", n5, n_out))
-    _write_fp_batch(state, batch_id, batch_docs)
+    _write_fp_batch(state, batch_id, batch_docs, n_docs=n)
     append_to_minhash_index(f"{state}/mh", batch_docs, batch_id=batch_id)
     release_loose_persists()
+    pairs.unpersist()
     bfp.unpersist()
     batch_docs.unpersist()
     return stats

@@ -10,7 +10,62 @@ ever materializing rows on the driver.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, SparkSession
+
+
+def literal_df(spark: SparkSession, rows: list[tuple], schema: str) -> DataFrame:
+    """Tiny literal frame built ENTIRELY JVM-side via a VALUES clause.
+
+    ``spark.createDataFrame(rows)`` backs the frame with a Python RDD,
+    and WRITING such a frame launches a Python worker round-trip per
+    task — measured ~5s per single-row ledger write on this box (a
+    count of the same frame is fast; only the write path pays). Every
+    metadata/ledger write (index counts, idmax, meta, stage logs,
+    centroid sidecars) goes through this instead: the VALUES text parses
+    and executes in the JVM, so the write is a plain local task (~0.2s).
+
+    Doubles are embedded as shortest-repr string literals cast to
+    DOUBLE — the correctly-rounded parse recovers identical bits (the
+    same trick as operators/ivf._scores_sql). Columns are cast to the
+    declared DDL types so readers see the exact schema
+    ``createDataFrame`` produced. Supports None/bool/int/float/str and
+    (nested) lists thereof; this is a metadata-row helper, keep data
+    paths on real sources."""
+    from pyspark.sql.types import _parse_datatype_string
+
+    st = _parse_datatype_string(schema)
+    names = [f.name for f in st.fields]
+    types = [f.dataType.simpleString() for f in st.fields]
+
+    def sqlit(v) -> str:
+        if v is None:
+            return "NULL"
+        if isinstance(v, bool):
+            return "TRUE" if v else "FALSE"
+        if isinstance(v, float):
+            return f"CAST('{v!r}' AS DOUBLE)"
+        if isinstance(v, int):
+            return str(v)
+        if isinstance(v, str):
+            return "'" + v.replace("\\", "\\\\").replace("'", "\\'") + "'"
+        if isinstance(v, (list, tuple)):
+            return "array(" + ",".join(sqlit(x) for x in v) + ")"
+        raise TypeError(f"literal_df: unsupported literal {type(v)}")
+
+    cols = ",".join(
+        f"CAST(v{i} AS {t}) AS `{n}`"
+        for i, (n, t) in enumerate(zip(names, types))
+    )
+    tdef = ",".join(f"v{i}" for i in range(len(names)))
+    if not rows:
+        nulls = "(" + ",".join(["NULL"] * len(names)) + ")"
+        return spark.sql(
+            f"SELECT {cols} FROM (VALUES {nulls}) AS t({tdef}) WHERE FALSE"
+        )
+    vals = ",".join(
+        "(" + ",".join(sqlit(v) for v in row) + ")" for row in rows
+    )
+    return spark.sql(f"SELECT {cols} FROM (VALUES {vals}) AS t({tdef})")
 
 
 def write_json(df: DataFrame, path: str, *, mode: str = "overwrite",

@@ -83,9 +83,12 @@ def run_curation_append_stream(
             batch_df.sparkSession, out_path, batch_df, holdout=holdout,
             quality_min=quality_min, batch_id=bid,
         )
-        batch_df.sparkSession.createDataFrame(
+        from bigdata_processing_spark.sources.writers import literal_df
+
+        literal_df(
+            batch_df.sparkSession,
             [(s.stage, i, s.docs_in, s.docs_out) for i, s in enumerate(stats)],
-            "stage string, stage_idx int, docs_in long, docs_out long",
+            "stage string, stage_idx int, docs_in bigint, docs_out bigint",
         ).coalesce(1).write.mode("overwrite").parquet(
             f"{_state_path(out_path)}/stage_log/batch_id={bid}"
         )
