@@ -58,8 +58,12 @@ def kmeans_centroids(
 
         if compute_inertia:
             # inertia vs the centroids used for this assignment (JVM fold)
-            cdf = base.sparkSession.createDataFrame(
-                [(i, c) for i, c in enumerate(centroids)], "cluster int, cent array<double>"
+            from bigdata_processing_spark.sources.writers import literal_df
+
+            cdf = literal_df(
+                base.sparkSession,
+                [(i, list(c)) for i, c in enumerate(centroids)],
+                "cluster int, cent array<double>",
             )
             inertia = (
                 assigned.join(F.broadcast(cdf), "cluster")

@@ -258,8 +258,8 @@ def seeded_assign_cells(
         return acc
 
     spark = emb.sparkSession
-    cdf = spark.createDataFrame(
-        [(i, c, self_dot(c)) for i, c in enumerate(cents)],
+    cdf = literal_df(
+        spark, [(i, list(c), self_dot(c)) for i, c in enumerate(cents)],
         "cell int, cent array<double>, cc double",
     )
     sc_expr = F.col("cc") - 2.0 * F.aggregate(
@@ -331,8 +331,9 @@ def _cell_probes(spark, queries: DataFrame, centroids: list[list[float]],
     """(qid, qe, qn, cell) — each query paired with its n_probe nearest
     cells. Centroid table is k rows: cross-joined broadcast, ranked with a
     per-qid window. All JVM-side fold math."""
-    cdf = spark.createDataFrame(
-        [(i, c) for i, c in enumerate(centroids)], "cell int, cent array<double>"
+    cdf = literal_df(
+        spark, [(i, list(c)) for i, c in enumerate(centroids)],
+        "cell int, cent array<double>"
     )
     d2 = F.aggregate(
         F.zip_with("qe", "cent", lambda x, y: (x - y) * (x - y)),
@@ -597,8 +598,8 @@ def build_ivfpq_index(
     )
     enc_src = indexed
     if residual:
-        cdf = indexed.sparkSession.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
+        cdf = literal_df(
+            indexed.sparkSession, [(i, list(c)) for i, c in enumerate(centroids)],
             "cell int, cent array<double>",
         )
         enc_src = indexed.join(F.broadcast(cdf), "cell").withColumn(
@@ -639,8 +640,8 @@ def ivfpq_search(
     spark = postings.sparkSession
     probes = _cell_probes(spark, queries, centroids, n_probe)
     if residual:
-        cdf = spark.createDataFrame(
-            [(i, c) for i, c in enumerate(centroids)],
+        cdf = literal_df(
+            spark, [(i, list(c)) for i, c in enumerate(centroids)],
             "cell int, cent array<double>",
         )
         qc_dot = F.aggregate(

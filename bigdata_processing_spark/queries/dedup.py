@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import text as T
 from bigdata_processing_spark.queries import register
+from bigdata_processing_spark.sources.writers import literal_df
 from bigdata_processing_spark.thresholds import (
     AUDIT_SAMPLE_DOCS,
     CONTAINMENT_THRESHOLD,
@@ -1300,8 +1301,9 @@ def semantic_dedup_survivors(
     assigned, cents = _emb_assigned(spark, sf_dir)
     # centroid vectors arrive as a broadcast (cell, c) table; the
     # ordered-fold dot keeps ranking bit-identical to the oracle
-    cvecs = spark.createDataFrame(
-        [(i, v) for i, v in enumerate(cents)], "cell int, c array<double>"
+    cvecs = literal_df(
+        spark, [(i, list(v)) for i, v in enumerate(cents)],
+        "cell int, c array<double>"
     ).select("cell", "c", V.norm(F.col("c")).alias("cnrm"))
     sim = (
         assigned.join(F.broadcast(cvecs), "cell")
@@ -1447,8 +1449,8 @@ def semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("sz") - F.count("*")).alias("removed"),
         F.max("sz").alias("max_cluster_size"),
     )
-    eps_rows = spark.createDataFrame(
-        [(i, float(e)) for i, e in enumerate(SEMDEDUP_SWEEP_EPS)],
+    eps_rows = literal_df(
+        spark, [(i, float(e)) for i, e in enumerate(SEMDEDUP_SWEEP_EPS)],
         "idx int, eps double",
     )
     npairs = None
@@ -1976,8 +1978,8 @@ def lsh_band_sweep(
         .agg(F.count("*").alias("n_true_found"))
     )
     pool_cnt = ver.agg(F.count("*").alias("n_pool_true"))
-    cfgs = spark.createDataFrame(
-        list(LSH_SWEEP_CONFIGS), "cfg int, rows_per_band int"
+    cfgs = literal_df(
+        spark, list(LSH_SWEEP_CONFIGS), "cfg int, rows_per_band int"
     )
     out = (
         cfgs.join(counts, "cfg", "left")

@@ -23,6 +23,7 @@ from pyspark.sql import functions as F
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.queries import register
+from bigdata_processing_spark.sources.writers import literal_df
 from bigdata_processing_spark.queries.dedup import _SQL_EMB_ASSIGN
 from bigdata_processing_spark.thresholds import (
     HARD_NEG_N_PROBE,
@@ -140,8 +141,8 @@ def _anchor_probe_ranks(spark, base, cents) -> DataFrame:
             acc += x * x
         return acc
 
-    cdf = spark.createDataFrame(
-        [(i, c, self_dot(c)) for i, c in enumerate(cents)],
+    cdf = literal_df(
+        spark, [(i, list(c), self_dot(c)) for i, c in enumerate(cents)],
         "cell int, cent array<double>, cc double",
     )
     q = base.filter(F.col("vec_id") % 100 == 0).select(
@@ -341,8 +342,8 @@ def hard_negative_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _LOOSE_PERSISTS.append(cand)
-    grid = spark.createDataFrame(
-        [(p,) for p in HARD_NEG_PROBE_SWEEP], "n_probe int"
+    grid = literal_df(
+        spark, [(p,) for p in HARD_NEG_PROBE_SWEEP], "n_probe int"
     )
     w = Window.partitionBy("n_probe", "qid").orderBy(
         F.col("cos_sim").desc(), F.col("cid").asc()
@@ -1122,7 +1123,7 @@ def ivf_append_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count("*")
         ).alias("af")
     )
-    cells = spark.createDataFrame([(i,) for i in range(len(cents))], "cell int")
+    cells = literal_df(spark, [(i,) for i in range(len(cents))], "cell int")
     return (
         cells.join(counts, "cell", "left")
         .crossJoin(tot)
@@ -1251,8 +1252,8 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     if not seeds:
         # empty corpus/partition: no codebook can exist — degrade to an
         # empty result with the contract schema instead of indexing []
-        return spark.createDataFrame(
-            [], "qid bigint, cid bigint, adc_cos double, rn bigint"
+        return literal_df(
+            spark, [], "qid bigint, cid bigint, adc_cos double, rn bigint"
         )
     codebook = [
         [c[PQ_SUB * m: PQ_SUB * (m + 1)] for c in seeds] for m in range(PQ_M)

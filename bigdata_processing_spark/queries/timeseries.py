@@ -16,6 +16,7 @@ from bigdata_processing_spark.functions.temporal import epoch_us
 from bigdata_processing_spark.operators.asof import asof_join
 from bigdata_processing_spark.operators.skew import salted_agg
 from bigdata_processing_spark.queries import register
+from bigdata_processing_spark.sources.writers import literal_df
 
 
 # ---------------------------------------------------------------------------
@@ -138,7 +139,7 @@ def range_join_value_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     # band table isn't tiny.
     bucket_w = 10.0
     events = load_table(spark, sf_dir, "events")
-    bands = spark.createDataFrame(_BANDS, "band_id int, lo double, hi double, band string")
+    bands = literal_df(spark, _BANDS, "band_id int, lo double, hi double, band string")
     band_buckets = bands.select(
         "band", "lo", "hi",
         F.explode(
