@@ -58,13 +58,15 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-6 rotation: no NEW registrations this round — instead two
-    # families changed OUTPUTS and lead for re-confirmation: the celled
+    # round-6 rotation: the two NEW registrations lead (never
+    # driver-checked), then two families that changed OUTPUTS: the celled
     # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
     # oracles regenerated) and the guarded dedup family (over-cap LSH
     # buckets now emit representative star pairs instead of being
     # skipped; incremental index rides the same geometry + the
     # doc_id-bucketed shingle store). Everything union-green follows.
+    "gopher_rule_funnel",
+    "training_shard_stats",
     "embedding_neardup_pairs",
     "semantic_dedup_survivors",
     "semantic_dedup_sweep",

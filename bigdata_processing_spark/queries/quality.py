@@ -487,3 +487,132 @@ def compression_ratio_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ratio_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style rule funnel (Rae et al. 2021, MassiveText §A1.1 adapted to
+# this corpus's measured distributions): five independent document-quality
+# rules, reported BOTH ways a pipeline needs them — per-rule independent
+# kill counts (what each rule would drop alone) and the sequential
+# survivor funnel (what's left after applying rules 1..i in order).
+# Complements quality_scores (a weighted composite) with the
+# rule-attribution view used to TUNE a filter stack.
+#
+# Scale shape: one documents scan projecting (text) only, all five
+# signals are whole-stage-codegen column folds over the token array
+# (no UDF, no shuffle), one keyless aggregate, 5-row stack. At 100 TB
+# this is a single map-side pass.
+# ---------------------------------------------------------------------------
+GOPHER_MIN_TOKENS = 20
+GOPHER_MAX_TOKENS = 90
+GOPHER_MWL_LO = 4.0    # mean-word-length window (Gopher: 3..10, tightened
+GOPHER_MWL_HI = 5.0    # to this corpus's measured 3.7..5.3 range)
+GOPHER_MIN_STOPWORD_FRAC = 0.03
+GOPHER_MAX_DUP_BIGRAM_FRAC = 0.08
+GOPHER_MIN_ALPHA_FRAC = 0.8
+
+_SW = "('a','and','in','is','of','the','to')"
+
+_GOPHER_RULES = (
+    ("token_count_20_90", "p1"),
+    ("mean_word_len_4_5", "p2"),
+    ("stopword_frac_ge_003", "p3"),
+    ("dup_bigram_frac_le_008", "p4"),
+    ("alpha_token_frac_ge_08", "p5"),
+)
+
+
+@register(
+    "gopher_rule_funnel",
+    oracle=f"""
+        WITH {_SQL_TOKS},
+        s AS (
+            SELECT doc_id, len(tk) AS n,
+                   coalesce(list_aggregate(list_transform(tk, x -> length(x)), 'sum'), 0)::DOUBLE
+                       / greatest(len(tk), 1) AS mwl,
+                   len(list_filter(tk, x -> x IN {_SW}))::DOUBLE
+                       / greatest(len(tk), 1) AS swf,
+                   CASE WHEN len(tk) > 1
+                        THEN 1.0 - len(list_distinct(list_transform(
+                                 range(1, len(tk)), i -> tk[i] || '_' || tk[i + 1])))::DOUBLE
+                             / (len(tk) - 1)
+                        ELSE 0.0 END AS dupbi,
+                   len(list_filter(tk, x -> regexp_matches(x, '^[a-z]+$')))::DOUBLE
+                       / greatest(len(tk), 1) AS alpha
+            FROM toks
+        ),
+        p AS (
+            SELECT (n BETWEEN {GOPHER_MIN_TOKENS} AND {GOPHER_MAX_TOKENS}) AS p1,
+                   (mwl >= {GOPHER_MWL_LO} AND mwl <= {GOPHER_MWL_HI}) AS p2,
+                   (swf >= {GOPHER_MIN_STOPWORD_FRAC}) AS p3,
+                   (dupbi <= {GOPHER_MAX_DUP_BIGRAM_FRAC}) AS p4,
+                   (alpha >= {GOPHER_MIN_ALPHA_FRAC}) AS p5
+            FROM s
+        ),
+        a AS (
+            SELECT sum(CASE WHEN NOT p1 THEN 1 ELSE 0 END)::BIGINT AS f1,
+                   sum(CASE WHEN NOT p2 THEN 1 ELSE 0 END)::BIGINT AS f2,
+                   sum(CASE WHEN NOT p3 THEN 1 ELSE 0 END)::BIGINT AS f3,
+                   sum(CASE WHEN NOT p4 THEN 1 ELSE 0 END)::BIGINT AS f4,
+                   sum(CASE WHEN NOT p5 THEN 1 ELSE 0 END)::BIGINT AS f5,
+                   sum(CASE WHEN p1 THEN 1 ELSE 0 END)::BIGINT AS c1,
+                   sum(CASE WHEN p1 AND p2 THEN 1 ELSE 0 END)::BIGINT AS c2,
+                   sum(CASE WHEN p1 AND p2 AND p3 THEN 1 ELSE 0 END)::BIGINT AS c3,
+                   sum(CASE WHEN p1 AND p2 AND p3 AND p4 THEN 1 ELSE 0 END)::BIGINT AS c4,
+                   sum(CASE WHEN p1 AND p2 AND p3 AND p4 AND p5 THEN 1 ELSE 0 END)::BIGINT AS c5
+            FROM p
+        )
+        SELECT 1::BIGINT AS rule_idx, 'token_count_20_90' AS rule,
+               f1 AS n_fail_indep, c1 AS n_survive_cum FROM a
+        UNION ALL SELECT 2, 'mean_word_len_4_5', f2, c2 FROM a
+        UNION ALL SELECT 3, 'stopword_frac_ge_003', f3, c3 FROM a
+        UNION ALL SELECT 4, 'dup_bigram_frac_le_008', f4, c4 FROM a
+        UNION ALL SELECT 5, 'alpha_token_frac_ge_08', f5, c5 FROM a
+        ORDER BY rule_idx
+    """,
+)
+def gopher_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-rule independent fail counts + sequential survivor funnel for
+    the five Gopher-style quality rules. One scan, one keyless agg."""
+    docs = load_table(spark, sf_dir, "documents")
+    tk = F.filter(T.tokens(F.col("text")), lambda t: t != "")
+    n = F.size(tk)
+    charsum = F.aggregate(tk, F.lit(0), lambda acc, x: acc + F.length(x))
+    mwl = charsum.cast("double") / F.greatest(n, F.lit(1))
+    swf = T.stopword_count(F.col("text")).cast("double") / F.greatest(n, F.lit(1))
+    total_bi = F.greatest(n - 1, F.lit(0))
+    distinct_bi = F.size(T.word_shingles(F.col("text"), 2))
+    dupbi = F.when(
+        total_bi > 0, F.lit(1.0) - distinct_bi.cast("double") / total_bi
+    ).otherwise(F.lit(0.0))
+    alpha = (
+        F.size(F.filter(tk, lambda t: t.rlike("^[a-z]+$"))).cast("double")
+        / F.greatest(n, F.lit(1))
+    )
+    scored = docs.select(
+        n.between(GOPHER_MIN_TOKENS, GOPHER_MAX_TOKENS).alias("p1"),
+        ((mwl >= GOPHER_MWL_LO) & (mwl <= GOPHER_MWL_HI)).alias("p2"),
+        (swf >= GOPHER_MIN_STOPWORD_FRAC).alias("p3"),
+        (dupbi <= GOPHER_MAX_DUP_BIGRAM_FRAC).alias("p4"),
+        (alpha >= GOPHER_MIN_ALPHA_FRAC).alias("p5"),
+    )
+    aggs = []
+    for i in range(1, 6):
+        aggs.append(
+            F.sum(F.when(~F.col(f"p{i}"), 1).otherwise(0)).alias(f"f{i}")
+        )
+        cum = F.col("p1")
+        for j in range(2, i + 1):
+            cum = cum & F.col(f"p{j}")
+        aggs.append(F.sum(F.when(cum, 1).otherwise(0)).alias(f"c{i}"))
+    stack_args = ", ".join(
+        f"CAST({i + 1} AS BIGINT), '{name}', f{i + 1}, c{i + 1}"
+        for i, (name, _) in enumerate(_GOPHER_RULES)
+    )
+    return (
+        scored.agg(*aggs)
+        .selectExpr(
+            f"stack(5, {stack_args}) AS (rule_idx, rule, n_fail_indep, n_survive_cum)"
+        )
+        .orderBy("rule_idx")
+    )

@@ -371,3 +371,68 @@ def boilerplate_chunk_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Deterministic training-shard assignment (operators/sharding): every doc
+# gets a seeded portable hash (md5-derived, bit-identical in DuckDB); the
+# shard is hash % N, the within-shard order is the hash itself — a global
+# seeded shuffle realized with ONE hash exchange and a per-partition sort
+# instead of a total-order sort. This query is the oracle-checked twin of
+# the exact geometry emit_training_shards writes to disk
+# (tests/test_sharding.py pins query == files).
+# ---------------------------------------------------------------------------
+SHARD_SEED = 0
+TRAIN_N_SHARDS = 8
+
+
+@register(
+    "training_shard_stats",
+    oracle=f"""
+        WITH s AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('{SHARD_SEED}|' || doc_id::VARCHAR), 1, 8))::BIGINT
+                       AS shuffle_key,
+                   len(list_filter(string_split(text, ' '), t -> t <> '')) AS ntok
+            FROM documents
+        )
+        SELECT (shuffle_key % {TRAIN_N_SHARDS})::BIGINT AS shard,
+               count(*)::BIGINT AS n_docs,
+               sum(ntok)::BIGINT AS sum_tokens,
+               arg_min(doc_id, shuffle_key * 1048576 + doc_id) AS first_doc
+        FROM s
+        GROUP BY 1
+        ORDER BY shard
+    """,
+)
+def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-shard doc count, token mass, and the first doc in shuffled
+    order (a determinism witness for the loader-visible stream head).
+    Rides operators/sharding.assign_shards — the same expressions
+    emit_training_shards shards and orders by on disk."""
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.operators.sharding import assign_shards
+
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    assigned = assign_shards(
+        docs, id_col="doc_id", n_shards=TRAIN_N_SHARDS, seed=SHARD_SEED
+    )
+    # shuffle_key is a 32-bit-range nonnegative bigint, so % == pmod and
+    # the combined key can't overflow; doc_id < 2^20 at every tested SF
+    # keeps (key << 20 | doc_id) collision-free → first_doc deterministic
+    ck = F.col("shuffle_key") * 1048576 + F.col("doc_id")
+    return (
+        assigned.select(
+            F.col("shard").cast("bigint").alias("shard"),
+            T.token_count(F.col("text")).alias("ntok"),
+            F.col("doc_id"),
+            ck.alias("ck"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("ntok").alias("sum_tokens"),
+            F.min_by("doc_id", "ck").alias("first_doc"),
+        )
+        .orderBy("shard")
+    )

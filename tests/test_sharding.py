@@ -1,0 +1,111 @@
+"""Deterministic training-shard emitter (operators/sharding): the write
+is replay-idempotent (same corpus+seed → byte-stable shard contents in
+shuffled order), shards are balanced, a single-shard read prunes to its
+partition directory, and the oracle-checked ``training_shard_stats``
+query equals what's on disk."""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import functions as F
+
+from conftest import SF_SMALL
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.operators.sharding import (
+    DEFAULT_N_SHARDS,
+    assign_shards,
+    emit_training_shards,
+    read_shard,
+)
+
+
+def _docs(spark):
+    return load_table(spark, SF_SMALL, "documents").select("doc_id", "text")
+
+
+def _shard_rows(spark, out):
+    """(shard -> list of (doc_id, shuffle_key) in FILE order)."""
+    rows = {}
+    data = os.path.join(out, "data")
+    for d in sorted(os.listdir(data)):
+        if not d.startswith("shard="):
+            continue
+        k = int(d.split("=")[1])
+        # single directory read preserves within-file row order
+        got = spark.read.parquet(os.path.join(data, d)).select(
+            "doc_id", "shuffle_key"
+        ).collect()
+        rows[k] = [(r["doc_id"], r["shuffle_key"]) for r in got]
+    return rows
+
+
+def test_emit_is_deterministic_and_ordered(spark, tmp_path):
+    docs = _docs(spark)
+    out1, out2 = str(tmp_path / "a"), str(tmp_path / "b")
+    emit_training_shards(docs, out1, seed=0)
+    emit_training_shards(docs, out2, seed=0)
+    r1, r2 = _shard_rows(spark, out1), _shard_rows(spark, out2)
+    assert r1 == r2                       # replay-idempotent content
+    assert set(r1) == set(range(DEFAULT_N_SHARDS))
+    for k, rows in r1.items():
+        keys = [(sk, did) for did, sk in rows]
+        assert keys == sorted(keys)       # shuffled order realized on disk
+    # every doc lands in exactly one shard
+    all_ids = sorted(d for rows in r1.values() for d, _ in rows)
+    want = sorted(r["doc_id"] for r in docs.select("doc_id").collect())
+    assert all_ids == want
+
+
+def test_seed_changes_the_shuffle(spark, tmp_path):
+    docs = _docs(spark)
+    a = assign_shards(docs, seed=0).select("doc_id", "shard").collect()
+    b = assign_shards(docs, seed=1).select("doc_id", "shard").collect()
+    moved = sum(
+        1 for x, y in zip(sorted(a, key=lambda r: r["doc_id"]),
+                          sorted(b, key=lambda r: r["doc_id"]))
+        if x["shard"] != y["shard"]
+    )
+    assert moved > len(a) // 2            # a reseed reshuffles most docs
+
+
+def test_shards_are_balanced_and_ledger_matches(spark, tmp_path):
+    docs = _docs(spark)
+    out = str(tmp_path / "s")
+    ledger = emit_training_shards(docs, out, seed=0)
+    counts = {r["shard"]: r["n_docs"] for r in ledger.collect()}
+    total = docs.count()
+    assert sum(counts.values()) == total
+    mean = total / DEFAULT_N_SHARDS
+    assert max(counts.values()) <= 2 * mean   # md5 uniformity, loose gate
+    assert min(counts.values()) >= mean / 3
+
+
+def test_single_shard_read_prunes_partitions(spark, tmp_path):
+    from bigdata_processing_spark.plans import explain_str
+
+    docs = _docs(spark)
+    out = str(tmp_path / "p")
+    emit_training_shards(docs, out, seed=0)
+    plan = explain_str(read_shard(spark, out, 3))
+    pf = [
+        ln for ln in plan.splitlines()
+        if "PartitionFilters" in ln and "shard" in ln
+    ]
+    assert pf, plan
+
+
+def test_stats_query_matches_disk(spark, tmp_path):
+    from bigdata_processing_spark.queries.scrubbing import training_shard_stats
+
+    docs = _docs(spark)
+    out = str(tmp_path / "q")
+    emit_training_shards(docs, out, seed=0)
+    on_disk = (
+        spark.read.parquet(os.path.join(out, "data"))
+        .groupBy(F.col("shard").cast("bigint").alias("shard"))
+        .agg(F.count("*").alias("n_docs"))
+    )
+    q = training_shard_stats(spark, SF_SMALL).select("shard", "n_docs")
+    assert sorted(map(tuple, q.collect())) == sorted(map(tuple, on_disk.collect()))
