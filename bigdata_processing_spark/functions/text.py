@@ -129,3 +129,46 @@ def word_shingles(col, n: int = 2) -> Column:
     return F.when(sz >= n, F.array_distinct(acc)).otherwise(
         F.array().cast("array<string>")
     )
+
+
+def hashed_tf(col, dim: int = 16) -> Column:
+    """Hashing-trick term-frequency featurization: bucket each token by
+    the portable md5 hash mod ``dim``, count per bucket, L2-normalize —
+    text → dense ``array<double>`` with NO trained vocabulary (the
+    HashingTF idea: fixed memory at any corpus size, no vocab shuffle,
+    no OOV). All codegen'd column folds; one md5 per token.
+
+    DuckDB twin (hashed_tf_sql) rebuilds the identical vector: the
+    bucket hash is hash64 (md5-derived), the fold order is positional,
+    so downstream dot products agree bit-for-bit."""
+    tks = F.filter(tokens(col), lambda t: t != "")
+    barr = F.transform(tks, lambda t: F.pmod(hash64(t), F.lit(dim)))
+    tf = F.transform(
+        F.sequence(F.lit(0), F.lit(dim - 1)),
+        lambda b: F.size(F.filter(barr, lambda x: x == b)).cast("double"),
+    )
+    l2 = F.sqrt(
+        F.aggregate(tf, F.lit(0.0), lambda acc, x: acc + x * x)
+    )
+    # empty text → zero vector (not NaNs): keep degenerate rows inert
+    return F.transform(
+        tf, lambda x: F.when(l2 == 0.0, F.lit(0.0)).otherwise(x / l2)
+    )
+
+
+def hashed_tf_sql(expr: str, dim: int = 16) -> str:
+    """The DuckDB twin of hashed_tf() over SQL text expression ``expr``."""
+    tk = f"list_filter(string_split({expr}, ' '), t -> t <> '')"
+    barr = (
+        f"list_transform({tk}, t -> "
+        f"('0x' || substr(md5('0|' || t), 1, 8))::BIGINT % {dim})"
+    )
+    tf = (
+        f"list_transform(range(0, {dim}), b -> "
+        f"len(list_filter({barr}, x -> x = b))::DOUBLE)"
+    )
+    l2 = f"sqrt(list_dot_product({tf}, {tf}))"
+    return (
+        f"list_transform({tf}, x -> "
+        f"CASE WHEN {l2} = 0.0 THEN 0.0 ELSE x / {l2} END)"
+    )

@@ -67,6 +67,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # doc_id-bucketed shingle store). Everything union-green follows.
     "gopher_rule_funnel",
     "training_shard_stats",
+    "hashed_tf_knn",
+    "vocab_coverage_curve",
     "embedding_neardup_pairs",
     "semantic_dedup_survivors",
     "semantic_dedup_sweep",

@@ -301,3 +301,128 @@ def bigram_perplexity_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("ce_band")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hashing-trick featurization → exact kNN (functions/text.hashed_tf):
+# text becomes a fixed-dim dense vector with NO trained vocabulary (one
+# md5 per token, L2-normalized bucket counts), then the same
+# broadcast-query brute-force cosine shape as knn_bruteforce. This is
+# the text→vector→ANN path when no embedding model has run yet — at
+# 100 TB the featurization is a pure map (no vocab shuffle, fixed
+# memory) and the search drops into any of the IVF/PQ/binary tiers.
+# ---------------------------------------------------------------------------
+HASHED_TF_DIM = 16
+
+
+def _hashed_tf_knn_oracle() -> str:
+    from bigdata_processing_spark.functions.text import hashed_tf_sql
+
+    v = hashed_tf_sql("text", HASHED_TF_DIM)
+    return f"""
+        WITH d AS (SELECT doc_id, {v} AS v FROM documents),
+        q AS (SELECT doc_id AS qid, v AS qv FROM d WHERE doc_id % 100 = 0),
+        c AS (SELECT doc_id AS cid, v AS cv FROM d),
+        s AS (
+            SELECT qid, cid, list_dot_product(qv, cv) AS cos_sim
+            FROM q JOIN c ON cid <> qid
+        )
+        SELECT qid, cid, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 3
+        ORDER BY qid, rn
+    """
+
+
+@register("hashed_tf_knn", oracle=_hashed_tf_knn_oracle())
+def hashed_tf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.functions import vectors as V
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", T.hashed_tf(F.col("text"), HASHED_TF_DIM).alias("v")
+    )
+    q = docs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("v").alias("qv")
+    )
+    c = docs.select(F.col("doc_id").alias("cid"), F.col("v").alias("cv"))
+    joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
+    # vectors are unit-norm by construction: cosine == dot
+    cos = V.dot(F.col("qv"), F.col("cv"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        joined.select("qid", "cid", cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary coverage curve: the measurement behind tokenizer/vocab-size
+# decisions — what fraction of all token OCCURRENCES does a top-k
+# vocabulary cover? One explode → token counts (map-side combined), then
+# ranking/cumsum over the VOCAB-sized table only (never corpus-sized;
+# for a 1M+-type vocabulary swap the single window for a two-stage
+# salted rank — same discipline as bottomk_sample's top-k).
+# ---------------------------------------------------------------------------
+VOCAB_CURVE_KS = (1, 2, 4, 8, 16, 32)
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""
+        WITH tok AS (
+            SELECT unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS t
+            FROM documents
+        ),
+        cnt AS (SELECT t, count(*) AS c FROM tok GROUP BY t),
+        r AS (
+            SELECT t, c,
+                   row_number() OVER (ORDER BY c DESC, t ASC) AS rk,
+                   sum(c) OVER (ORDER BY c DESC, t ASC
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+                   sum(c) OVER ()::DOUBLE AS tot
+            FROM cnt
+        ),
+        ks AS (SELECT unnest({list(VOCAB_CURVE_KS)}) AS k)
+        SELECT k::BIGINT AS k,
+               count(*)::BIGINT AS n_vocab_used,
+               max(cum)::DOUBLE / any_value(tot) AS coverage
+        FROM ks JOIN r ON r.rk <= ks.k
+        GROUP BY k
+        ORDER BY k
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.sources.writers import literal_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    cnt = (
+        docs.select(F.explode(F.filter(T.tokens(F.col("text")), lambda t: t != "")).alias("t"))
+        .groupBy("t")
+        .agg(F.count("*").alias("c"))
+    )
+    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    # cum AND the grand total ride the same single-partition window pass
+    # over the VOCAB-sized frame — the corpus is scanned exactly once
+    ranked = cnt.select(
+        "t", "c",
+        F.row_number().over(w).alias("rk"),
+        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
+        F.sum("c").over(wall).cast("double").alias("tot"),
+    )
+    ks = literal_df(spark, [(k,) for k in VOCAB_CURVE_KS], "k int")
+    return (
+        ks.join(F.broadcast(ranked), F.col("rk") <= F.col("k"))
+        .groupBy(F.col("k").cast("bigint").alias("k"))
+        .agg(
+            F.count("*").alias("n_vocab_used"),
+            (F.max("cum").cast("double") / F.any_value("tot")).alias("coverage"),
+        )
+        .orderBy("k")
+    )

@@ -103,3 +103,29 @@ def test_compression_ratio_bands(spark):
     out = {r.ratio_band: r for r in compression_ratio_bands(spark, scratch).collect()}
     assert min(out) <= 2          # the repeated doc lands in a low band
     assert max(out) >= min(out)
+
+
+def test_hashed_tf_unit_norm_and_duckdb_parity(spark):
+    import duckdb
+
+    from bigdata_processing_spark.functions.text import hashed_tf, hashed_tf_sql
+
+    rows = [("a b c a", ), ("spark spark spark", ), ("", ), ("x", )]
+    df = spark.createDataFrame(rows, "text string").select(
+        "text", hashed_tf(F.col("text"), 8).alias("v")
+    )
+    got = {r["text"]: list(r["v"]) for r in df.collect()}
+    # L2 norm is 1 for non-empty docs, 0-vector for empty text (no NaNs)
+    for text, v in got.items():
+        n2 = sum(x * x for x in v)
+        if text.strip():
+            assert abs(n2 - 1.0) < 1e-12, (text, v)
+        else:
+            assert v == [0.0] * 8
+    # bit-parity with the SQL twin
+    con = duckdb.connect()
+    for text, v in got.items():
+        lit = text.replace("'", "''")
+        expr = hashed_tf_sql("'" + lit + "'", 8)
+        want = con.sql(f"SELECT {expr} AS v").fetchone()[0]
+        assert list(want) == v, (text, v, want)
