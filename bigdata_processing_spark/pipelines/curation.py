@@ -461,6 +461,36 @@ def read_curated(spark: SparkSession, out_path: str) -> DataFrame:
     return base.unionByName(appended)
 
 
+def shard_curated(
+    spark: SparkSession,
+    out_path: str,
+    shard_dir: str,
+    n_shards: int | None = None,
+    seed: int = 0,
+) -> DataFrame:
+    """Final pipeline stage: the curated corpus (base emit + every
+    COMMITTED append) sharded deterministically for training loaders
+    (operators/sharding.emit_training_shards — seeded hash shuffle, one
+    exchange, replay-idempotent shard files). Returns the shard ledger.
+
+    Composes with both flows: after a full recompute it shards the base
+    emit; after ``curate_append`` batches it shards base ∪ appends, so
+    re-sharding is how appended docs reach the loader stream."""
+    from bigdata_processing_spark.operators.sharding import (
+        DEFAULT_N_SHARDS,
+        emit_training_shards,
+    )
+
+    cur = read_curated(spark, out_path)
+    return emit_training_shards(
+        cur.select("doc_id", "text", "lang", "source"),
+        shard_dir,
+        id_col="doc_id",
+        n_shards=n_shards or DEFAULT_N_SHARDS,
+        seed=seed,
+    )
+
+
 def main() -> None:
     """CLI:
 
@@ -469,6 +499,8 @@ def main() -> None:
     - ``python -m ... append <batch_parquet> [out_path]`` — curate one
       append batch through the incremental state, printing the ledger
       and the O(batch)-vs-corpus accounting.
+    - ``python -m ... shard <out_path> <shard_dir> [n_shards]`` — shard
+      the curated corpus (base + committed appends) for loaders.
     """
     import json
     import sys
@@ -501,6 +533,18 @@ def main() -> None:
             "index_docs_untouched": idx_docs,
             "out": _appends_path(out),
         }))
+        return
+
+    if args and args[0] == "shard":
+        out = args[1]
+        shard_dir = args[2]
+        n_shards = int(args[3]) if len(args) > 3 else None
+        t0 = time.monotonic()
+        ledger = shard_curated(spark, out, shard_dir, n_shards=n_shards)
+        for r in ledger.orderBy("shard").collect():
+            print(json.dumps({"shard": r["shard"], "n_docs": r["n_docs"]}))
+        print(json.dumps({"total_wall_sec": round(time.monotonic() - t0, 2),
+                          "out": shard_dir}))
         return
 
     sf_dir = args[0] if args else "/root/testdata/sf0.1"

@@ -231,3 +231,36 @@ def test_streaming_append_crash_replay_converges(spark, tmp_path):
     crashed = run(os.path.join(str(tmp_path), "crashed"), crash=True)
     clean = run(os.path.join(str(tmp_path), "clean"), crash=False)
     assert crashed == clean
+
+
+def test_shard_curated_covers_base_plus_appends(spark, tmp_path):
+    from bigdata_processing_spark.pipelines.curation import shard_curated
+
+    clear_dedup_memos()
+    base_sf, _full_sf, batch = _split_dirs(spark, tmp_path)
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+    curate_append(spark, out, batch)
+
+    shard_dir = os.path.join(str(tmp_path), "shards")
+    ledger = shard_curated(spark, out, shard_dir)
+    curated_ids = {
+        r.doc_id for r in read_curated(spark, out).select("doc_id").collect()
+    }
+    # ledger accounts for every curated doc (base AND appended)
+    assert sum(r["n_docs"] for r in ledger.collect()) == len(curated_ids)
+    on_disk = {
+        r.doc_id
+        for r in spark.read.parquet(os.path.join(shard_dir, "data"))
+        .select("doc_id").collect()
+    }
+    assert on_disk == curated_ids
+    # re-sharding after the append is deterministic (replay-idempotent)
+    shard_dir2 = os.path.join(str(tmp_path), "shards2")
+    shard_curated(spark, out, shard_dir2)
+    a = spark.read.parquet(os.path.join(shard_dir, "data")).select(
+        "doc_id", "shard").collect()
+    b = spark.read.parquet(os.path.join(shard_dir2, "data")).select(
+        "doc_id", "shard").collect()
+    assert sorted(map(tuple, a)) == sorted(map(tuple, b))
+    clear_dedup_memos()
