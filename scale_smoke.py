@@ -88,6 +88,16 @@ QUERIES = [
     "wei_decimal_topk",
     "pricing_summary",
     "hot_key_skew_report",
+    # round 6 new surface: funnel is one map pass (should stay ~linear);
+    # shard stats is one hash exchange; hashed-TF kNN's query set GROWS
+    # with the clone factor (doc_id%100 survives id-shifts), so candidate
+    # work is ~N× queries × N× docs — the brute tier's expected quadratic,
+    # bounded by the tiny query fraction; vocab curve's explode N×-scales
+    # but the window stays vocab-sized
+    "gopher_rule_funnel",
+    "training_shard_stats",
+    "hashed_tf_knn",
+    "vocab_coverage_curve",
 ]
 
 
