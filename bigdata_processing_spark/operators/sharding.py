@@ -65,6 +65,7 @@ def emit_training_shards(
     id_col: str = "doc_id",
     n_shards: int = DEFAULT_N_SHARDS,
     seed: int = 0,
+    max_records_per_file: int | None = None,
 ) -> DataFrame:
     """Write ``df`` as ``out_dir/shard=K/`` parquet, rows ordered by the
     seeded shuffle key within each shard, plus a ``_ledger`` sidecar of
@@ -72,15 +73,21 @@ def emit_training_shards(
 
     One hash exchange (repartition on shard), no global sort. The
     (shuffle_key, id) sort key makes file contents deterministic even
-    under hash collisions, so replaying the write is idempotent."""
+    under hash collisions, so replaying the write is idempotent.
+
+    ``max_records_per_file``: loaders want ~256MB files, not one
+    monolith per shard — when set, the writer rolls files at this row
+    count; the roll points are sort-order-deterministic so shard
+    contents stay byte-stable across replays."""
     assigned = assign_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
-    (
+    writer = (
         assigned.repartition(n_shards, "shard")
         .sortWithinPartitions("shard", "shuffle_key", id_col)
         .write.mode("overwrite")
-        .partitionBy("shard")
-        .parquet(os.path.join(out_dir, "data"))
     )
+    if max_records_per_file is not None:
+        writer = writer.option("maxRecordsPerFile", max_records_per_file)
+    writer.partitionBy("shard").parquet(os.path.join(out_dir, "data"))
     spark = df.sparkSession
     counts = (
         spark.read.parquet(os.path.join(out_dir, "data"))

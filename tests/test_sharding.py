@@ -109,3 +109,20 @@ def test_stats_query_matches_disk(spark, tmp_path):
     )
     q = training_shard_stats(spark, SF_SMALL).select("shard", "n_docs")
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, on_disk.collect()))
+
+
+def test_max_records_per_file_rolls_deterministically(spark, tmp_path):
+    docs = _docs(spark)
+    out1, out2 = str(tmp_path / "m1"), str(tmp_path / "m2")
+    emit_training_shards(docs, out1, seed=0, max_records_per_file=8)
+    emit_training_shards(docs, out2, seed=0, max_records_per_file=8)
+    import glob
+    files1 = sorted(glob.glob(os.path.join(out1, "data", "shard=*", "*.parquet")))
+    # files actually rolled: more files than shards
+    assert len(files1) > DEFAULT_N_SHARDS
+    for f in files1:
+        n = spark.read.parquet(f).count()
+        assert n <= 8
+    # the roll is deterministic: same (shard, file-ordinal) -> same rows
+    r1, r2 = _shard_rows(spark, out1), _shard_rows(spark, out2)
+    assert r1 == r2
