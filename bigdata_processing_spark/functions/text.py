@@ -133,26 +133,37 @@ def word_shingles(col, n: int = 2) -> Column:
 
 def hashed_tf(col, dim: int = 16) -> Column:
     """Hashing-trick term-frequency featurization: bucket each token by
-    the portable md5 hash mod ``dim``, count per bucket, L2-normalize —
-    text → dense ``array<double>`` with NO trained vocabulary (the
+    the portable md5 hash mod ``dim``, count per bucket — text → dense
+    RAW-count ``array<double>`` with NO trained vocabulary (the
     HashingTF idea: fixed memory at any corpus size, no vocab shuffle,
     no OOV). All codegen'd column folds; one md5 per token.
 
+    Returns UNNORMALIZED counts on purpose: callers that compare
+    vectors should MATERIALIZE this column (persist/write) and compute
+    norms from the stored column — normalizing inside this expression
+    would embed the whole md5 fold three times in one tree, and a join
+    above it re-evaluates that tree per PAIR (measured 179s → 1s on
+    hashed_tf_knn at sf0.1; same class of bug as the r05 probe-sweep
+    persist barrier).
+
     DuckDB twin (hashed_tf_sql) rebuilds the identical vector: the
-    bucket hash is hash64 (md5-derived), the fold order is positional,
-    so downstream dot products agree bit-for-bit."""
+    bucket hash is hash64 (md5-derived), counts are exact whole doubles,
+    so downstream dot products agree bit-for-bit. (The twin counts by
+    bucket scan, this side by a single fold — same integers either way.)
+
+    Shape note: the counts are built by ONE aggregate fold over the
+    bucket array, not a per-bucket filter scan — the filter form embeds
+    the md5-per-token subtree once per bucket (dim× the digest work
+    per row)."""
     tks = F.filter(tokens(col), lambda t: t != "")
     barr = F.transform(tks, lambda t: F.pmod(hash64(t), F.lit(dim)))
-    tf = F.transform(
-        F.sequence(F.lit(0), F.lit(dim - 1)),
-        lambda b: F.size(F.filter(barr, lambda x: x == b)).cast("double"),
-    )
-    l2 = F.sqrt(
-        F.aggregate(tf, F.lit(0.0), lambda acc, x: acc + x * x)
-    )
-    # empty text → zero vector (not NaNs): keep degenerate rows inert
-    return F.transform(
-        tf, lambda x: F.when(l2 == 0.0, F.lit(0.0)).otherwise(x / l2)
+    idx = F.sequence(F.lit(0), F.lit(dim - 1))
+    return F.aggregate(
+        barr,
+        F.array_repeat(F.lit(0.0), dim),
+        lambda acc, b: F.zip_with(
+            acc, idx, lambda x, i: x + F.when(i == b, 1.0).otherwise(0.0)
+        ),
     )
 
 
@@ -163,12 +174,7 @@ def hashed_tf_sql(expr: str, dim: int = 16) -> str:
         f"list_transform({tk}, t -> "
         f"('0x' || substr(md5('0|' || t), 1, 8))::BIGINT % {dim})"
     )
-    tf = (
+    return (
         f"list_transform(range(0, {dim}), b -> "
         f"len(list_filter({barr}, x -> x = b))::DOUBLE)"
-    )
-    l2 = f"sqrt(list_dot_product({tf}, {tf}))"
-    return (
-        f"list_transform({tf}, x -> "
-        f"CASE WHEN {l2} = 0.0 THEN 0.0 ELSE x / {l2} END)"
     )

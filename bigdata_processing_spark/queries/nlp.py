@@ -320,11 +320,14 @@ def _hashed_tf_knn_oracle() -> str:
 
     v = hashed_tf_sql("text", HASHED_TF_DIM)
     return f"""
-        WITH d AS (SELECT doc_id, {v} AS v FROM documents),
-        q AS (SELECT doc_id AS qid, v AS qv FROM d WHERE doc_id % 100 = 0),
-        c AS (SELECT doc_id AS cid, v AS cv FROM d),
+        WITH d AS (
+            SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM (SELECT doc_id, {v} AS v FROM documents)
+        ),
+        q AS (SELECT doc_id AS qid, v AS qv, nrm AS qn FROM d WHERE doc_id % 100 = 0),
+        c AS (SELECT doc_id AS cid, v AS cv, nrm AS cn FROM d),
         s AS (
-            SELECT qid, cid, list_dot_product(qv, cv) AS cos_sim
+            SELECT qid, cid, list_dot_product(qv, cv) / (qn * cn) AS cos_sim
             FROM q JOIN c ON cid <> qid
         )
         SELECT qid, cid, cos_sim, rn FROM (
@@ -340,17 +343,32 @@ def _hashed_tf_knn_oracle() -> str:
 def hashed_tf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.functions import text as T
     from bigdata_processing_spark.functions import vectors as V
+    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
 
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", T.hashed_tf(F.col("text"), HASHED_TF_DIM).alias("v")
+    # PERSIST BARRIER, load-bearing: without it Catalyst inlines the
+    # md5-per-token featurization tree into the join and re-evaluates it
+    # per PAIR — measured 179s vs ~1s at sf0.1. Materialized, each doc
+    # is featurized exactly once; norms come off the stored column.
+    docs = (
+        load_table(spark, sf_dir, "documents")
+        .select(
+            "doc_id",
+            T.hashed_tf(F.col("text"), HASHED_TF_DIM).alias("v"),
+        )
+        .withColumn("nrm", V.norm(F.col("v")))
+        .persist()
     )
+    _LOOSE_PERSISTS.append(docs)
     q = docs.filter(F.col("doc_id") % 100 == 0).select(
-        F.col("doc_id").alias("qid"), F.col("v").alias("qv")
+        F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
     )
-    c = docs.select(F.col("doc_id").alias("cid"), F.col("v").alias("cv"))
+    c = docs.select(
+        F.col("doc_id").alias("cid"), F.col("v").alias("cv"),
+        F.col("nrm").alias("cn"),
+    )
     joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
-    # vectors are unit-norm by construction: cosine == dot
-    cos = V.dot(F.col("qv"), F.col("cv"))
+    cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
         joined.select("qid", "cid", cos.alias("cos_sim"))
