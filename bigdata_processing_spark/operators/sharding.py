@@ -75,6 +75,15 @@ def emit_training_shards(
     (shuffle_key, id) sort key makes file contents deterministic even
     under hash collisions, so replaying the write is idempotent.
 
+    Scale note: each shard is ONE task (that is what makes its file
+    contents a deterministic sorted run), so n_shards is the
+    parallelism AND memory knob — at 100 TB you emit ~10k shards of
+    ~10 GB (loaders want many shards anyway), not 8 big ones; the
+    per-task sort spills gracefully past executor memory. Don't be
+    tempted to range-partition within a shard: RangePartitioner
+    boundaries are sampled per-run, which silently breaks the
+    byte-stable-replay contract.
+
     ``max_records_per_file``: loaders want ~256MB files, not one
     monolith per shard — when set, the writer rolls files at this row
     count; the roll points are sort-order-deterministic so shard
