@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "training_shard_stats",
     "hashed_tf_knn",
     "vocab_coverage_curve",
+    "hashed_tf_knn_celled",
     "embedding_neardup_pairs",
     "semantic_dedup_survivors",
     "semantic_dedup_sweep",

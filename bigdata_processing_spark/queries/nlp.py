@@ -444,3 +444,108 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# ---------------------------------------------------------------------------
+# Celled hashed-TF kNN: the scale tier above hashed_tf_knn's brute
+# baseline. Cells are seeded by the 8 lowest doc_ids' vectors (cell id =
+# seed doc_id, bit-reproducible in SQL); every doc is assigned to its
+# argmin ||v−c||² cell via the rank-invariant c·c − 2·v·c score (the
+# same ranking the IVF family uses); queries probe their N_PROBE nearest
+# cells and score ONLY co-celled candidates — at 100 TB the candidate
+# leg reads ~n_probe/n_cells of the corpus instead of all of it, and the
+# cell key is the join/partition key (hashed_tf itself never shuffles).
+# ---------------------------------------------------------------------------
+HASHED_TF_CELLS = 8    # seeds = the 8 lowest doc_ids (exist at every SF)
+HASHED_TF_N_PROBE = 2
+
+
+def _hashed_tf_knn_celled_oracle() -> str:
+    from bigdata_processing_spark.functions.text import hashed_tf_sql
+
+    v = hashed_tf_sql("text", HASHED_TF_DIM)
+    return f"""
+        WITH d AS (
+            SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm
+            FROM (SELECT doc_id, {v} AS v FROM documents)
+        ),
+        cells AS (
+            SELECT doc_id AS cell, v AS cv, list_dot_product(v, v) AS cc
+            FROM d WHERE doc_id < {HASHED_TF_CELLS}
+        ),
+        scores AS (
+            SELECT d.doc_id, cells.cell,
+                   row_number() OVER (
+                       PARTITION BY d.doc_id
+                       ORDER BY cells.cc - 2 * list_dot_product(d.v, cells.cv) ASC,
+                                cells.cell ASC) AS r
+            FROM d CROSS JOIN cells
+        ),
+        asg AS (SELECT doc_id, cell FROM scores WHERE r = 1),
+        probes AS (
+            SELECT doc_id AS qid, cell FROM scores
+            WHERE doc_id % 100 = 0 AND r <= {HASHED_TF_N_PROBE}
+        ),
+        s AS (
+            SELECT p.qid, c.doc_id AS cid,
+                   list_dot_product(dq.v, c.v) / (dq.nrm * c.nrm) AS cos_sim
+            FROM probes p
+            JOIN asg a ON a.cell = p.cell
+            JOIN d c ON c.doc_id = a.doc_id
+            JOIN d dq ON dq.doc_id = p.qid
+            WHERE c.doc_id <> p.qid
+        )
+        SELECT qid, cid, cos_sim, rn FROM (
+            SELECT *, row_number() OVER (PARTITION BY qid ORDER BY cos_sim DESC, cid ASC) AS rn
+            FROM s
+        )
+        WHERE rn <= 3
+        ORDER BY qid, rn
+    """
+
+
+@register("hashed_tf_knn_celled", oracle=_hashed_tf_knn_celled_oracle())
+def hashed_tf_knn_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.functions import vectors as V
+    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+
+    # same persist barrier as hashed_tf_knn: featurize each doc ONCE
+    vecs = (
+        load_table(spark, sf_dir, "documents")
+        .select("doc_id", T.hashed_tf(F.col("text"), HASHED_TF_DIM).alias("v"))
+        .withColumn("nrm", V.norm(F.col("v")))
+        .persist()
+    )
+    _LOOSE_PERSISTS.append(vecs)
+    cells = vecs.filter(F.col("doc_id") < HASHED_TF_CELLS).select(
+        F.col("doc_id").alias("cell"), F.col("v").alias("cv"),
+        V.dot(F.col("v"), F.col("v")).alias("cc"),
+    )
+    score = F.col("cc") - 2.0 * V.dot(F.col("v"), F.col("cv"))
+    wdoc = Window.partitionBy("doc_id").orderBy(score.asc(), F.col("cell").asc())
+    scores = vecs.crossJoin(F.broadcast(cells)).select(
+        "doc_id", "cell", F.row_number().over(wdoc).alias("r")
+    )
+    asg = scores.filter(F.col("r") == 1).select("doc_id", "cell")
+    probes = scores.filter(
+        (F.col("doc_id") % 100 == 0) & (F.col("r") <= HASHED_TF_N_PROBE)
+    ).select(F.col("doc_id").alias("qid"), "cell")
+    qv = vecs.select(
+        F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+        F.col("nrm").alias("qn"),
+    )
+    cand = (
+        probes.join(asg, "cell")
+        .filter(F.col("doc_id") != F.col("qid"))
+        .join(vecs, "doc_id")
+        .join(F.broadcast(qv), "qid")
+    )
+    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    return (
+        cand.select("qid", F.col("doc_id").alias("cid"), cos.alias("cos_sim"))
+        .withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= 3)
+        .orderBy("qid", "rn")
+    )
