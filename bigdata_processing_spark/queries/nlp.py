@@ -448,16 +448,27 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 # ---------------------------------------------------------------------------
 # Celled hashed-TF kNN: the scale tier above hashed_tf_knn's brute
-# baseline. Cells are seeded by the 8 lowest doc_ids' vectors (cell id =
-# seed doc_id, bit-reproducible in SQL); every doc is assigned to its
-# argmin ||v−c||² cell via the rank-invariant c·c − 2·v·c score (the
-# same ranking the IVF family uses); queries probe their N_PROBE nearest
-# cells and score ONLY co-celled candidates — at 100 TB the candidate
-# leg reads ~n_probe/n_cells of the corpus instead of all of it, and the
-# cell key is the join/partition key (hashed_tf itself never shuffles).
+# baseline. Cells are seeded by the lowest-doc_id hashed vectors — but
+# the cell COUNT follows operators/ivf.ivf_cell_count's 4·√n policy
+# (clamped), not a constant: the first cut of this query used 8 fixed
+# cells and the 10× smoke measured 13.6× growth (slower than brute!)
+# because n_probe/n_cells-fraction candidates are quadratic when the
+# cell count doesn't grow — the exact bug allpairs_cell_count fixed for
+# the embedding family in round 3. Assignment and probe ranking share
+# ONE scoring expression (the rank-invariant c·c − 2·v·c, ordered-fold
+# dots) so the DuckDB twin reproduces both bit-for-bit. Training the
+# cells was built, measured flat on this near-isotropic vector family,
+# and rejected (ROADMAP round-7 #1).
 # ---------------------------------------------------------------------------
-HASHED_TF_CELLS = 8    # seeds = the 8 lowest doc_ids (exist at every SF)
 HASHED_TF_N_PROBE = 2
+
+# ivf_cell_count(n) as one ANSI-SQL scalar (the tc_c0 fragment of
+# queries/dedup._sql_emb_assign, over documents)
+_SQL_HTF_NCELLS = """(SELECT CASE WHEN count(*) < 8 THEN greatest(1, count(*))
+                   ELSE least(greatest(8, CAST(floor(4*sqrt(count(*))) AS BIGINT)),
+                              greatest(1, count(*) // 39),
+                              262144) END
+            FROM documents)"""
 
 
 def _hashed_tf_knn_celled_oracle() -> str:
@@ -465,21 +476,23 @@ def _hashed_tf_knn_celled_oracle() -> str:
 
     v = hashed_tf_sql("text", HASHED_TF_DIM)
     return f"""
-        WITH d AS (
+        WITH hd AS (
             SELECT doc_id, v, sqrt(list_dot_product(v, v)) AS nrm
             FROM (SELECT doc_id, {v} AS v FROM documents)
         ),
         cells AS (
-            SELECT doc_id AS cell, v AS cv, list_dot_product(v, v) AS cc
-            FROM d WHERE doc_id < {HASHED_TF_CELLS}
+            SELECT row_number() OVER (ORDER BY doc_id) - 1 AS cell,
+                   v AS cv, list_dot_product(v, v) AS cc
+            FROM (SELECT doc_id, v FROM hd ORDER BY doc_id
+                  LIMIT {_SQL_HTF_NCELLS})
         ),
         scores AS (
-            SELECT d.doc_id, cells.cell,
+            SELECT hd.doc_id, cells.cell,
                    row_number() OVER (
-                       PARTITION BY d.doc_id
-                       ORDER BY cells.cc - 2 * list_dot_product(d.v, cells.cv) ASC,
+                       PARTITION BY hd.doc_id
+                       ORDER BY cells.cc - 2 * list_dot_product(hd.v, cells.cv) ASC,
                                 cells.cell ASC) AS r
-            FROM d CROSS JOIN cells
+            FROM hd CROSS JOIN cells
         ),
         asg AS (SELECT doc_id, cell FROM scores WHERE r = 1),
         probes AS (
@@ -491,8 +504,8 @@ def _hashed_tf_knn_celled_oracle() -> str:
                    list_dot_product(dq.v, c.v) / (dq.nrm * c.nrm) AS cos_sim
             FROM probes p
             JOIN asg a ON a.cell = p.cell
-            JOIN d c ON c.doc_id = a.doc_id
-            JOIN d dq ON dq.doc_id = p.qid
+            JOIN hd c ON c.doc_id = a.doc_id
+            JOIN hd dq ON dq.doc_id = p.qid
             WHERE c.doc_id <> p.qid
         )
         SELECT qid, cid, cos_sim, rn FROM (
@@ -508,7 +521,13 @@ def _hashed_tf_knn_celled_oracle() -> str:
 def hashed_tf_knn_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.functions import text as T
     from bigdata_processing_spark.functions import vectors as V
+    from bigdata_processing_spark.operators.ivf import (
+        ivf_cell_count,
+        seed_centroids,
+        seeded_assign_cells,
+    )
     from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+    from bigdata_processing_spark.sources.writers import literal_df
 
     # same persist barrier as hashed_tf_knn: featurize each doc ONCE
     vecs = (
@@ -518,30 +537,42 @@ def hashed_tf_knn_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
         .persist()
     )
     _LOOSE_PERSISTS.append(vecs)
-    cells = vecs.filter(F.col("doc_id") < HASHED_TF_CELLS).select(
-        F.col("doc_id").alias("cell"), F.col("v").alias("cv"),
-        V.dot(F.col("v"), F.col("v")).alias("cc"),
+    n_docs = vecs.count()  # one scalar: sizes the quantizer
+    cents = seed_centroids(
+        vecs, ivf_cell_count(n_docs), vec_col="v", id_col="doc_id"
     )
-    score = F.col("cc") - 2.0 * V.dot(F.col("v"), F.col("cv"))
-    wdoc = Window.partitionBy("doc_id").orderBy(score.asc(), F.col("cell").asc())
-    scores = vecs.crossJoin(F.broadcast(cells)).select(
-        "doc_id", "cell", F.row_number().over(wdoc).alias("r")
+    # doc → cell via the broadcast-join struct-min assigner (no n×C
+    # window sort; bit-equal to the oracle's correlated ORDER BY)
+    asg = seeded_assign_cells(vecs, cents, id_col="doc_id", e_col="v")
+
+    def self_dot(c):
+        acc = 0.0
+        for x in c:
+            acc += x * x
+        return acc  # same sequential fold as list_dot_product
+
+    cdf = literal_df(
+        spark, [(i, list(c), self_dot(c)) for i, c in enumerate(cents)],
+        "cell int, cent array<double>, cc double",
     )
-    asg = scores.filter(F.col("r") == 1).select("doc_id", "cell")
-    probes = scores.filter(
-        (F.col("doc_id") % 100 == 0) & (F.col("r") <= HASHED_TF_N_PROBE)
-    ).select(F.col("doc_id").alias("qid"), "cell")
-    qv = vecs.select(
-        F.col("doc_id").alias("qid"), F.col("v").alias("qv"),
+    qdf = vecs.filter(F.col("doc_id") % 100 == 0).select(
+        F.col("doc_id").alias("qid"), F.col("v").alias("qe"),
         F.col("nrm").alias("qn"),
+    )
+    probe_score = F.col("cc") - 2.0 * V.dot(F.col("qe"), F.col("cent"))
+    wq = Window.partitionBy("qid").orderBy(probe_score.asc(), F.col("cell").asc())
+    probes = (
+        qdf.crossJoin(F.broadcast(cdf))
+        .withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= HASHED_TF_N_PROBE)
+        .select("qid", "qe", "qn", "cell")
     )
     cand = (
         probes.join(asg, "cell")
         .filter(F.col("doc_id") != F.col("qid"))
         .join(vecs, "doc_id")
-        .join(F.broadcast(qv), "qid")
     )
-    cos = V.dot(F.col("qv"), F.col("v")) / (F.col("qn") * F.col("nrm"))
+    cos = V.dot(F.col("qe"), F.col("v")) / (F.col("qn") * F.col("nrm"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
         cand.select("qid", F.col("doc_id").alias("cid"), cos.alias("cos_sim"))
