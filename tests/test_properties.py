@@ -306,3 +306,27 @@ def test_sessionize_model(spark, events, tmp_path_factory):
 
     got = {r.events_per_session: r.n_sessions for r in sessionize_events(spark, d).collect()}
     assert got == dict(hist)
+
+
+@given(ts=st.lists(texts, min_size=1, max_size=6))
+@settings(**_SETTINGS)
+def test_hashed_tf_model_matches_duckdb(spark, ts):
+    """hashed_tf's bucket-count vector is bit-identical to its SQL twin
+    for arbitrary unicode text (md5-over-UTF8 and the whitespace split
+    must agree across engines, not just on the fixture vocabulary)."""
+    import duckdb
+
+    from bigdata_processing_spark.functions.text import hashed_tf, hashed_tf_sql
+
+    df = spark.createDataFrame(list(enumerate(ts)), "i int, t string")
+    got = {
+        r.i: list(r.v)
+        for r in df.select("i", hashed_tf(F.col("t"), 8).alias("v")).collect()
+    }
+    con = duckdb.connect()
+    expr = hashed_tf_sql("t", 8)
+    for i, t in enumerate(ts):
+        want = con.execute(
+            f"SELECT {expr} FROM (SELECT ?::VARCHAR AS t)", [t]
+        ).fetchone()[0]
+        assert got[i] == list(want), (t, got[i], want)
