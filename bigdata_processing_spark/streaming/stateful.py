@@ -13,7 +13,7 @@ hundreds of millions of keys.
 
 Environment note: the python<->JVM state protocol is protobuf-based;
 this container lacks ``google.protobuf`` (re-verified at round-6 start,
-2026-08-14: ``import google.protobuf`` raises ModuleNotFoundError), so
+2026-08-15: ``import google.protobuf`` raises ModuleNotFoundError), so
 the end-to-end test (tests/test_stateful.py) is skip-gated the same way
 spark-avro is. The
 operator itself is complete — on a normal cluster install it runs as
