@@ -87,6 +87,24 @@ N_SHINGLE_BUCKETS = 32
 def _sbucket(col) -> "F.Column":
     return F.pmod(F.hash(col), F.lit(N_SHINGLE_BUCKETS))
 
+
+def _store_uses_sbucket(path: str) -> bool:
+    """Whether the EXISTING shingle store uses the sbucket sub-partition
+    layout (round 6+). A pre-round-6 index has flat parquet files under
+    ``shingles/batch_id=N/``; writing a new-style ``sbucket=K`` batch
+    next to those makes every later ``spark.read.parquet(shingles)``
+    fail with CONFLICTING_PARTITION_COLUMN_NAMES — bricking probes and
+    refits — so appends must keep the layout the store already has
+    (fresh stores and post-refit rebuilds use the new layout; a legacy
+    store upgrades at its next refit, which rewrites everything as
+    batch 0 anyway)."""
+    import glob
+
+    dirs = glob.glob(os.path.join(path, "shingles", "batch_id=*"))
+    if not dirs:
+        return True  # fresh index: new layout
+    return all(glob.glob(os.path.join(d, "sbucket=*")) for d in dirs)
+
 # probe-call persists consumed lazily by callers (the returned pair
 # frame still reads them) — same loose-pool discipline as
 # queries/dedup._LOOSE_PERSISTS. The streaming sink releases after each
@@ -138,11 +156,22 @@ def _sign_excluding(shex: DataFrame, stop: DataFrame) -> DataFrame:
     )
 
 
-def _write_batch(path: str, batch_id: int, shset: DataFrame, stop: DataFrame) -> int:
+def _write_batch(
+    path: str,
+    batch_id: int,
+    shset: DataFrame,
+    stop: DataFrame,
+    use_sbucket: bool = True,
+) -> int:
     """Write one batch's partitions (postings, bucket_sizes, shingles,
     then counts LAST as the completion marker) by OVERWRITING its own
     ``batch_id=N`` directories — the idempotence that makes replays and
-    half-written appends converge. Returns the batch's doc count."""
+    half-written appends converge. Returns the batch's doc count.
+
+    ``use_sbucket=False`` writes the shingle batch FLAT (no sbucket
+    sub-partition) — appends to a pre-round-6 store must match its
+    layout or the mixed directory becomes unreadable (see
+    :func:`_store_uses_sbucket`)."""
     spark = shset.sparkSession
     shset = shset.persist()
     n = shset.count()
@@ -157,15 +186,23 @@ def _write_batch(path: str, batch_id: int, shset: DataFrame, stop: DataFrame) ->
     ).parquet(f"{path}/bucket_sizes/batch_id={batch_id}")
     # shingle store: hash-bucketed by doc_id (probe-time partition
     # pruning) and doc_id-sorted within files (row-group min/max skips)
-    (
-        shset.select("doc_id", "sh")
-        .withColumn("sbucket", _sbucket(F.col("doc_id")))
-        .repartition("sbucket")
-        .sortWithinPartitions("doc_id")
-        .write.mode("overwrite")
-        .partitionBy("sbucket")
-        .parquet(f"{path}/shingles/batch_id={batch_id}")
-    )
+    if use_sbucket:
+        (
+            shset.select("doc_id", "sh")
+            .withColumn("sbucket", _sbucket(F.col("doc_id")))
+            .repartition("sbucket")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("sbucket")
+            .parquet(f"{path}/shingles/batch_id={batch_id}")
+        )
+    else:
+        (
+            shset.select("doc_id", "sh")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/shingles/batch_id={batch_id}")
+        )
     literal_df(spark, [(n,)], "n bigint").coalesce(1).write.mode(
         "overwrite"
     ).parquet(f"{path}/counts/batch_id={batch_id}")
@@ -425,7 +462,10 @@ def append_to_minhash_index(
         batch_id = max(committed_batches(spark, path)) + 1
     refit = _maybe_refit(spark, path, batch_id, refit_threshold)
     stop = spark.read.parquet(f"{path}/stoplist")
-    n_new = _write_batch(path, batch_id, _shingled(new_docs, text_col), stop)
+    n_new = _write_batch(
+        path, batch_id, _shingled(new_docs, text_col), stop,
+        use_sbucket=_store_uses_sbucket(path),
+    )
     return n_new, refit
 
 

@@ -59,6 +59,30 @@ def assign_shards(
     )
 
 
+def shard_proxies(spark: SparkSession, n_shards: int) -> dict[int, int]:
+    """shard value → smallest int ``p`` with ``pmod(murmur3(p), n) ==
+    shard``. ``repartition(n, proxy)`` places rows at partition
+    ``pmod(murmur3(proxy), n)``, so attaching these proxies realizes an
+    IDENTITY shard→task mapping: exactly one shard per task, no empty
+    tasks. (Repartitioning on the shard value itself hashes it AGAIN —
+    ``pmod(murmur3(shard), n)`` — colliding multiple shards into one
+    task while ~1/e of tasks stay empty; range partitioning would fix
+    placement but samples boundaries with an extra input scan.) One tiny
+    deterministic Spark job over 64·n candidate ints — metadata-sized."""
+    limit = 64 * n_shards
+    while True:
+        rows = (
+            spark.range(0, limit)
+            .select(F.col("id").cast("int").alias("p"))
+            .withColumn("s", F.pmod(F.hash("p"), F.lit(n_shards)))
+            .groupBy("s").agg(F.min("p").alias("p"))
+            .collect()
+        )  # n_shards rows
+        if len(rows) == n_shards:
+            return {int(r.s): int(r.p) for r in rows}
+        limit *= 2  # vanishing probability at 64x oversampling
+
+
 def emit_training_shards(
     df: DataFrame,
     out_dir: str,
@@ -71,13 +95,15 @@ def emit_training_shards(
     seeded shuffle key within each shard, plus a ``_ledger`` sidecar of
     per-shard doc counts. Returns the ledger frame (n_shards rows).
 
-    One hash exchange (repartition on shard), no global sort. The
-    (shuffle_key, id) sort key makes file contents deterministic even
-    under hash collisions, so replaying the write is idempotent.
+    One hash exchange (repartition on the shard's murmur3 PROXY — see
+    :func:`shard_proxies` — so each shard is exactly one task), no
+    global sort. The (shuffle_key, id) sort key makes file contents
+    deterministic even under shuffle-key hash collisions, so replaying
+    the write is idempotent.
 
     Scale note: each shard is ONE task (that is what makes its file
-    contents a deterministic sorted run), so n_shards is the
-    parallelism AND memory knob — at 100 TB you emit ~10k shards of
+    contents a deterministic sorted run AND what makes n_shards the
+    parallelism and memory knob) — at 100 TB you emit ~10k shards of
     ~10 GB (loaders want many shards anyway), not 8 big ones; the
     per-task sort spills gracefully past executor memory. Don't be
     tempted to range-partition within a shard: RangePartitioner
@@ -89,8 +115,18 @@ def emit_training_shards(
     count; the roll points are sort-order-deterministic so shard
     contents stay byte-stable across replays."""
     assigned = assign_shards(df, id_col=id_col, n_shards=n_shards, seed=seed)
+    spark0 = df.sparkSession
+    proxies = shard_proxies(spark0, n_shards)
+    from bigdata_processing_spark.sources.writers import literal_df as _ldf
+
+    pmap = _ldf(
+        spark0, sorted((s, p) for s, p in proxies.items()),
+        "shard int, _shard_proxy int",
+    )
     writer = (
-        assigned.repartition(n_shards, "shard")
+        assigned.join(F.broadcast(pmap), "shard")
+        .repartition(n_shards, "_shard_proxy")
+        .drop("_shard_proxy")
         .sortWithinPartitions("shard", "shuffle_key", id_col)
         .write.mode("overwrite")
     )

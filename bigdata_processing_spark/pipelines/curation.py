@@ -232,6 +232,39 @@ def _appends_path(out_path: str) -> str:
     return out_path.rstrip("/") + ".appends"
 
 
+def _mark_batch_committed(spark: SparkSession, out_path: str, batch_id: int) -> None:
+    """Write the CURATION-owned commit marker
+    ``{state}/committed/batch_id=N`` — the last write of an append, so
+    its presence means the batch's survivors AND index folds are all
+    live. Curation must own its commit record: the mh index's
+    ``counts/batch_id=N`` partitions (the previous marker) are erased
+    by the index's own refit, which consolidates every prior batch into
+    batch 0 — committed append survivors then silently vanished from
+    :func:`read_curated` (the round-7 high-severity advisory)."""
+    literal_df(spark, [(1,)], "committed int").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{_state_path(out_path)}/committed/batch_id={batch_id}")
+
+
+def committed_curation_batches(spark: SparkSession, out_path: str) -> set[int]:
+    """Batch ids whose curation commit marker is live. Falls back to the
+    mh index's counts partitions for pre-round-7 state dirs (correct
+    there as long as no refit has run — exactly the old behavior)."""
+    import os
+
+    p = f"{_state_path(out_path)}/committed"
+    if not os.path.exists(p):
+        from bigdata_processing_spark.operators.incremental_dedup import (
+            committed_batches,
+        )
+
+        return committed_batches(spark, f"{_state_path(out_path)}/mh")
+    return {
+        r.batch_id
+        for r in spark.read.parquet(p).select("batch_id").distinct().collect()
+    }
+
+
 def _write_fp_batch(
     state: str, batch_id: int, docs: DataFrame, n_docs: int | None = None
 ) -> None:
@@ -286,6 +319,8 @@ def curate_corpus_with_state(
     import shutil
 
     shutil.rmtree(_appends_path(out_path), ignore_errors=True)
+    shutil.rmtree(f"{state}/committed", ignore_errors=True)
+    _mark_batch_committed(spark, out_path, 0)
     return stats
 
 
@@ -310,7 +345,6 @@ def curate_append(
     from bigdata_processing_spark.operators.graph import connected_components
     from bigdata_processing_spark.operators.incremental_dedup import (
         append_to_minhash_index,
-        committed_batches,
         incremental_dup_pairs,
         release_loose_persists,
     )
@@ -318,7 +352,10 @@ def curate_append(
     state = _state_path(out_path)
     stats: list[StageStats] = []
     if batch_id is None:
-        batch_id = max(committed_batches(spark, f"{state}/mh")) + 1
+        # curation-owned sequence, NOT the mh counts partitions: a refit
+        # consolidates mh batches into batch 0, so the mh-derived "next
+        # id" would collide with (and overwrite) live append directories
+        batch_id = max(committed_curation_batches(spark, out_path) | {0}) + 1
     batch_docs = batch_docs.persist()
     n = batch_docs.count()
 
@@ -356,9 +393,17 @@ def curate_append(
             store.filter(F.col("fbucket").isin(buckets))
             if buckets else store.filter(F.lit(False))
         )
-    indexed_hit = bfp.join(
-        F.broadcast(store.select("fp").distinct()), "fp", "semi"
-    ).select("doc_id")
+    # broadcast the BATCH-sized side, never the store: store fps that
+    # appear in the batch (<= batch distinct fps, via a broadcast semi
+    # join that scans the store map-side with no shuffle), then the hit
+    # set — itself batch-bounded — broadcasts back against the batch.
+    # The old form broadcast store.select("fp").distinct() wholesale once
+    # the batch exceeded N_FP_BUCKETS/2 docs: a corpus-sized forced
+    # broadcast, the same OOM class the dedup regime switch exists for.
+    hit_fps = store.select("fp").join(
+        F.broadcast(bfp.select("fp").distinct()), "fp", "semi"
+    ).distinct()
+    indexed_hit = bfp.join(F.broadcast(hit_fps), "fp", "semi").select("doc_id")
     batch_keep_fp = (
         bfp.groupBy("fp").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
     )
@@ -423,14 +468,17 @@ def curate_append(
 
     # 5. emit survivors — overwrite of this batch's OWN directory
     # (replay-idempotent), THEN fold the raw batch into the state; the
-    # mh counts partition is written last inside the index append, so
-    # its presence marks the whole batch (output + state) complete
+    # CURATION commit marker is written last (after the index fold and
+    # any refit inside it), so its presence marks the whole batch
+    # (output + state) complete — and, unlike the mh counts partitions,
+    # it survives the index refit's batch-0 consolidation
     out_dir = f"{_appends_path(out_path)}/batch_id={batch_id}"
     cur.write.mode("overwrite").parquet(out_dir)
     n_out = spark.read.parquet(out_dir).count()
     stats.append(StageStats("emit", n5, n_out))
     _write_fp_batch(state, batch_id, batch_docs, n_docs=n)
     append_to_minhash_index(f"{state}/mh", batch_docs, batch_id=batch_id)
+    _mark_batch_committed(spark, out_path, batch_id)
     release_loose_persists()
     pairs.unpersist()
     bfp.unpersist()
@@ -440,19 +488,17 @@ def curate_append(
 
 def read_curated(spark: SparkSession, out_path: str) -> DataFrame:
     """The curated corpus = the base emit plus every COMMITTED append
-    batch (a batch counts as committed once its mh counts partition
-    exists — written last in :func:`curate_append`)."""
+    batch (a batch counts as committed once its curation marker
+    ``{state}/committed/batch_id=N`` exists — written last in
+    :func:`curate_append`, and refit-proof unlike the mh counts
+    partitions it replaced)."""
     import os
-
-    from bigdata_processing_spark.operators.incremental_dedup import (
-        committed_batches,
-    )
 
     base = spark.read.parquet(out_path)
     ap = _appends_path(out_path)
     if not os.path.exists(ap):
         return base
-    committed = committed_batches(spark, f"{_state_path(out_path)}/mh")
+    committed = committed_curation_batches(spark, out_path)
     appended = (
         spark.read.option("basePath", ap).parquet(ap)
         .filter(F.col("batch_id").isin([b for b in committed if b > 0]))

@@ -233,6 +233,57 @@ def test_streaming_append_crash_replay_converges(spark, tmp_path):
     assert crashed == clean
 
 
+def test_multi_append_past_refit_keeps_committed_batches(spark, tmp_path):
+    """The round-7 high-severity advisory: the mh index refit
+    (refit_threshold crossed inside append_to_minhash_index) consolidates
+    every prior batch into mh batch 0, erasing the counts/batch_id=N
+    markers read_curated USED to treat as the commit record — committed
+    batch-1 survivors then silently vanished. Curation now owns its
+    commit markers ({state}/committed/batch_id=N), so survivors must be
+    stable across a refit, and the next inferred batch id must not
+    collide with live append directories."""
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        committed_batches,
+    )
+    from bigdata_processing_spark.pipelines.curation import (
+        _state_path,
+        committed_curation_batches,
+    )
+
+    clear_dedup_memos()
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    c1, c2 = ids[int(len(ids) * 0.3)], ids[int(len(ids) * 0.7)]
+    base_sf = os.path.join(str(tmp_path), "base_sf")
+    os.makedirs(base_sf, exist_ok=True)
+    docs.filter(F.col("doc_id") < c1).write.parquet(table_path(base_sf, "documents"))
+    b1 = docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+    b2 = docs.filter(F.col("doc_id") >= c2)
+
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+    curate_append(spark, out, b1)  # batch 1, committed
+    after_b1 = {
+        r.doc_id for r in read_curated(spark, out).select("doc_id").collect()
+    }
+    b1_survivors = {r.doc_id for r in b1.select("doc_id").collect()} & after_b1
+    assert b1_survivors, "fixture must commit some batch-1 docs"
+
+    # batch 2 crosses the refit threshold: committed corpus is now 70%
+    # of docs vs n_fit=30% -> drift 0.57 > 0.5, so the index refit fires
+    # and consolidates mh batches {0,1} into a fresh batch 0
+    curate_append(spark, out, b2)
+    mh = committed_batches(spark, f"{_state_path(out)}/mh")
+    assert 1 not in mh, "test must actually exercise the refit consolidation"
+
+    final = {r.doc_id for r in read_curated(spark, out).select("doc_id").collect()}
+    assert b1_survivors <= final, "refit erased committed batch-1 survivors"
+    assert committed_curation_batches(spark, out) == {0, 1, 2}
+    # survivors of BOTH appends are present and the base corpus too
+    assert after_b1 <= final | {r.doc_id for r in b2.select("doc_id").collect()}
+    clear_dedup_memos()
+
+
 def test_shard_curated_covers_base_plus_appends(spark, tmp_path):
     from bigdata_processing_spark.pipelines.curation import shard_curated
 

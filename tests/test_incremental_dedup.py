@@ -85,6 +85,66 @@ def test_append_makes_batch_visible_to_later_probes(spark, tmp_path):
     assert [(r.d1, r.d2, r.jaccard) for r in after] == [(100, 200, 1.0)]
 
 
+def _flatten_to_legacy_layout(spark, idx):
+    """Rewrite the store's shingle batches to the pre-round-6 FLAT
+    layout (no sbucket sub-partition) — the on-disk shape an index built
+    by round-5 code still has."""
+    import glob
+
+    for d in glob.glob(os.path.join(idx, "shingles", "batch_id=*")):
+        flat = spark.read.parquet(d).select("doc_id", "sh").collect()
+        shutil.rmtree(d)
+        spark.createDataFrame(
+            flat, "doc_id bigint, sh array<string>"
+        ).coalesce(1).sortWithinPartitions("doc_id").write.parquet(d)
+
+
+def test_append_to_legacy_flat_store_stays_readable(spark, tmp_path):
+    """Round-7 medium advisory: appending a round-6-style sbucket batch
+    next to a pre-round-6 FLAT shingle batch made the mixed directory
+    unreadable (CONFLICTING_PARTITION_COLUMN_NAMES), bricking every
+    later probe and refit. Appends must detect the legacy layout and
+    keep writing flat; the next refit upgrades the whole store."""
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        _store_uses_sbucket,
+    )
+
+    base = {i: f"wholly unrelated document number {i} tokens t{i} u{i*3}"
+            for i in range(20)}
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+    _flatten_to_legacy_layout(spark, idx)
+    assert not _store_uses_sbucket(idx)
+
+    b_doc = {100: "the quick brown fox jumps over the lazy dog tonight"}
+    n, refit = append_to_minhash_index(idx, _mini_corpus(spark, b_doc))
+    assert (n, refit) == (1, False)
+    # the mixed-layout failure mode: this read is what used to explode
+    sh = spark.read.parquet(os.path.join(idx, "shingles"))
+    assert "sbucket" not in sh.columns
+    assert sh.select("doc_id").distinct().count() == 21
+
+    # probes against the legacy store still work (flat-scan fallback)
+    c_doc = {200: "the quick brown fox jumps over the lazy dog tonight"}
+    got = incremental_dup_pairs(_mini_corpus(spark, c_doc), idx).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in got] == [(100, 200, 1.0)]
+
+    # a refit rebuilds the store as batch 0 in the NEW layout — the
+    # upgrade point — and later appends then write sbucket batches
+    big = {300 + i: f"post upgrade doc {i} gamma{i} delta{i*5}" for i in range(25)}
+    append_to_minhash_index(idx, _mini_corpus(spark, big), refit_threshold=0.3)
+    tiny = {900: "trailing doc omega sigma tau"}
+    _n, refit = append_to_minhash_index(
+        idx, _mini_corpus(spark, tiny), refit_threshold=0.3
+    )
+    assert refit is True
+    assert _store_uses_sbucket(idx)
+    sh = spark.read.parquet(os.path.join(idx, "shingles"))
+    assert "sbucket" in sh.columns
+    got = incremental_dup_pairs(_mini_corpus(spark, c_doc), idx).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in got] == [(100, 200, 1.0)]
+
+
 def test_refit_reprunes_stop_list(spark, tmp_path):
     """Crossing refit_threshold rebuilds the index with a fresh DF prune
     at the START of the NEXT append (refit folds only checkpoint-safe

@@ -111,6 +111,33 @@ def test_stats_query_matches_disk(spark, tmp_path):
     assert sorted(map(tuple, q.collect())) == sorted(map(tuple, on_disk.collect()))
 
 
+def test_one_task_per_shard_identity_placement(spark):
+    """Round-7 low advisory: repartition(n, "shard") re-hashes the shard
+    value, colliding multiple shards into one task while ~1/e of tasks
+    sit empty — breaking the documented 'n_shards is the parallelism
+    and memory knob' contract. The murmur3 proxy mapping must place
+    shard s exactly at partition s (identity, bijective)."""
+    from bigdata_processing_spark.operators.sharding import shard_proxies
+    from bigdata_processing_spark.sources.writers import literal_df
+
+    for n in (8, 37):
+        proxies = shard_proxies(spark, n)
+        assert sorted(proxies) == list(range(n))
+        pmap = literal_df(
+            spark, sorted((s, p) for s, p in proxies.items()),
+            "shard int, _shard_proxy int",
+        )
+        placed = (
+            assign_shards(_docs(spark), n_shards=n)
+            .join(F.broadcast(pmap), "shard")
+            .repartition(n, "_shard_proxy")
+            .select("shard", F.spark_partition_id().alias("pid"))
+            .distinct()
+            .collect()
+        )
+        assert {(r.shard, r.pid) for r in placed} == {(s, s) for s in range(n)}
+
+
 def test_max_records_per_file_rolls_deterministically(spark, tmp_path):
     docs = _docs(spark)
     out1, out2 = str(tmp_path / "m1"), str(tmp_path / "m2")
