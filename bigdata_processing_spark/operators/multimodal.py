@@ -80,9 +80,11 @@ def _wav_n_samples(seed: int) -> int:
 WAV_RATE = 8000
 
 
-def encode_bmp(seed: int) -> bytes:
+def encode_bmp(seed: int, shift: int = 0) -> bytes:
     """A valid 24bpp .bmp: BITMAPFILEHEADER + BITMAPINFOHEADER + raw
-    bottom-up pixel rows padded to 4-byte boundaries."""
+    bottom-up pixel rows padded to 4-byte boundaries. ``shift`` adds a
+    constant to every pixel byte (mod 256) — the deterministic
+    "re-encoded copy" knob the image near-dup fixture plants."""
     import struct
 
     import numpy as np
@@ -96,7 +98,7 @@ def encode_bmp(seed: int) -> bytes:
         "<IiiHHIIiiII", 40, w, h, 1, 24, 0, data_size, 2835, 2835, 0, 0
     )
     k = np.arange(h * w * 3, dtype=np.int64).reshape(h, w * 3)
-    px = ((seed * 7 + k * 13) % 256).astype(np.uint8)
+    px = ((seed * 7 + k * 13 + shift) % 256).astype(np.uint8)
     pad = np.zeros((h, row_size - w * 3), dtype=np.uint8)
     return fh + ih + np.hstack([px, pad]).tobytes()
 
@@ -394,6 +396,148 @@ def decode_bmp_pixels(b: bytes):
     row_size = (w * 3 + 3) & ~3
     rows = np.frombuffer(b, dtype=np.uint8, count=row_size * abs(h), offset=off)
     return rows.reshape(abs(h), row_size)[:, : w * 3].astype(np.int64)
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup: dHash over decoded BMP pixels + Hamming
+# band-buckets — the image column's entry into the dedup family
+# (VERDICT r6 next-round #2). The kernel is pure integer arithmetic
+# (channel-sum luma, 9×8 nearest-neighbor grid, adjacent-column
+# comparisons), so the DuckDB twin recomputes every band bit-for-bit
+# from the closed-form fixture payloads, like image_feature_stats.
+#
+# Geometry: 64 bits packed as 4×16-bit BANDS. The bands double as the
+# LSH keys (pigeonhole: ≤3 flipped bits leave ≥1 of 4 bands intact, so
+# candidate recall at IMAGE_HAMMING_MAX=3 is exactly 1.0 — unlike
+# MinHash banding, no probabilistic miss). Band buckets get the same
+# MAX_BUCKET + representative-star treatment as LSH buckets: identical-
+# image cliques (distance 0 — re-crawls) would otherwise expand
+# quadratically.
+# ---------------------------------------------------------------------------
+IMAGE_DHASH_SCHEMA = "img_id bigint, b0 int, b1 int, b2 int, b3 int"
+DHASH_GRID_W = 8   # bits per row (9 sampled columns)
+DHASH_GRID_H = 8
+
+
+def attach_encoded_images_with_variants(docs: DataFrame, shift: int) -> DataFrame:
+    """Fixture adapter for the image near-dup family: every even doc_id
+    becomes TWO genuine BMPs — the original (img_id = doc_id) and a
+    re-encoded copy with all pixel bytes shifted by ``shift`` mod 256
+    (img_id = doc_id + 100000), the classic brightness-tweaked re-crawl.
+    dHash compares ADJACENT luma values, so the copy's bits differ only
+    where the +shift wraps past 255 — a small, content-dependent Hamming
+    distance, exactly the near-miss class the operator exists for."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for s in pdf["doc_id"].astype("int64"):
+                rows.append((int(s), encode_bmp(int(s)), "image/bmp"))
+                rows.append(
+                    (int(s) + 100000, encode_bmp(int(s), shift=shift), "image/bmp")
+                )
+            yield pd.DataFrame(rows, columns=["img_id", "payload", "media_type"])
+
+    return docs.select("doc_id").mapInPandas(
+        batches, schema="img_id bigint, payload binary, media_type string"
+    )
+
+
+def image_dhash(media: DataFrame) -> DataFrame:
+    """64-bit dHash per BMP payload, packed as 4×16-bit bands.
+
+    Kernel (vectorized numpy per Arrow batch): luma = sum of the 3
+    channel bytes per pixel; sample a 9×8 nearest-neighbor grid
+    (gx = x·w//9, gy = y·h//8 — integer division, so both engines pick
+    identical pixels); bit(y,x) = luma[gy(y)][gx(x+1)] > luma[gy(y)][gx(x)];
+    band b = Σ_{i<16} bit(16b+i)·2^i."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        for pdf in it:
+            rows = []
+            for iid, payload in zip(pdf["img_id"], pdf["payload"]):
+                px = decode_bmp_pixels(bytes(payload))  # h × w·3
+                h, w3 = px.shape
+                w = w3 // 3
+                luma = px.reshape(h, w, 3).sum(axis=2)
+                gx = [x * w // (DHASH_GRID_W + 1) for x in range(DHASH_GRID_W + 1)]
+                gy = [y * h // DHASH_GRID_H for y in range(DHASH_GRID_H)]
+                sampled = luma[np.ix_(gy, gx)]  # 8 × 9
+                bits = (sampled[:, 1:] > sampled[:, :-1]).astype(np.int64).reshape(-1)
+                weights = (1 << np.arange(16, dtype=np.int64))
+                bands = (bits.reshape(4, 16) * weights).sum(axis=1)
+                rows.append((int(iid), *(int(b) for b in bands)))
+            yield pd.DataFrame(rows, columns=["img_id", "b0", "b1", "b2", "b3"])
+
+    return media.filter(F.col("media_type") == "image/bmp").mapInPandas(
+        batches, schema=IMAGE_DHASH_SCHEMA
+    )
+
+
+def image_neardup_pairs_from_hashes(
+    hashes: DataFrame, hamming_max: int, max_bucket: int
+) -> DataFrame:
+    """(d1, d2, hamming) for image pairs within ``hamming_max`` of each
+    other, from a ``(img_id, b0..b3)`` dHash frame.
+
+    Scale shape: one (band-key, img_id) exchange builds the buckets;
+    under-cap buckets expand in-bucket pairs, over-cap buckets emit
+    member×representative stars (operators/skew.rep_star_pairs — the
+    identical geometry and md5-ordered selection as the MinHash family,
+    so identical-image cliques cost O(B·B/max_bucket), not B²).
+    Verification joins candidates back to the NARROW hash table (4
+    ints/img — broadcastable far past any pixel-data bound) and computes
+    the exact popcount distance. No pixel bytes ever shuffle."""
+    from bigdata_processing_spark.operators.skew import rep_star_pairs
+
+    hashes = hashes.persist()
+    n_imgs = hashes.count()
+    bandl = None
+    for b in range(4):
+        leg = hashes.select(
+            "img_id",
+            F.concat_ws("_", F.lit(b), F.col(f"b{b}").cast("string")).alias("bk"),
+        )
+        bandl = leg if bandl is None else bandl.unionByName(leg)
+    members = bandl.groupBy("bk").agg(
+        F.array_sort(F.collect_set("img_id")).alias("ds")
+    )
+    pair_arr = F.flatten(
+        F.transform(
+            "ds",
+            lambda x, i: F.transform(
+                F.slice("ds", i + 2, F.greatest(F.size("ds") - i - 1, F.lit(0))),
+                lambda y: F.struct(x.alias("d1"), y.alias("d2")),
+            ),
+        )
+    )
+    under = (
+        members.filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
+        .select(F.explode(pair_arr).alias("p"))
+        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
+    )
+    cand = under.unionByName(rep_star_pairs(members, max_bucket)).distinct()
+
+    a = hashes.select(F.col("img_id").alias("d1"),
+                      *[F.col(f"b{i}").alias(f"x{i}") for i in range(4)])
+    b2 = hashes.select(F.col("img_id").alias("d2"),
+                       *[F.col(f"b{i}").alias(f"y{i}") for i in range(4)])
+    # ~40 B per image: broadcastable to ~10M images, merge join past that
+    if n_imgs * 64 <= 512 << 20:
+        a, b2 = F.broadcast(a), F.broadcast(b2)
+    else:
+        a, b2 = a.hint("merge"), b2.hint("merge")
+    hamming = None
+    for i in range(4):
+        term = F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}")))
+        hamming = term if hamming is None else hamming + term
+    return (
+        cand.join(a, "d1").join(b2, "d2")
+        .select("d1", "d2", hamming.cast("bigint").alias("hamming"))
+        .filter(F.col("hamming") <= hamming_max)
+    )
 
 
 def image_pixel_features(media: DataFrame) -> DataFrame:

@@ -58,8 +58,14 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-6 rotation: the two NEW registrations lead (never
-    # driver-checked), then two families that changed OUTPUTS: the celled
+    # round-7 rotation: the NEW registrations lead (never
+    # driver-checked: the image near-dup family and the two-stage-verify
+    # audit), then the guarded jaccard family whose ORACLE TEXT gained
+    # the signature-estimate prefilter (outputs fixture-identical —
+    # miss-rate 0 — but the twins changed, so re-verify them first).
+    "image_neardup_pairs",
+    "minhash_prefilter_audit",
+    # round-6 rotation block (recorded rows retained): the celled
     # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
     # oracles regenerated) and the guarded dedup family (over-cap LSH
     # buckets now emit representative star pairs instead of being

@@ -30,6 +30,7 @@ from bigdata_processing_spark.thresholds import (
     COSINE_NEARDUP_THRESHOLD,
     EDIT_LEN_GAP_MULT,
     EDIT_SIM_THRESHOLD,
+    EST_AGREE_MIN,
     JACCARD_THRESHOLD,
     MAX_BUCKET,
     MAX_DF,
@@ -38,6 +39,7 @@ from bigdata_processing_spark.thresholds import (
     N_HASHES,
     SEMDEDUP_SWEEP_EPS,
     edit_len_gap_mult,
+    est_agree_min,
 )
 
 # Shared SQL fragments for the DuckDB oracles -------------------------------
@@ -105,6 +107,27 @@ def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
     """doc_id → minhash signature columns h0..h{k-1} (one shuffle)."""
     shex = _shingle_df(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
     return _sig_from_shex(shex)
+
+
+def _pruned_sig_df(
+    spark: SparkSession, sf_dir: str,
+    max_df: int = MAX_DF, max_df_frac: float = MAX_DF_FRAC,
+) -> DataFrame:
+    """doc_id → signature over the DF-PRUNED shingle set — the exact
+    signatures the guarded LSH pipeline bands and prefilters on
+    (_scored_candidates' sig / the twins' sig_p). Fixture-scale audit
+    helper: broadcasts the kept vocabulary unconditionally."""
+    import math
+
+    shset = _shingle_df(spark, sf_dir)
+    n_docs = shset.count()
+    shex = shset.select("doc_id", F.explode("sh").alias("s"))
+    eff = max(max_df, int(math.ceil(max_df_frac * n_docs)))
+    keep = (
+        shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+        .filter(F.col("df") <= eff).select("s")
+    )
+    return _sig_from_shex(shex.join(F.broadcast(keep), "s").select("doc_id", "s"))
 
 
 # ---------------------------------------------------------------------------
@@ -234,6 +257,29 @@ _SQL_CAND_GUARDED = f"""
         )
 """
 
+# Two-stage verification (round 7): the signature-estimate PREFILTER
+# between candidate generation and exact verification — agreeing-
+# component count of the two signatures must reach EST_AGREE_MIN (4 of
+# 8 at the default threshold/margin, thresholds.py) before a pair pays
+# the exact shingle-set intersection. ~95% of guarded candidates die
+# here at measured-zero true-pair loss (fixture numbers in
+# thresholds.py; minhash_prefilter_audit records them per corpus).
+# Composes after {_SQL_CAND_GUARDED} — sig_p is the same pruned
+# signature table the bands were built from.
+_SQL_EST_AGREE_AB = (
+    "("
+    + " + ".join(f"CASE WHEN a.h{i} = b.h{i} THEN 1 ELSE 0 END" for i in range(N_HASHES))
+    + ")"
+)
+_SQL_CAND_PREF = f"""
+        candp AS (
+            SELECT c.d1, c.d2 FROM cand c
+            JOIN sig_p a ON c.d1 = a.doc_id
+            JOIN sig_p b ON c.d2 = b.doc_id
+            WHERE {_SQL_EST_AGREE_AB} >= {EST_AGREE_MIN}
+        )
+"""
+
 # Session-scoped memo of the verified-pairs result: dup_clusters re-ran
 # the whole MinHash→LSH→verify pipeline that minhash_lsh_dup_pairs had
 # just computed (~75% of dup_clusters' 10×-scale cost, BASELINE.md).
@@ -274,6 +320,8 @@ MEMO_FAMILY = (
     # round-5: the unguarded audit baseline shares _CAND_MEMO too
     "minhash_unguarded_dup_pairs",
     "incremental_dedup_pairs",
+    # round-7: the two-stage-verify audit reads the unfiltered cand memo
+    "minhash_prefilter_audit",
 )
 
 
@@ -351,7 +399,13 @@ def _verified_dup_pairs(
     cached = _PAIR_MEMO.get(memo_key)
     if cached is not None:
         return cached
-    sc = _scored_candidates(spark, sf_dir, max_df=max_df, max_bucket=max_bucket)
+    # the estimate prefilter rides with the guards: the production
+    # (guarded) family prefilters before exact verification; the
+    # unguarded textbook baseline (minhash_unguarded_dup_pairs) stays
+    # prefilter-free so the audit diff isolates what each stage drops
+    agree_min = est_agree_min(jaccard_threshold) if max_bucket is not None else None
+    sc = _scored_candidates(spark, sf_dir, max_df=max_df, max_bucket=max_bucket,
+                            est_agree_min=agree_min)
     jaccard = F.col("inter").cast("double") / (
         F.col("n1") + F.col("n2") - F.col("inter")
     )
@@ -418,6 +472,7 @@ def _scored_candidates(
     max_bucket: int | None = MAX_BUCKET,
     max_df_frac: float = MAX_DF_FRAC,
     verify_broadcast_max_bytes: int = VERIFY_BROADCAST_MAX_BYTES,
+    est_agree_min: int | None = None,
 ) -> DataFrame:
     """LSH candidate pairs with their exact shingle overlap:
     (d1, d2, inter, n1, n2). Every set-similarity verifier — Jaccard
@@ -448,9 +503,21 @@ def _scored_candidates(
     verification always scores the full shingle sets, so a surfaced
     pair's similarity is exact regardless of configuration. Both guards
     are relational and mirrored verbatim in the family's DuckDB twins
-    (_SQL_CAND_GUARDED, same thresholds.py constants)."""
+    (_SQL_CAND_GUARDED, same thresholds.py constants).
+
+    ``est_agree_min``: when set, candidate pairs whose signatures agree
+    on fewer than this many components are dropped BEFORE the exact
+    shingle-set join — the two-stage verify (see _SQL_CAND_PREF /
+    thresholds.MINHASH_EST_MARGIN). The prefilter is a join against the
+    NARROW signature table (~100 B/doc independent of text length, so
+    it broadcasts far past the shingle-set regime bound); the exact
+    intersection — the 100×-proof cost center — then runs only on the
+    ~5% of candidates the estimate can't already rule out. (Carrying
+    signatures through the band buckets instead would widen the
+    (bk, doc_id) exchange ~3× for every candidate; the narrow broadcast
+    join prefilters without touching the dominant shuffle.)"""
     memo_key = (spark.sparkContext.applicationId, sf_dir, max_df, max_bucket,
-                max_df_frac, verify_broadcast_max_bytes)
+                max_df_frac, verify_broadcast_max_bytes, est_agree_min)
     cached = _CAND_MEMO.get(memo_key)
     if cached is not None:
         return cached
@@ -458,6 +525,7 @@ def _scored_candidates(
     # sides of the verification join (without it Spark recomputes the
     # docs→shingles subtree four times — measured 4x slower).
     shset = _shingle_df(spark, sf_dir).persist()
+    n_docs = shset.count()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
     # ONE regime decision (uncompressed-size proxy) gates every corpus-sized
     # broadcast in this pipeline: the df-prune vocab join, the signature
@@ -473,7 +541,7 @@ def _scored_candidates(
 
         # effective cap: floor for tiny corpora, fraction at scale —
         # n_docs via the persisted shingle frame (one row per doc)
-        eff_df = max(max_df, int(math.ceil(max_df_frac * shset.count())))
+        eff_df = max(max_df, int(math.ceil(max_df_frac * n_docs)))
         # document frequency per shingle — VOCABULARY-sized, which grows
         # with the corpus: broadcast only in the small regime
         dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
@@ -487,6 +555,10 @@ def _scored_candidates(
     else:
         shex_sig = shex
     sig = _sig_from_shex(shex_sig, broadcast_vocab=fits_broadcast)
+    if est_agree_min is not None and est_agree_min > 0:
+        # consumed twice (band keys + the estimate prefilter): cache the
+        # narrow signature table so the shingle→signature subtree runs once
+        sig = sig.persist()
 
     band_keys = F.array(
         *[
@@ -529,6 +601,36 @@ def _scored_candidates(
 
         cand = cand.unionByName(rep_star_pairs(members, max_bucket))
     cand = cand.distinct()
+    if est_agree_min is not None and est_agree_min > 0:
+        # Two-stage verify, stage 1: the signature-estimate prefilter.
+        # The signature table is NARROW (9 fixed-width columns — ~100 B
+        # per doc regardless of document length), so its broadcast bound
+        # is independent of the shingle-set regime: 5M docs still fit
+        # the 512 MB cap. Past that it degrades to merge joins keyed by
+        # doc_id — still narrow-sig + candidate-id shuffle, a fraction
+        # of shuffling full shingle sets for every candidate.
+        sig_fits = n_docs * 128 <= verify_broadcast_max_bytes
+        aa = sig.select(
+            F.col("doc_id").alias("d1"),
+            *[F.col(f"h{i}").alias(f"_a{i}") for i in range(N_HASHES)],
+        )
+        bb = sig.select(
+            F.col("doc_id").alias("d2"),
+            *[F.col(f"h{i}").alias(f"_b{i}") for i in range(N_HASHES)],
+        )
+        if sig_fits:
+            aa, bb = F.broadcast(aa), F.broadcast(bb)
+        else:
+            aa, bb = aa.hint("merge"), bb.hint("merge")
+        agree = None
+        for i in range(N_HASHES):
+            term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            agree = term if agree is None else agree + term
+        cand = (
+            cand.join(aa, "d1").join(bb, "d2")
+            .filter(agree >= est_agree_min)
+            .select("d1", "d2")
+        )
     # Size-aware verify join: broadcasting the shingle-set lookups avoids
     # shuffling the candidate pairs twice (measured 1.7x on the full
     # pipeline) — but only while the doc→shingles map fits an executor.
@@ -555,6 +657,8 @@ def _scored_candidates(
     )
     out.count()  # materialize the counts (pairs ≪ corpus) ...
     shset.unpersist()  # ... so the corpus-sized shingle cache can go now
+    if est_agree_min is not None and est_agree_min > 0:
+        sig.unpersist()
     _CAND_MEMO[memo_key] = out
     return out
 
@@ -562,12 +666,12 @@ def _scored_candidates(
 @register(
     "minhash_lsh_dup_pairs",
     oracle=f"""
-        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_CAND_PREF}
         SELECT c.d1, c.d2,
                len(list_intersect(s1.sh, s2.sh))::DOUBLE
                    / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
                    AS jaccard
-        FROM cand c
+        FROM candp c
         JOIN shset s1 ON c.d1 = s1.doc_id
         JOIN shset s2 ON c.d2 = s2.doc_id
         WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
@@ -802,10 +906,14 @@ def incremental_dedup_pairs(
 # ---------------------------------------------------------------------------
 # Verified pairs over the PRODUCTION (guarded) candidates — compose as
 # ``WITH [RECURSIVE] {_SQL_SHINGLES}, {_SQL_CAND_GUARDED}, {_SQL_PAIRS}``.
+# Includes the two-stage verify: the signature-estimate prefilter
+# (candp) runs before the exact intersection, mirroring
+# _scored_candidates(est_agree_min=EST_AGREE_MIN).
 _SQL_PAIRS = f"""
+        {_SQL_CAND_PREF},
         pairs AS (
             SELECT c.d1, c.d2
-            FROM cand c
+            FROM candp c
             JOIN shset s1 ON c.d1 = s1.doc_id
             JOIN shset s2 ON c.d2 = s2.doc_id
             WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
@@ -2212,6 +2320,79 @@ def minhash_estimate_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg(F.abs(F.col("est_j") - F.col("exact_j"))), 6).alias("mae"),
         )
         .orderBy("j_band")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefilter audit: the measured basis for the two-stage verify. On the
+# UNFILTERED guarded candidate set, count how many candidates the
+# signature-estimate prefilter passes and — the number that must stay
+# zero — how many true pairs (exact jaccard ≥ threshold) it would drop.
+# fixture-pinned at 0 in test_queries_dedup_prefilter; re-measure here
+# before touching MINHASH_EST_MARGIN or N_HASHES.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_prefilter_audit",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED},
+        scored AS (
+            SELECT c.d1, c.d2,
+                   {_SQL_EST_AGREE_AB} AS agree,
+                   len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                       / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                       AS exact_j
+            FROM cand c
+            JOIN sig_p a ON c.d1 = a.doc_id
+            JOIN sig_p b ON c.d2 = b.doc_id
+            JOIN shset s1 ON c.d1 = s1.doc_id
+            JOIN shset s2 ON c.d2 = s2.doc_id
+        )
+        SELECT count(*) AS n_candidates,
+               sum(CASE WHEN agree >= {EST_AGREE_MIN} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pass,
+               sum(CASE WHEN exact_j >= {JACCARD_THRESHOLD} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_true_pairs,
+               sum(CASE WHEN exact_j >= {JACCARD_THRESHOLD}
+                             AND agree < {EST_AGREE_MIN} THEN 1 ELSE 0 END)::BIGINT
+                   AS n_missed
+        FROM scored
+    """,
+)
+@_memo_output
+def minhash_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-row audit of the two-stage verify: candidate count, prefilter
+    pass count (the exact-verify volume the production family now pays),
+    true-pair count, and the prefilter's miss count — zero on every
+    fixture at the shipped margin (thresholds.MINHASH_EST_MARGIN).
+    Estimates use the PRUNED signatures the pipeline actually bands on,
+    unlike minhash_estimate_audit's unpruned estimator study."""
+    sc = _scored_candidates(spark, sf_dir)  # unfiltered: audits the filter
+    exact = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    sig = _pruned_sig_df(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("d1"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("d2"),
+                   *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    agree = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    scored = (
+        sc.select("d1", "d2", exact.alias("exact_j"))
+        .join(a, "d1").join(b, "d2")
+        .select("exact_j", agree.alias("agree"))
+    )
+    t = F.lit(JACCARD_THRESHOLD)
+    m = F.lit(EST_AGREE_MIN)
+    return scored.agg(
+        F.count("*").alias("n_candidates"),
+        F.sum(F.when(F.col("agree") >= m, 1).otherwise(0)).alias("n_pass"),
+        F.sum(F.when(F.col("exact_j") >= t, 1).otherwise(0)).alias("n_true_pairs"),
+        F.sum(
+            F.when((F.col("exact_j") >= t) & (F.col("agree") < m), 1).otherwise(0)
+        ).alias("n_missed"),
     )
 
 

@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from bigdata_processing_spark import thresholds as _TH
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.operators.multimodal import (
     attach_media,
@@ -322,3 +323,151 @@ def image_feature_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") < 120) & (F.col("doc_id") % 2 == 0)
     )
     return image_pixel_features(attach_encoded_media(docs)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (round 7): dHash over REAL decoded BMPs +
+# Hamming band-buckets — the dedup family extended to image columns.
+# The corpus is every even-doc_id fixture image PLUS a planted
+# re-encoded copy (all pixel bytes + IMAGE_VARIANT_SHIFT mod 256,
+# img_id = doc_id + 100000). The oracle recomputes the whole pipeline —
+# luma, 9×8 nearest-neighbor grid, 64 dHash bits, 4×16-bit bands,
+# capped band buckets with representative stars, popcount verify —
+# from the closed-form pixel arithmetic, bit-for-bit.
+# ---------------------------------------------------------------------------
+def _sql_gray(ch: int) -> str:
+    return f"(seed*7 + 13*(3*(gy*w + gx) + {ch}) + shift) % 256"
+
+
+def _sql_img_bands(shift: int) -> str:
+    return (
+        f"""
+        imgs AS (
+            SELECT doc_id AS img_id, doc_id AS seed, 0 AS shift
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id < 120
+            UNION ALL
+            SELECT doc_id + 100000, doc_id, {shift}
+            FROM documents WHERE doc_id % 2 = 0 AND doc_id < 120
+        ),
+        idims AS (
+            SELECT img_id, seed, shift,
+                   seed % 16 + 1 AS w, seed % 12 + 1 AS h
+            FROM imgs
+        ),
+        ipts AS (
+            SELECT d.img_id, d.seed, d.shift, d.w, d.h,
+                   xs.range AS x, ys.range AS y,
+                   (xs.range * d.w) // 9 AS gx, (ys.range * d.h) // 8 AS gy
+            FROM idims d, range(9) xs, range(8) ys
+        ),
+        gval AS (
+            SELECT img_id, x, y,
+                   ({_sql_gray(0)} + {_sql_gray(1)} + {_sql_gray(2)}) AS g
+            FROM ipts
+        ),
+        ibits AS (
+            SELECT a.img_id, (a.y * 8 + a.x) AS j,
+                   CASE WHEN b.g > a.g THEN 1 ELSE 0 END AS bit
+            FROM gval a
+            JOIN gval b ON a.img_id = b.img_id AND a.y = b.y AND b.x = a.x + 1
+            WHERE a.x < 8
+        ),
+        ibands AS (
+            SELECT img_id, """
+    + ", ".join(
+        f"CAST(sum(CASE WHEN j // 16 = {b} THEN bit * (1 << (j % 16)) "
+        f"ELSE 0 END) AS INTEGER) AS b{b}"
+        for b in range(4)
+    )
+    + """
+            FROM ibits GROUP BY img_id
+        ),
+        ibandl AS (
+"""
+    + "\n            UNION ALL\n".join(
+        f"            SELECT img_id, concat('{b}_', b{b}) AS bk FROM ibands"
+        for b in range(4)
+    )
+    + """
+        )
+"""
+    )
+
+
+def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int) -> str:
+    bands = _sql_img_bands(shift)
+    ham = " + ".join(f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(4))
+    return f"""
+        WITH {bands},
+        ibsz AS (SELECT bk, count(*) AS n FROM ibandl GROUP BY bk),
+        ireps AS (
+            SELECT bk, img_id FROM (
+                SELECT a.bk, a.img_id, z.n,
+                       row_number() OVER (
+                           PARTITION BY a.bk
+                           ORDER BY md5(CAST(a.img_id AS VARCHAR)), a.img_id
+                       ) AS rn
+                FROM ibandl a JOIN ibsz z ON a.bk = z.bk
+                WHERE z.n > {max_bucket}
+            ) WHERE rn <= CAST(ceil(n / CAST({max_bucket} AS DOUBLE)) AS BIGINT)
+        ),
+        icand AS (
+            SELECT DISTINCT d1, d2 FROM (
+                SELECT a.img_id AS d1, b.img_id AS d2
+                FROM ibandl a
+                JOIN ibandl b ON a.bk = b.bk AND a.img_id < b.img_id
+                JOIN ibsz ON a.bk = ibsz.bk
+                WHERE ibsz.n <= {max_bucket}
+                UNION ALL
+                SELECT least(r.img_id, m.img_id) AS d1,
+                       greatest(r.img_id, m.img_id) AS d2
+                FROM ireps r
+                JOIN ibandl m ON r.bk = m.bk AND r.img_id <> m.img_id
+            )
+        )
+        SELECT c.d1, c.d2, ({ham})::BIGINT AS hamming
+        FROM icand c
+        JOIN ibands x ON c.d1 = x.img_id
+        JOIN ibands y ON c.d2 = y.img_id
+        WHERE {ham} <= {hamming_max}
+        ORDER BY d1, d2
+    """
+
+
+@register(
+    "image_neardup_pairs",
+    oracle=_sql_image_neardup(
+        _TH.IMAGE_VARIANT_SHIFT, _TH.IMAGE_HAMMING_MAX, _TH.MAX_BUCKET
+    ),
+)
+def image_neardup_pairs(
+    spark: SparkSession, sf_dir: str,
+    hamming_max: int | None = None,
+    max_bucket: int | None = None,
+    variant_shift: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs (d1, d2, hamming) over the fixture images +
+    their planted re-encoded copies: REAL BMP encode → decode → dHash →
+    band-bucket LSH (capped, representative stars over hot buckets) →
+    exact popcount verification. The hash table is 4 ints per image, so
+    verification never shuffles pixel data; candidate recall at the
+    default threshold is exactly 1.0 by pigeonhole (thresholds.py)."""
+    from bigdata_processing_spark.operators.multimodal import (
+        attach_encoded_images_with_variants,
+        image_dhash,
+        image_neardup_pairs_from_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 2 == 0)
+    )
+    media = attach_encoded_images_with_variants(
+        docs, shift=variant_shift if variant_shift is not None
+        else _TH.IMAGE_VARIANT_SHIFT,
+    )
+    return image_neardup_pairs_from_hashes(
+        image_dhash(media),
+        hamming_max=hamming_max if hamming_max is not None
+        else _TH.IMAGE_HAMMING_MAX,
+        max_bucket=max_bucket if max_bucket is not None else _TH.MAX_BUCKET,
+    ).orderBy("d1", "d2")

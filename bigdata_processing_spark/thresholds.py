@@ -62,6 +62,52 @@ MAX_DF_FRAC = 0.08    # scale term: prune shingles in > 8% of the corpus
 # (queries/dedup._scored_candidates / _SQL_CAND_GUARDED).
 MAX_BUCKET = 25       # LSH buckets above this switch to representative pairs
 
+# Two-stage verification: before the exact-Jaccard join, candidate
+# pairs are prefiltered on the SIGNATURE-estimated jaccard (fraction of
+# agreeing minhash components — already computed by the LSH stage, so
+# the prefilter is a narrow signature join, not a shingle-set join).
+# The 100× scale proof showed exact verification of every candidate is
+# THE dedup cost center (36.6M exact set intersections, 82 GB spill);
+# most candidates share one lucky band and die at verification. The
+# margin is deliberately ≫ the measured estimator MAE (≤0.1 in the
+# ≥0.6-jaccard bands, minhash_estimate_audit): keep pairs with
+# est ≥ JACCARD_THRESHOLD − 0.3, i.e. ≥ 4 of 8 components agreeing.
+# P[Bin(8, 0.8) ≤ 3] ≈ 1% unconditionally, and LSH candidacy already
+# conditions on ≥ 2 agreeing components, so boundary-pair misses are
+# rare by construction and MEASURED zero on the fixtures (sf0.01: 470
+# candidates → 36 pass, 25 true pairs, 0 missed; sf0.1: 40,538 → 2,099
+# pass, 256 true, 0 missed — a ~20× cut in exact-verify volume;
+# minhash_prefilter_audit records this per corpus). Guards bound
+# candidate GENERATION; the prefilter bounds candidate VERIFICATION —
+# surfaced pairs are still scored on full shingle sets, and the twins
+# mirror the integer agree bound verbatim.
+MINHASH_EST_MARGIN = 0.3
+
+
+def est_agree_min(threshold: float) -> int:
+    """Integer prefilter bound for jaccard ``threshold``: candidates
+    reaching exact verification must have at least this many agreeing
+    minhash components (estimate ≥ threshold − MINHASH_EST_MARGIN).
+    Integer form so both engines decide the boundary identically."""
+    import math
+
+    return max(0, math.ceil(round((threshold - MINHASH_EST_MARGIN) * N_HASHES, 9)))
+
+
+EST_AGREE_MIN = est_agree_min(JACCARD_THRESHOLD)  # = 4 at 8 hashes
+
+# Perceptual image near-dup (dHash over decoded pixels, 64 bits packed
+# as 4×16-bit bands that double as the Hamming-LSH keys). Pigeonhole:
+# ≤ IMAGE_HAMMING_MAX flipped bits leave ≥ 1 of 4 bands intact, so
+# candidate recall at the default is exactly 1.0 — raise the band count
+# before raising the threshold past n_bands − 1. The fixture plants a
+# re-encoded copy of every image with all pixel bytes + SHIFT mod 256;
+# dHash compares adjacent luma values, so copies differ only at wrap
+# positions — a small content-dependent distance, the near-miss class
+# the operator exists for.
+IMAGE_HAMMING_MAX = 3
+IMAGE_VARIANT_SHIFT = 8
+
 # Audit sampling
 AUDIT_SAMPLE_DOCS = 200  # all-pairs ground truth is quadratic: sample-bounded
 

@@ -169,3 +169,118 @@ def test_audio_features_single_sample_clip(spark):
     assert (r.n_samples, r.zcr, r.peak) == (1, 0.0, 12345)
     assert math.isclose(r.rms, 12345.0)
     assert r.max_frame_rms == 0.0  # shorter than one frame
+
+
+# ---------------------------------------------------------------------------
+# Perceptual image near-dup (round 7): planted near-identical images must
+# pair up, unrelated images must not, and over-cap identical cliques go
+# through the representative-star path.
+# ---------------------------------------------------------------------------
+def _media_df(spark, rows):
+    return spark.createDataFrame(
+        [(i, bytearray(p), "image/bmp") for i, p in rows],
+        "img_id bigint, payload binary, media_type string",
+    )
+
+
+def test_image_neardup_planted_near_identicals(spark):
+    """A brightness-shifted copy (all bytes +shift mod 256 — dHash bits
+    flip only at wrap positions) must pair with its original within the
+    default Hamming budget; a structurally different image must not."""
+    from bigdata_processing_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+        image_neardup_pairs_from_hashes,
+    )
+    from bigdata_processing_spark.thresholds import (
+        IMAGE_HAMMING_MAX,
+        MAX_BUCKET,
+    )
+
+    # seed 88: the shifted copy lands at Hamming 2 (wrap positions only)
+    # — within budget; other seeds' copies legitimately drift past it
+    rows = [
+        (1, encode_bmp(88)),            # original
+        (2, encode_bmp(88, shift=8)),   # planted near-identical copy
+        (3, encode_bmp(41)),            # different content, same-ish size
+        (4, encode_bmp(77)),            # unrelated
+    ]
+    pairs = {
+        (r.d1, r.d2): r.hamming
+        for r in image_neardup_pairs_from_hashes(
+            image_dhash(_media_df(spark, rows)),
+            hamming_max=IMAGE_HAMMING_MAX, max_bucket=MAX_BUCKET,
+        ).collect()
+    }
+    assert (1, 2) in pairs, "planted near-identical copy not recovered"
+    assert pairs[(1, 2)] <= IMAGE_HAMMING_MAX
+    assert (1, 3) not in pairs and (1, 4) not in pairs
+
+
+def test_image_neardup_overcap_clique_uses_star_pairs(spark):
+    """An identical-image clique larger than MAX_BUCKET (re-crawl dups)
+    must still come back fully connected — via representative stars, at
+    O(B·B/max_bucket) pairs instead of B²."""
+    import math
+
+    from bigdata_processing_spark.operators.multimodal import (
+        encode_bmp,
+        image_dhash,
+        image_neardup_pairs_from_hashes,
+    )
+
+    b_sz = 12  # clique size, > max_bucket below
+    rows = [(i, encode_bmp(40)) for i in range(b_sz)]
+    pairs = image_neardup_pairs_from_hashes(
+        image_dhash(_media_df(spark, rows)), hamming_max=0, max_bucket=5
+    ).collect()
+    got = {(r.d1, r.d2) for r in pairs}
+    # star-bounded: <= n_reps * B pairs, strictly under the B^2/2 clique
+    n_reps = math.ceil(b_sz / 5)
+    assert 0 < len(got) <= n_reps * b_sz < b_sz * (b_sz - 1) // 2 + 1
+    # the stars connect the whole clique into ONE component
+    parent = {i: i for i in range(b_sz)}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for d1, d2 in got:
+        parent[find(d1)] = find(d2)
+    assert len({find(i) for i in range(b_sz)}) == 1
+
+
+def test_image_dhash_brightness_invariance_without_wrap(spark):
+    """dHash compares ADJACENT luma values, so a +shift that never wraps
+    any byte leaves the hash bit-identical. encode with a seed whose
+    bytes stay low, shift modestly: distance must be exactly 0."""
+    import numpy as np
+
+    from bigdata_processing_spark.operators.multimodal import (
+        decode_bmp_pixels,
+        image_dhash,
+    )
+
+    # build a custom BMP whose pixel bytes are all < 200 so +40 can't wrap
+    import struct
+
+    w, h = 9, 8
+    row_size = (w * 3 + 3) & ~3
+    off = 54
+    fh = struct.pack("<2sIHHI", b"BM", off + row_size * h, 0, 0, off)
+    ih = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0, row_size * h,
+                     2835, 2835, 0, 0)
+    k = np.arange(h * w * 3, dtype=np.int64).reshape(h, w * 3)
+    base = ((k * 13) % 200).astype(np.uint8)
+    pad = np.zeros((h, row_size - w * 3), dtype=np.uint8)
+    img0 = fh + ih + np.hstack([base, pad]).tobytes()
+    img1 = fh + ih + np.hstack([base + 40, pad]).tobytes()
+    assert decode_bmp_pixels(img1).max() < 256
+
+    hs = {
+        r.img_id: (r.b0, r.b1, r.b2, r.b3)
+        for r in image_dhash(_media_df(spark, [(0, img0), (1, img1)])).collect()
+    }
+    assert hs[0] == hs[1]

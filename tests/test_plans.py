@@ -327,14 +327,20 @@ def test_verify_join_size_aware_regimes(spark):
         clear_dedup_memos()
 
 
-def test_incremental_probe_prunes_shingle_store(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("n_sbuckets", [None, 8])
+def test_incremental_probe_prunes_shingle_store(spark, tmp_path, n_sbuckets):
     """The incremental-dedup verify leg must NOT scan the whole shingle
     store (pre-round-6 it streamed the full corpus-sized table past a
     candidate filter every batch): the store is hash-bucketed by doc_id,
     the probe collects the candidate ids' bucket values and pushes them
     as a PARTITION filter (only touched directories are read), and the
     pruned scan semi-joins the broadcast candidate-id set — no
-    corpus-wide shuffle anywhere on the verify side."""
+    corpus-wide shuffle anywhere on the verify side. Parametrized over
+    the policy default AND an explicit bucket count: pruning must track
+    the STORE's modulus (round-7 policy promotion)."""
     import os
 
     from bigdata_processing_spark.operators.incremental_dedup import (
@@ -349,7 +355,7 @@ def test_incremental_probe_prunes_shingle_store(spark, tmp_path):
         "doc_id bigint, text string, source string",
     )
     idx = os.path.join(str(tmp_path), "mh_index")
-    build_minhash_index(docs, idx)
+    build_minhash_index(docs, idx, n_sbuckets=n_sbuckets)
     probe = spark.createDataFrame(
         [(500, "plan test doc 7 j7 k21 l49", "s")],
         "doc_id bigint, text string, source string",
