@@ -415,7 +415,18 @@ VOCAB_CURVE_KS = (1, 2, 4, 8, 16, 32)
     """,
 )
 def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage SALTED rank (round 7, self-flagged ROADMAP r7 #2): the
+    old single global window ran rank+cumsum over the whole vocab table
+    in ONE partition — fine while vocab ≪ corpus, a one-task funnel at
+    1M+ types. Now stage 1 takes each salt partition's local top-kmax
+    (every global top-kmax token is in its salt's local top-kmax, so the
+    2-stage rank is EXACT — the bottomk_sample discipline), and the only
+    remaining single-partition window runs over ≤ n_salts·kmax rows, a
+    constant independent of vocabulary size. The grand total is a
+    keyless map-side-combined aggregate off the persisted counts, so the
+    corpus is still exploded exactly once. Oracle unchanged."""
     from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
     from bigdata_processing_spark.sources.writers import literal_df
 
     docs = load_table(spark, sf_dir, "documents")
@@ -423,20 +434,33 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select(F.explode(F.filter(T.tokens(F.col("text")), lambda t: t != "")).alias("t"))
         .groupBy("t")
         .agg(F.count("*").alias("c"))
+        .persist()  # two light consumers (top-k, total); released below
     )
-    w = Window.orderBy(F.col("c").desc(), F.col("t").asc())
-    wall = Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-    # cum AND the grand total ride the same single-partition window pass
-    # over the VOCAB-sized frame — the corpus is scanned exactly once
-    ranked = cnt.select(
-        "t", "c",
-        F.row_number().over(w).alias("rk"),
-        F.sum("c").over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)).alias("cum"),
-        F.sum("c").over(wall).cast("double").alias("tot"),
+    _LOOSE_PERSISTS.append(cnt)
+    kmax = max(VOCAB_CURVE_KS)
+    n_salts = 32
+    wloc = Window.partitionBy("salt").orderBy(F.col("c").desc(), F.col("t").asc())
+    survivors = (
+        cnt.withColumn("salt", F.pmod(F.hash("t"), F.lit(n_salts)))
+        .withColumn("lrk", F.row_number().over(wloc))
+        .filter(F.col("lrk") <= kmax)
     )
+    wg = Window.orderBy(F.col("c").desc(), F.col("t").asc())
+    ranked = (
+        survivors.select(
+            "t", "c",
+            F.row_number().over(wg).alias("rk"),
+            F.sum("c").over(
+                wg.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+            ).alias("cum"),
+        )
+        .filter(F.col("rk") <= kmax)
+    )
+    tot = cnt.agg(F.sum("c").cast("double").alias("tot"))
     ks = literal_df(spark, [(k,) for k in VOCAB_CURVE_KS], "k int")
     return (
         ks.join(F.broadcast(ranked), F.col("rk") <= F.col("k"))
+        .crossJoin(F.broadcast(tot))
         .groupBy(F.col("k").cast("bigint").alias("k"))
         .agg(
             F.count("*").alias("n_vocab_used"),

@@ -378,3 +378,54 @@ def test_incremental_probe_prunes_shingle_store(spark, tmp_path, n_sbuckets):
     # and the result is right: the planted near-dup pair verifies
     assert [(r.d1, r.d2) for r in pairs.collect()] == [(7, 500)]
     release_loose_persists()
+
+
+def test_hashed_tf_knn_featurizes_once_via_cache(spark):
+    """The load-bearing persist barrier (round-6 measurement: Catalyst
+    inlined the md5-per-token featurization into the kNN join and
+    re-evaluated it per PAIR — 179s vs ~1s at sf0.1): both join sides
+    must read the featurized docs from the cache (InMemoryTableScan),
+    and no md5 featurization may appear in the join subtree above it."""
+    from conftest import SF_SMALL
+
+    from bigdata_processing_spark.plans import explain_str
+    from bigdata_processing_spark.queries.dedup import clear_dedup_memos
+    from bigdata_processing_spark.queries.nlp import hashed_tf_knn
+
+    clear_dedup_memos()
+    plan = explain_str(hashed_tf_knn(spark, SF_SMALL), mode="formatted")
+    assert plan.count("InMemoryTableScan") >= 2, plan  # q side AND c side
+    # the only md5 mention allowed is inside the cached relation's own
+    # descriptor — a featurization re-evaluated per pair would put md5
+    # into Project/Join nodes above the scan (many occurrences)
+    assert plan.count("md5") <= 2, plan
+    clear_dedup_memos()
+
+
+def test_vocab_curve_two_stage_salted_rank(spark):
+    """vocab_coverage_curve must never run one global window over the
+    whole vocabulary (the round-6 one-task funnel at 1M+ types): the
+    plan needs the salted LOCAL rank (WindowGroupLimit pushdown + a
+    Filter on the local rank) BELOW the single-partition global window,
+    so the only 1-partition pass is over <= n_salts*kmax survivor rows."""
+    import re
+
+    from conftest import SF_SMALL
+
+    from bigdata_processing_spark.plans import explain_str
+    from bigdata_processing_spark.queries.nlp import vocab_coverage_curve
+
+    plan = explain_str(vocab_coverage_curve(spark, SF_SMALL), mode="formatted")
+    # local stage: salt-partitioned window with rank-limit pushdown
+    assert "WindowGroupLimit" in plan, plan
+    assert re.search(r"windowspecdefinition\(salt#\d+", plan), plan
+    m_filter = re.search(r"\((\d+)\) Filter\nInput.*\nCondition : \(lrk#\d+ <= \d+\)", plan)
+    assert m_filter, "local-rank filter missing:\n" + plan
+    # global stage: the SinglePartition exchange feeding the global
+    # window sits ABOVE (higher node id than) the local-rank filter —
+    # i.e. only survivors funnel into one task
+    singles = [
+        int(m.group(1))
+        for m in re.finditer(r"\((\d+)\) Exchange\nInput.*\nArguments: SinglePartition", plan)
+    ]
+    assert singles and all(s > int(m_filter.group(1)) for s in singles), plan

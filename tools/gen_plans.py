@@ -140,6 +140,48 @@ ENTRIES: dict[str, str] = {
         "all grid points' subgraphs run as one tagged "
         "connected-components pass (node = vec_id*n_eps + eps_idx)."
     ),
+    # round-6-final registrations (VERDICT r6 gap #2)
+    "gopher_rule_funnel": (
+        "Gopher-style rule funnel: five corpus-calibrated kill rules "
+        "evaluated in ONE map pass (no per-rule scans) + a single "
+        "keyless aggregate — scan-bounded at any corpus size."
+    ),
+    "training_shard_stats": (
+        "Deterministic shard assignment stats: seeded md5 shuffle key "
+        "as a pure column expression, ONE hash-agg exchange on the "
+        "shard id — no global sort anywhere."
+    ),
+    "hashed_tf_knn": (
+        "Hashing-trick featurization + brute cosine kNN: the persist "
+        "barrier is LOAD-BEARING (Catalyst would inline the "
+        "md5-per-token featurization into the join and re-evaluate it "
+        "per pair — measured 179s vs ~1s; plan-asserted: both join "
+        "sides read InMemoryTableScan, no md5 above the cache)."
+    ),
+    "vocab_coverage_curve": (
+        "Vocabulary coverage curve (r7: two-stage SALTED rank): local "
+        "top-k per salt partition with WindowGroupLimit pushdown, then "
+        "the only single-partition window runs over <= n_salts*kmax "
+        "survivor rows — never the whole vocabulary (plan-asserted)."
+    ),
+    "hashed_tf_knn_celled": (
+        "Celled hashed-TF kNN: cell count follows the 4*sqrt(n) policy "
+        "(the 8-fixed-cell first cut measured 13.6x at 10x and was "
+        "replaced); assignment and probe ranking share one scoring "
+        "expression with the DuckDB twin."
+    ),
+    # round-7 registrations
+    "minhash_prefilter_audit": (
+        "Two-stage-verify audit: agreement counts ride a NARROW "
+        "signature join (never shingle sets); records candidates / "
+        "prefilter passes / true pairs / misses (fixture-pinned 0)."
+    ),
+    "image_neardup_pairs": (
+        "Perceptual image near-dup: dHash bands double as Hamming-LSH "
+        "keys (pigeonhole recall 1.0 at <=3), capped buckets with "
+        "representative stars, popcount verify against the 4-int hash "
+        "table — pixel bytes never shuffle."
+    ),
 }
 
 
