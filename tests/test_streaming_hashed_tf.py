@@ -1,0 +1,112 @@
+"""Streaming hashed-TF front (streaming/hashed_tf.py): the streamed
+frozen-quantizer index must equal the batch celled query row-for-row
+(the session-funnel-style parity gate), appends must be
+replay-idempotent, and the search must read only committed batches."""
+
+from __future__ import annotations
+
+import os
+
+from conftest import SF_SMALL
+
+from pyspark.sql import functions as F
+
+from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.queries.dedup import clear_dedup_memos
+from bigdata_processing_spark.queries.nlp import hashed_tf_knn_celled
+from bigdata_processing_spark.streaming.hashed_tf import (
+    append_hashed_tf_batch,
+    build_hashed_tf_index,
+    committed_batches,
+    hashed_tf_knn_on_index,
+    run_hashed_tf_index_stream,
+)
+
+
+def _rows(df):
+    return [
+        (r.qid, r.cid, round(r.cos_sim, 9), r.rn)
+        for r in df.collect()
+    ]
+
+
+def _full_corpus_cells(spark):
+    from bigdata_processing_spark.operators.ivf import ivf_cell_count
+
+    n = load_table(spark, SF_SMALL, "documents").count()
+    return ivf_cell_count(n)
+
+
+def test_streamed_index_matches_batch_celled_query(spark, tmp_path):
+    """Build on the id-ordered head, stream the tail in micro-batches:
+    the streamed index's kNN must equal hashed_tf_knn_celled on the
+    same corpus — same frozen quantizer (cells sized for the FULL
+    corpus), same assignment, same probe ranking, same cosine top-k."""
+    clear_dedup_memos()
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[int(len(ids) * 0.8)]
+    n_cells = _full_corpus_cells(spark)
+    # the build slice must contain the quantizer's seed docs (lowest
+    # n_cells ids) — true for any head split with cut index > n_cells
+    assert int(len(ids) * 0.8) > n_cells
+
+    idx = os.path.join(str(tmp_path), "htf_index")
+    build_hashed_tf_index(docs.filter(F.col("doc_id") < cut), idx, n_cells)
+
+    arrivals = os.path.join(str(tmp_path), "arrivals")
+    docs.filter(F.col("doc_id") >= cut).coalesce(2).write.parquet(arrivals)
+    q = run_hashed_tf_index_stream(
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(arrivals),
+        idx,
+        checkpoint=os.path.join(str(tmp_path), "ckpt"),
+    )
+    q.awaitTermination()
+    assert len(committed_batches(spark, idx)) >= 2  # build + >=1 append
+
+    streamed = _rows(hashed_tf_knn_on_index(spark, idx))
+    batch = _rows(hashed_tf_knn_celled(spark, SF_SMALL))
+    assert streamed == batch and len(streamed) > 0
+    clear_dedup_memos()
+
+
+def test_append_replay_is_idempotent(spark, tmp_path):
+    """Redelivering the same batch id (foreachBatch crash replay) must
+    converge — postings are batch-keyed partition overwrites."""
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[int(len(ids) * 0.8)]
+    idx = os.path.join(str(tmp_path), "htf_index")
+    build_hashed_tf_index(
+        docs.filter(F.col("doc_id") < cut), idx, _full_corpus_cells(spark)
+    )
+    tail = docs.filter(F.col("doc_id") >= cut)
+    n1 = append_hashed_tf_batch(idx, tail, batch_id=1)
+    first = _rows(hashed_tf_knn_on_index(spark, idx))
+    n2 = append_hashed_tf_batch(idx, tail, batch_id=1)  # replay
+    second = _rows(hashed_tf_knn_on_index(spark, idx))
+    assert (n1, first) == (n2, second)
+    # no duplicated postings anywhere
+    total = spark.read.parquet(os.path.join(idx, "postings")).count()
+    assert total == docs.count()
+
+
+def test_search_ignores_uncommitted_batches(spark, tmp_path):
+    """A batch whose counts marker is missing (crash before the final
+    write) must be invisible to the search until its replay commits."""
+    import shutil
+
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    cut = ids[int(len(ids) * 0.8)]
+    idx = os.path.join(str(tmp_path), "htf_index")
+    build_hashed_tf_index(
+        docs.filter(F.col("doc_id") < cut), idx, _full_corpus_cells(spark)
+    )
+    base = _rows(hashed_tf_knn_on_index(spark, idx))
+    append_hashed_tf_batch(idx, docs.filter(F.col("doc_id") >= cut), batch_id=1)
+    shutil.rmtree(os.path.join(idx, "counts", "batch_id=1"))  # simulate crash
+    assert committed_batches(spark, idx) == {0}
+    assert _rows(hashed_tf_knn_on_index(spark, idx)) == base
