@@ -75,6 +75,7 @@ from bigdata_processing_spark.thresholds import (
     MAX_DF_FRAC,
     N_BANDS,
     N_HASHES,
+    est_agree_min,
 )
 
 REFIT_THRESHOLD = 0.5  # rebuild when appended docs exceed this fraction
@@ -115,6 +116,22 @@ def shingle_bucket_count(
 
 def _sbucket(col, n_buckets: int = N_SHINGLE_BUCKETS) -> "F.Column":
     return F.pmod(F.hash(col), F.lit(n_buckets))
+
+
+def _sigs_batches(path: str) -> set[int]:
+    """Batch ids with a live signature partition. The probe's prefilter
+    only engages when these COVER every live batch (minus the excluded
+    one): a store upgraded mid-life (round-6 build + round-7 appends)
+    has signatures for new batches only, and an inner sig join would
+    silently drop candidates touching unsigned batches — so the
+    prefilter stays off until the next refit rebuilds batch 0 with
+    signatures."""
+    import glob
+
+    return {
+        int(os.path.basename(d).split("=")[1])
+        for d in glob.glob(os.path.join(path, "sigs", "batch_id=*"))
+    }
 
 
 def _store_n_sbuckets(spark, path: str) -> int | None:
@@ -221,7 +238,7 @@ def _write_batch(
     shset = shset.persist()
     n = shset.count()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
-    sig = _sign_excluding(shex, stop)
+    sig = _sign_excluding(shex, stop).persist()
     post = sig.select("doc_id", F.explode(_band_keys_col()).alias("bk")).select(
         "bk", "doc_id"
     ).persist()
@@ -229,6 +246,28 @@ def _write_batch(
     post.groupBy("bk").agg(F.count("*").alias("n")).write.mode(
         "overwrite"
     ).parquet(f"{path}/bucket_sizes/batch_id={batch_id}")
+    # signature store (round 7): the probe's two-stage verify screens
+    # candidates on signature agreement BEFORE the shingle store, so the
+    # signatures that made the postings persist next to them — same
+    # sbucket layout, same per-batch overwrite. ~72 B/doc.
+    sig_cols = ["doc_id"] + [f"h{i}" for i in range(N_HASHES)]
+    if use_sbucket:
+        (
+            sig.select(*sig_cols)
+            .withColumn("sbucket", _sbucket(F.col("doc_id"), n_sbuckets))
+            .repartition("sbucket")
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .partitionBy("sbucket")
+            .parquet(f"{path}/sigs/batch_id={batch_id}")
+        )
+    else:
+        (
+            sig.select(*sig_cols)
+            .sortWithinPartitions("doc_id")
+            .write.mode("overwrite")
+            .parquet(f"{path}/sigs/batch_id={batch_id}")
+        )
     # shingle store: hash-bucketed by doc_id (probe-time partition
     # pruning) and doc_id-sorted within files (row-group min/max skips)
     if use_sbucket:
@@ -252,6 +291,7 @@ def _write_batch(
         "overwrite"
     ).parquet(f"{path}/counts/batch_id={batch_id}")
     post.unpersist()
+    sig.unpersist()
     shset.unpersist()
     return n
 
@@ -422,6 +462,70 @@ def incremental_dup_pairs(
         .distinct().persist()
     )
     _LOOSE_PERSISTS.append(cand)
+
+    # Two-stage verify (round 7 — the incremental sibling of the batch
+    # family's prefilter): screen candidates on signature agreement
+    # BEFORE the shingle store. Batch signatures are in-plan (``sig``);
+    # indexed signatures read from the sbucket-pruned ``sigs/`` store
+    # (~72 B/doc — a fraction of the shingle sets) semi-joined by the
+    # broadcast candidate ids. Survivors then drive the shingle-store
+    # prune, so the expensive verify leg touches fewer directories AND
+    # intersects fewer pairs. Legacy indexes without sigs/ skip the
+    # prefilter (old behavior).
+    agree_min = est_agree_min(jaccard_threshold)
+    live = committed_batches(spark, path) - {exclude_batch_id}
+    if agree_min > 0 and live <= _sigs_batches(path):
+        old_sig = spark.read.parquet(f"{path}/sigs")
+        if exclude_batch_id is not None:
+            old_sig = old_sig.filter(F.col("batch_id") != exclude_batch_id)
+        ids0 = (
+            cand.select(F.col("d1").alias("doc_id"))
+            .unionByName(cand.select(F.col("d2").alias("doc_id")))
+            .distinct()
+        )
+        if "sbucket" in old_sig.columns and n_sb is not None:
+            if new_shset.count() * 2 <= n_sb:
+                bks0 = sorted(
+                    r.b
+                    for r in cand.select(
+                        F.explode(
+                            F.array(
+                                _sbucket(F.col("d1"), n_sb),
+                                _sbucket(F.col("d2"), n_sb),
+                            )
+                        ).alias("b")
+                    ).distinct().collect()
+                )
+                old_sig = (
+                    old_sig.filter(F.col("sbucket").isin(bks0))
+                    if bks0
+                    else old_sig.filter(F.lit(False))
+                )
+        sig_cols = ["doc_id"] + [f"h{i}" for i in range(N_HASHES)]
+        lookup = (
+            old_sig.select(*sig_cols)
+            .join(F.broadcast(ids0), "doc_id", "semi")
+            .unionByName(sig.select(*sig_cols))
+        )
+        a = lookup.select(
+            F.col("doc_id").alias("d1"),
+            *[F.col(f"h{i}").alias(f"_a{i}") for i in range(N_HASHES)],
+        )
+        b = lookup.select(
+            F.col("doc_id").alias("d2"),
+            *[F.col(f"h{i}").alias(f"_b{i}") for i in range(N_HASHES)],
+        )
+        agree = None
+        for i in range(N_HASHES):
+            term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            agree = term if agree is None else agree + term
+        cand = (
+            cand.join(a, "d1").join(b, "d2")
+            .filter(agree >= agree_min)
+            .select("d1", "d2")
+            .persist()
+        )
+        _LOOSE_PERSISTS.append(cand)
 
     ids = (
         cand.select(F.col("d1").alias("doc_id"))

@@ -795,13 +795,19 @@ def minhash_unguarded_dup_pairs(
                 JOIN bands m ON r.bk = m.bk AND r.doc_id <> m.doc_id
             )
             WHERE d1 % 4 = 0 OR d2 % 4 = 0
+        ),
+        candp_i AS (
+            SELECT c.d1, c.d2 FROM cand c
+            JOIN sig a ON c.d1 = a.doc_id
+            JOIN sig b ON c.d2 = b.doc_id
+            WHERE {_SQL_EST_AGREE_AB} >= {EST_AGREE_MIN}
         )
         SELECT c.d1, c.d2,
                len(list_intersect(s1.sh, s2.sh))::DOUBLE
                    / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
                    AS jaccard,
                ((c.d1 % 4 = 0) <> (c.d2 % 4 = 0)) AS is_cross
-        FROM cand c
+        FROM candp_i c
         JOIN shset s1 ON c.d1 = s1.doc_id
         JOIN shset s2 ON c.d2 = s2.doc_id
         WHERE len(list_intersect(s1.sh, s2.sh))::DOUBLE
@@ -870,6 +876,23 @@ def incremental_dedup_pairs(
         .filter((F.col("d1") % 4 == 0) | (F.col("d2") % 4 == 0))
         .distinct()
     )
+    # two-stage verify, mirrored from the disk operator: signature
+    # agreement screens candidates before the exact intersection
+    agree_min = est_agree_min(jaccard_threshold)
+    if agree_min > 0:
+        sa = sig.select(F.col("doc_id").alias("d1"),
+                        *[F.col(f"h{i}").alias(f"_a{i}") for i in range(N_HASHES)])
+        sb = sig.select(F.col("doc_id").alias("d2"),
+                        *[F.col(f"h{i}").alias(f"_b{i}") for i in range(N_HASHES)])
+        agree = None
+        for i in range(N_HASHES):
+            term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+            agree = term if agree is None else agree + term
+        cand = (
+            cand.join(sa, "d1").join(sb, "d2")
+            .filter(agree >= agree_min)
+            .select("d1", "d2")
+        )
     s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     # same uncompressed-size regime switch as _scored_candidates: the

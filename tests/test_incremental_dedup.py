@@ -156,8 +156,8 @@ def test_probe_and_append_use_store_bucket_count(spark, tmp_path):
 
 def _flatten_to_legacy_layout(spark, idx):
     """Rewrite the store's shingle batches to the pre-round-6 FLAT
-    layout (no sbucket sub-partition) — the on-disk shape an index built
-    by round-5 code still has."""
+    layout (no sbucket sub-partition) and drop the round-7 signature
+    store — the on-disk shape an index built by round-5 code still has."""
     import glob
 
     for d in glob.glob(os.path.join(idx, "shingles", "batch_id=*")):
@@ -166,6 +166,7 @@ def _flatten_to_legacy_layout(spark, idx):
         spark.createDataFrame(
             flat, "doc_id bigint, sh array<string>"
         ).coalesce(1).sortWithinPartitions("doc_id").write.parquet(d)
+    shutil.rmtree(os.path.join(idx, "sigs"), ignore_errors=True)
 
 
 def test_append_to_legacy_flat_store_stays_readable(spark, tmp_path):
