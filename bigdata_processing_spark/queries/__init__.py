@@ -65,6 +65,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     # miss-rate 0 — but the twins changed, so re-verify them first).
     "image_neardup_pairs",
     "minhash_prefilter_audit",
+    "incremental_image_dedup_pairs",
     # round-6 rotation block (recorded rows retained): the celled
     # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
     # oracles regenerated) and the guarded dedup family (over-cap LSH

@@ -394,7 +394,11 @@ def _sql_img_bands(shift: int) -> str:
     )
 
 
-def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int) -> str:
+def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int,
+                       batch_only: bool = False) -> str:
+    batch_pred = (
+        "AND (c.d1 >= 100000 OR c.d2 >= 100000)" if batch_only else ""
+    )
     bands = _sql_img_bands(shift)
     ham = " + ".join(f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(4))
     return f"""
@@ -429,7 +433,7 @@ def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int) -> str:
         FROM icand c
         JOIN ibands x ON c.d1 = x.img_id
         JOIN ibands y ON c.d2 = y.img_id
-        WHERE {ham} <= {hamming_max}
+        WHERE {ham} <= {hamming_max} {batch_pred}
         ORDER BY d1, d2
     """
 
@@ -470,4 +474,54 @@ def image_neardup_pairs(
         hamming_max=hamming_max if hamming_max is not None
         else _TH.IMAGE_HAMMING_MAX,
         max_bucket=max_bucket if max_bucket is not None else _TH.MAX_BUCKET,
+    ).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
+# Incremental image dedup, relational twin: the exact math of the disk
+# probe (streaming/image_dedup.incremental_image_dup_pairs) with the
+# originals as the INDEXED corpus and the planted re-encoded copies as
+# the arriving batch. The probe's combined old+new bucket caps and
+# combined-membership representative stars equal the batch operator's
+# full-corpus caps/stars, so the incremental pair set is exactly the
+# batch pair set restricted to batch-involving pairs — which is what
+# this query (and its oracle) computes. tests/test_streaming_image.py
+# pins the disk probe to this query row-for-row.
+# ---------------------------------------------------------------------------
+@register(
+    "incremental_image_dedup_pairs",
+    oracle=_sql_image_neardup(
+        _TH.IMAGE_VARIANT_SHIFT, _TH.IMAGE_HAMMING_MAX, _TH.MAX_BUCKET,
+        batch_only=True,
+    ),
+)
+def incremental_image_dedup_pairs(
+    spark: SparkSession, sf_dir: str,
+    hamming_max: int | None = None,
+    max_bucket: int | None = None,
+) -> DataFrame:
+    """Image near-dup pairs a batch arrival (the re-encoded copies,
+    img_id ≥ 100000) surfaces against an index frozen on the originals
+    — new×old AND new×new, never re-hashing indexed pixels in the disk
+    operator this query twins."""
+    from bigdata_processing_spark.operators.multimodal import (
+        attach_encoded_images_with_variants,
+        image_dhash,
+        image_neardup_pairs_from_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents").filter(
+        (F.col("doc_id") < 120) & (F.col("doc_id") % 2 == 0)
+    )
+    media = attach_encoded_images_with_variants(
+        docs, shift=_TH.IMAGE_VARIANT_SHIFT
+    )
+    pairs = image_neardup_pairs_from_hashes(
+        image_dhash(media),
+        hamming_max=hamming_max if hamming_max is not None
+        else _TH.IMAGE_HAMMING_MAX,
+        max_bucket=max_bucket if max_bucket is not None else _TH.MAX_BUCKET,
+    )
+    return pairs.filter(
+        (F.col("d1") >= 100000) | (F.col("d2") >= 100000)
     ).orderBy("d1", "d2")
