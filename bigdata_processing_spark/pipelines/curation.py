@@ -217,11 +217,27 @@ def curate_corpus(
 #   moves with every append), so the append path does not support it;
 #   balanced corpora re-balance at full-recompute cadence.
 # ---------------------------------------------------------------------------
-N_FP_BUCKETS = 64
+N_FP_BUCKETS = 64  # legacy fallback: pre-round-7 states without fpmeta
 
 
-def _fbucket(col):
-    return F.pmod(F.hash(col), F.lit(N_FP_BUCKETS))
+def _fbucket(col, n_buckets: int = N_FP_BUCKETS):
+    return F.pmod(F.hash(col), F.lit(n_buckets))
+
+
+def _fp_bucket_count(spark: SparkSession, out_path: str) -> int:
+    """The fingerprint store's bucket modulus — STATE, like the mh
+    shingle store's: persisted at build ({state}/fpmeta), read back by
+    every append (a mismatched modulus silently mis-prunes). Pre-round-7
+    states have no fpmeta and keep the legacy constant. Sizing is the
+    same √n policy as the shingle store (floored at the legacy 64), so
+    the append prune gate (batch·2 ≤ buckets) fires for realistic
+    batches at any corpus size instead of only ≤32-doc ones."""
+    import os
+
+    p = f"{_state_path(out_path)}/fpmeta"
+    if not os.path.exists(p):
+        return N_FP_BUCKETS
+    return int(spark.read.parquet(p).collect()[0].n_fbuckets)
 
 
 def _state_path(out_path: str) -> str:
@@ -266,15 +282,16 @@ def committed_curation_batches(spark: SparkSession, out_path: str) -> set[int]:
 
 
 def _write_fp_batch(
-    state: str, batch_id: int, docs: DataFrame, n_docs: int | None = None
+    state: str, batch_id: int, docs: DataFrame, n_docs: int | None = None,
+    n_fbuckets: int = N_FP_BUCKETS,
 ) -> None:
     fp = docs.select("doc_id", T.fingerprint(F.col("text")).alias("fp"))
-    fp = fp.withColumn("fbucket", _fbucket(F.col("fp")))
+    fp = fp.withColumn("fbucket", _fbucket(F.col("fp"), n_fbuckets))
     # the fbucket shuffle exists to give BIG batches one file per bucket
     # dir; a micro-batch writes fewer rows than buckets, so the shuffle
     # is a pure job of latency — coalesce to one task and let the
     # partitioned write fan its handful of rows into their dirs
-    if n_docs is not None and n_docs * 2 <= N_FP_BUCKETS:
+    if n_docs is not None and n_docs * 2 <= n_fbuckets:
         fp = fp.coalesce(1).sortWithinPartitions("fp")
     else:
         fp = fp.repartition("fbucket").sortWithinPartitions("fp")
@@ -312,10 +329,21 @@ def curate_corpus_with_state(
         spark, sf_dir, out_path, holdout=holdout, quality_min=quality_min,
         jaccard_threshold=jaccard_threshold, balance_sources=balance_sources,
     )
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        shingle_bucket_count,
+    )
+
     docs = load_table(spark, sf_dir, "documents")
     state = _state_path(out_path)
+    n_corpus = docs.count()
     build_minhash_index(docs, f"{state}/mh")
-    _write_fp_batch(state, 0, docs)
+    # fp-store modulus: same √n policy as the shingle store, floored at
+    # the legacy constant; persisted because the modulus is state
+    n_fb = max(N_FP_BUCKETS, shingle_bucket_count(n_corpus))
+    literal_df(spark, [(n_fb,)], "n_fbuckets bigint").coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{state}/fpmeta")
+    _write_fp_batch(state, 0, docs, n_fbuckets=n_fb)
     import shutil
 
     shutil.rmtree(_appends_path(out_path), ignore_errors=True)
@@ -378,15 +406,16 @@ def curate_append(
 
     # 1. exact dedup vs the fingerprint store (pruned to touched
     # buckets when the batch is small) + keep-min within the batch
+    n_fb = _fp_bucket_count(spark, out_path)  # the STORE's modulus
     bfp = batch_docs.select(
         "doc_id", T.fingerprint(F.col("text")).alias("fp")
     ).persist()
     store = spark.read.parquet(f"{state}/fps").filter(
         F.col("batch_id") != batch_id
     )
-    if n * 2 <= N_FP_BUCKETS:
+    if n * 2 <= n_fb:
         buckets = sorted(
-            r.b for r in bfp.select(_fbucket(F.col("fp")).alias("b"))
+            r.b for r in bfp.select(_fbucket(F.col("fp"), n_fb).alias("b"))
             .distinct().collect()
         )
         store = (
@@ -476,7 +505,7 @@ def curate_append(
     cur.write.mode("overwrite").parquet(out_dir)
     n_out = spark.read.parquet(out_dir).count()
     stats.append(StageStats("emit", n5, n_out))
-    _write_fp_batch(state, batch_id, batch_docs, n_docs=n)
+    _write_fp_batch(state, batch_id, batch_docs, n_docs=n, n_fbuckets=n_fb)
     append_to_minhash_index(f"{state}/mh", batch_docs, batch_id=batch_id)
     _mark_batch_committed(spark, out_path, batch_id)
     release_loose_persists()

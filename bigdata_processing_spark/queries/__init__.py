@@ -66,6 +66,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "image_neardup_pairs",
     "minhash_prefilter_audit",
     "incremental_image_dedup_pairs",
+    "bloom_decontamination",
     # round-6 rotation block (recorded rows retained): the celled
     # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
     # oracles regenerated) and the guarded dedup family (over-cap LSH

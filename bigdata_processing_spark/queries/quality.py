@@ -616,3 +616,99 @@ def gopher_rule_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule_idx")
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-screened decontamination (round 7): the SCALABLE eval-decon
+# shape. curation's trigram decon broadcasts the holdout vocabulary —
+# fine for one benchmark, impossible when the holdout is every eval
+# suite (millions of n-grams). Here the holdout's trigrams compress to
+# a fixed-size Bloom bitmap inlined as a literal predicate on the
+# corpus trigram scan (operators/sketches.bloom_prune — the same
+# execute-build-side-then-inline move as Spark's runtime bloom
+# injection), so only might-match trigrams ever shuffle to the exact
+# join. The Bloom is LOSSLESS for the final answer (no false negatives;
+# false positives die at the exact join), so the DuckDB twin is the
+# plain decon SQL — the sketch changes the plan, not the result
+# (pruning power measured in test_quality's plan test, not here).
+# ---------------------------------------------------------------------------
+DECON_MIN_SHARED = 3
+DECON_HOLDOUT_MOD = 100  # doc_id % mod == 7 -> holdout member
+
+
+@register(
+    "bloom_decontamination",
+    oracle=f"""
+        WITH toks AS (
+            SELECT doc_id, lang,
+                   list_filter(string_split(text, ' '), t -> t <> '') AS tk
+            FROM documents
+        ),
+        tri AS (
+            SELECT doc_id, lang,
+                   unnest(list_distinct(list_transform(
+                       range(1, greatest(len(tk) - 2, 0) + 1),
+                       i -> tk[i] || '_' || tk[i + 1] || '_' || tk[i + 2]))) AS s
+            FROM toks
+        ),
+        ho AS (
+            SELECT DISTINCT s FROM tri WHERE doc_id % {DECON_HOLDOUT_MOD} = 7
+        ),
+        hits AS (
+            SELECT t.doc_id, any_value(t.lang) AS lang,
+                   count(DISTINCT t.s) AS n_shared
+            FROM tri t JOIN ho USING (s)
+            WHERE t.doc_id % {DECON_HOLDOUT_MOD} <> 7
+            GROUP BY t.doc_id
+        ),
+        train AS (
+            SELECT doc_id, lang FROM documents
+            WHERE doc_id % {DECON_HOLDOUT_MOD} <> 7
+        )
+        SELECT tr.lang AS lang,
+               count(*) AS n_docs,
+               sum(CASE WHEN h.n_shared >= {DECON_MIN_SHARED} THEN 1 ELSE 0 END)
+                   ::BIGINT AS n_contaminated
+        FROM train tr LEFT JOIN hits h ON tr.doc_id = h.doc_id
+        GROUP BY tr.lang
+        ORDER BY lang
+    """,
+)
+def bloom_decontamination(
+    spark: SparkSession, sf_dir: str, bloom_bits: int = 1 << 17
+) -> DataFrame:
+    """Per-language contamination counts of the train split against the
+    holdout split's trigram vocabulary, with the corpus-side trigram
+    stream Bloom-screened before the exact join. Holdout = doc_id %
+    {mod} == 7 — 1% of docs, enough to contaminate a visible band at
+    every fixture scale."""
+    from bigdata_processing_spark.operators.sketches import bloom_prune
+
+    docs = load_table(spark, sf_dir, "documents")
+    is_ho = F.col("doc_id") % DECON_HOLDOUT_MOD == 7
+    tri = docs.select(
+        "doc_id", "lang",
+        F.explode(T.word_shingles(F.col("text"), 3)).alias("s"),
+    )
+    ho_tri = tri.filter(is_ho).select("s").distinct()
+    train_tri = tri.filter(~is_ho)
+    # the Bloom literal predicate sits ON THE SCAN side: only trigrams
+    # that might be in the holdout reach the exact join's shuffle
+    screened = bloom_prune(train_tri, ho_tri, "s", "s", bits=bloom_bits)
+    hits = (
+        screened.join(ho_tri, "s")  # exact: false positives die here
+        .groupBy("doc_id")
+        .agg(F.countDistinct("s").alias("n_shared"))
+        .filter(F.col("n_shared") >= DECON_MIN_SHARED)
+        .select("doc_id")
+    )
+    train = docs.filter(~is_ho).select("doc_id", "lang")
+    return (
+        train.join(hits.withColumn("hit", F.lit(1)), "doc_id", "left")
+        .groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.coalesce(F.col("hit"), F.lit(0))).alias("n_contaminated"),
+        )
+        .orderBy("lang")
+    )

@@ -284,6 +284,42 @@ def test_multi_append_past_refit_keeps_committed_batches(spark, tmp_path):
     clear_dedup_memos()
 
 
+def test_fp_bucket_modulus_is_store_state(spark, tmp_path):
+    """The fingerprint store's bucket modulus is persisted state
+    (fpmeta, round 7 — the √n policy floored at the legacy 64): appends
+    must read the STORE's modulus, and the curated result must be
+    invariant to it (a mismatch would mis-prune and silently keep
+    exact dups)."""
+    from bigdata_processing_spark.pipelines.curation import (
+        _fp_bucket_count,
+        _state_path,
+        _write_fp_batch,
+    )
+    from bigdata_processing_spark.sources.writers import literal_df
+
+    clear_dedup_memos()
+    base_sf, _full_sf, batch = _split_dirs(spark, tmp_path)
+    outs = {}
+    for name, n_fb in (("default", None), ("wide", 256)):
+        out = os.path.join(str(tmp_path), f"curated_{name}")
+        curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+        if n_fb is not None:
+            state = _state_path(out)
+            literal_df(spark, [(n_fb,)], "n_fbuckets bigint").coalesce(1)\
+                .write.mode("overwrite").parquet(f"{state}/fpmeta")
+            docs = load_table(spark, base_sf, "documents")
+            _write_fp_batch(state, 0, docs, n_fbuckets=n_fb)
+            assert _fp_bucket_count(spark, out) == 256
+        else:
+            assert _fp_bucket_count(spark, out) == 64  # floor at this scale
+        curate_append(spark, out, batch)
+        outs[name] = {
+            r.doc_id for r in read_curated(spark, out).select("doc_id").collect()
+        }
+        clear_dedup_memos()
+    assert outs["default"] == outs["wide"] and outs["default"]
+
+
 def test_shard_curated_covers_base_plus_appends(spark, tmp_path):
     from bigdata_processing_spark.pipelines.curation import shard_curated
 

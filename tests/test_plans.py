@@ -429,3 +429,35 @@ def test_vocab_curve_two_stage_salted_rank(spark):
         for m in re.finditer(r"\((\d+)\) Exchange\nInput.*\nArguments: SinglePartition", plan)
     ]
     assert singles and all(s > int(m_filter.group(1)) for s in singles), plan
+
+
+def test_bloom_decontamination_prunes_before_the_join(spark):
+    """The holdout Bloom must sit on the corpus trigram side as a
+    LITERAL predicate (scan-stage, below the exact join) and actually
+    prune: only might-match trigrams may reach the join shuffle."""
+    from conftest import SF_SMALL
+
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.operators.sketches import bloom_prune
+    from bigdata_processing_spark.plans import explain_str
+    from bigdata_processing_spark.queries.quality import (
+        DECON_HOLDOUT_MOD,
+        bloom_decontamination,
+    )
+
+    plan = explain_str(bloom_decontamination(spark, SF_SMALL), mode="simple")
+    assert "shiftrightunsigned" in plan and "xxhash64" in plan, plan[:2000]
+
+    # measured pruning: the screened trigram stream is a strict subset
+    docs = load_table(spark, SF_SMALL, "documents")
+    is_ho = F.col("doc_id") % DECON_HOLDOUT_MOD == 7
+    tri = docs.select(
+        "doc_id", F.explode(T.word_shingles(F.col("text"), 3)).alias("s")
+    )
+    ho = tri.filter(is_ho).select("s").distinct()
+    train = tri.filter(~is_ho)
+    n_all = train.count()
+    n_screened = bloom_prune(train, ho, "s", "s").count()
+    n_true = train.join(ho, "s", "left_semi").count()
+    assert n_true <= n_screened < n_all  # no false negatives, real pruning
+    assert n_screened < n_all * 0.5  # the screen must bite on the fixture
