@@ -67,6 +67,8 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "minhash_prefilter_audit",
     "incremental_image_dedup_pairs",
     "bloom_decontamination",
+    "token_fertility_by_lang",
+    "temperature_mixture_weights",
     # round-6 rotation block (recorded rows retained): the celled
     # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
     # oracles regenerated) and the guarded dedup family (over-cap LSH

@@ -436,3 +436,52 @@ def training_shard_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled mixture weights (round 7): the multilingual
+# sampling-temperature table — w_i(τ) = n_i^τ / Σ n_j^τ per language,
+# swept over a τ grid. τ=1 is proportional sampling (big languages
+# dominate), τ→0 is uniform; production multilingual LMs sample at
+# τ≈0.3-0.7 to up-weight the tail. One tiny per-language count, the τ
+# expansion is a literal cross join over grid×languages rows —
+# metadata-sized at any corpus scale.
+# ---------------------------------------------------------------------------
+MIXTURE_TAUS = (0.3, 0.5, 0.7, 1.0)
+
+
+@register(
+    "temperature_mixture_weights",
+    oracle=f"""
+        WITH lang_n AS (
+            SELECT lang, count(*) AS n_docs FROM documents GROUP BY lang
+        ),
+        taus AS (SELECT unnest([{', '.join(str(t) for t in MIXTURE_TAUS)}]) AS tau)
+        SELECT t.tau AS tau, l.lang AS lang, l.n_docs AS n_docs,
+               round(pow(l.n_docs, t.tau)
+                     / sum(pow(l.n_docs, t.tau)) OVER (PARTITION BY t.tau), 9)
+                   AS weight
+        FROM lang_n l CROSS JOIN taus t
+        ORDER BY tau, lang
+    """,
+)
+def temperature_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from bigdata_processing_spark.sources.writers import literal_df
+
+    docs = load_table(spark, sf_dir, "documents")
+    lang_n = docs.groupBy("lang").agg(F.count("*").alias("n_docs"))
+    taus = literal_df(
+        docs.sparkSession, [(t,) for t in MIXTURE_TAUS], "tau double"
+    )
+    w = Window.partitionBy("tau")
+    scaled = F.pow(F.col("n_docs").cast("double"), F.col("tau"))
+    return (
+        lang_n.crossJoin(F.broadcast(taus))
+        .select(
+            "tau", "lang", "n_docs",
+            F.round(scaled / F.sum(scaled).over(w), 9).alias("weight"),
+        )
+        .orderBy("tau", "lang")
+    )

@@ -273,3 +273,56 @@ def quality_weighted_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility by language (round 7): BPE-ish tokens per word and
+# bytes per token, per language — the number multilingual tokenizer/
+# vocab decisions read first (high fertility = the tokenizer fragments
+# that language; byte-level fallback shows up as bytes/token → 1). One
+# scan, map-side expressions, one tiny groupBy — scan-bounded at any
+# corpus size. utf-8 BYTES (Spark octet_length == DuckDB strlen), not
+# chars.
+# ---------------------------------------------------------------------------
+@register(
+    "token_fertility_by_lang",
+    oracle=f"""
+        SELECT lang,
+               count(*) AS n_docs,
+               CAST(sum(strlen(text)) AS BIGINT) AS total_bytes,
+               CAST(sum(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))) AS BIGINT)
+                   AS bpe_tokens,
+               CAST(sum(len(list_filter(string_split(text, ' '), t -> t <> ''))) AS BIGINT)
+                   AS ws_tokens,
+               round(sum(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}')))::DOUBLE
+                   / sum(len(list_filter(string_split(text, ' '), t -> t <> ''))), 6)
+                   AS fertility,
+               round(sum(strlen(text))::DOUBLE
+                   / sum(len(regexp_extract_all(text, '{T.BPE_TOKEN_RE}'))), 6)
+                   AS bytes_per_token
+        FROM documents
+        GROUP BY lang
+        ORDER BY lang
+    """,
+)
+def token_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return (
+        docs.groupBy("lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum(F.octet_length("text")).alias("total_bytes"),
+            F.sum(T.bpe_token_count(F.col("text"))).alias("bpe_tokens"),
+            F.sum(T.token_count(F.col("text"))).alias("ws_tokens"),
+        )
+        .select(
+            "lang", "n_docs", "total_bytes", "bpe_tokens", "ws_tokens",
+            F.round(
+                F.col("bpe_tokens").cast("double") / F.col("ws_tokens"), 6
+            ).alias("fertility"),
+            F.round(
+                F.col("total_bytes").cast("double") / F.col("bpe_tokens"), 6
+            ).alias("bytes_per_token"),
+        )
+        .orderBy("lang")
+    )
