@@ -69,6 +69,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_decontamination",
     "token_fertility_by_lang",
     "temperature_mixture_weights",
+    "simhash_neardup_pairs",
     # round-6 rotation block (recorded rows retained): the celled
     # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
     # oracles regenerated) and the guarded dedup family (over-cap LSH

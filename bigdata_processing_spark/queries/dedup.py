@@ -1155,6 +1155,117 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# 64-bit SimHash near-dup PAIRS (round 7): simhash_buckets only surfaces
+# EXACT-signature collisions (same 16-bit bucket); this is the real
+# Charikar near-dup operator — 64-bit bit-majority signature, 4×16-bit
+# bands as Hamming-LSH keys (pigeonhole recall 1.0 at ≤3, like the
+# image dHash family, whose band/cap/star/popcount machinery this query
+# REUSES verbatim on both engines: image_neardup_pairs_from_hashes /
+# _sql_hamming_pairs_tail). The 64 bits come from the first two 32-bit
+# chunks of ONE md5 per distinct token — portable, one digest.
+# Scale shape: one token explode + one 64-sum aggregate per doc (map-
+# side combined), then everything is the capped band-bucket pipeline —
+# signatures are 4 ints/doc; document text never reaches the join.
+# ---------------------------------------------------------------------------
+SIMHASH_HAMMING_MAX = 3
+_SIM64 = 64
+
+
+def _sql_simhash64_bands() -> str:
+    bit_sums = ", ".join(
+        f"sum(CASE WHEN ({'h_lo' if j < 32 else 'h_hi'} >> {j % 32}) & 1 = 1 "
+        f"THEN 1 ELSE -1 END) AS s{j}"
+        for j in range(_SIM64)
+    )
+    band_cols = ", ".join(
+        "CAST(("
+        + " + ".join(
+            f"(CASE WHEN s{16 * b + i} > 0 THEN 1 ELSE 0 END << {i})"
+            for i in range(16)
+        )
+        + f") AS INTEGER) AS b{b}"
+        for b in range(4)
+    )
+    return f"""
+        stok AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_filter(string_split(text, ' '), t -> t <> '')) AS tok
+            FROM documents
+        ),
+        sth AS (
+            SELECT doc_id,
+                   ('0x' || substr(md5('0|' || tok), 1, 8))::BIGINT AS h_lo,
+                   ('0x' || substr(md5('0|' || tok), 9, 8))::BIGINT AS h_hi
+            FROM stok
+        ),
+        sbits AS (SELECT doc_id, {bit_sums} FROM sth GROUP BY doc_id),
+        ibands AS (SELECT doc_id AS img_id, {band_cols} FROM sbits)
+"""
+
+
+def _sql_simhash_neardup() -> str:
+    from bigdata_processing_spark.queries.multimodal import (
+        _sql_hamming_pairs_tail,
+    )
+
+    return (
+        f"\n        WITH {_sql_simhash64_bands()}"
+        + _sql_hamming_pairs_tail(SIMHASH_HAMMING_MAX, MAX_BUCKET)
+    )
+
+
+@register("simhash_neardup_pairs", oracle=_sql_simhash_neardup())
+def simhash_neardup_pairs(
+    spark: SparkSession, sf_dir: str,
+    hamming_max: int = SIMHASH_HAMMING_MAX,
+    max_bucket: int = MAX_BUCKET,
+) -> DataFrame:
+    """(d1, d2, hamming) doc pairs within ``hamming_max`` bits of 64-bit
+    SimHash distance — the signature-level complement to the shingle
+    MinHash family (SimHash weights token PRESENCE by majority vote, so
+    it excels at long docs with small edits where bigram Jaccard
+    dilutes slowly)."""
+    from bigdata_processing_spark.operators.multimodal import (
+        image_neardup_pairs_from_hashes,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    tokex = docs.select(
+        "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("tok")
+    ).filter(F.col("tok") != "")
+    m = F.md5(F.concat(F.lit("0|"), F.col("tok")))
+    th = tokex.select(
+        "doc_id",
+        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h_lo"),
+        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+    )
+    bit_aggs = [
+        F.sum(
+            F.when(
+                F.shiftright(F.col("h_lo" if j < 32 else "h_hi"), j % 32)
+                .bitwiseAND(F.lit(1)) == 1, 1,
+            ).otherwise(-1)
+        ).alias(f"s{j}")
+        for j in range(_SIM64)
+    ]
+    sbits = th.groupBy("doc_id").agg(*bit_aggs)
+    band_cols = []
+    for b in range(4):
+        v = None
+        for i in range(16):
+            term = (
+                F.when(F.col(f"s{16 * b + i}") > 0, F.lit(1)).otherwise(F.lit(0))
+                * F.lit(1 << i)
+            )
+            v = term if v is None else v + term
+        band_cols.append(v.cast("int").alias(f"b{b}"))
+    hashes = sbits.select(F.col("doc_id").alias("img_id"), *band_cols)
+    return image_neardup_pairs_from_hashes(
+        hashes, hamming_max=hamming_max, max_bucket=max_bucket
+    ).orderBy("d1", "d2")
+
+
+# ---------------------------------------------------------------------------
 # Embedding-cosine near-dup over IVF cells: candidates are pairs sharing
 # BOTH the label partition and a geometric cell, cosine ≥
 # thresholds.COSINE_NEARDUP_THRESHOLD.

@@ -381,28 +381,27 @@ def _sql_img_bands(shift: int) -> str:
     )
     + """
             FROM ibits GROUP BY img_id
-        ),
-        ibandl AS (
-"""
-    + "\n            UNION ALL\n".join(
-        f"            SELECT img_id, concat('{b}_', b{b}) AS bk FROM ibands"
-        for b in range(4)
-    )
-    + """
         )
 """
     )
 
 
-def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int,
-                       batch_only: bool = False) -> str:
-    batch_pred = (
-        "AND (c.d1 >= 100000 OR c.d2 >= 100000)" if batch_only else ""
+def _sql_hamming_pairs_tail(hamming_max: int, max_bucket: int,
+                            batch_pred: str = "") -> str:
+    """CTE chain + final SELECT for Hamming band-pair mining over an
+    ``ibands(img_id, b0..b3)`` CTE the CALLER defines — shared by the
+    image dHash twins and the 64-bit SimHash twin (same 4×16-bit band
+    geometry, same capped buckets + representative stars, same popcount
+    verify)."""
+    bandl = "\n            UNION ALL\n".join(
+        f"            SELECT img_id, concat('{b}_', b{b}) AS bk FROM ibands"
+        for b in range(4)
     )
-    bands = _sql_img_bands(shift)
     ham = " + ".join(f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(4))
-    return f"""
-        WITH {bands},
+    return f""",
+        ibandl AS (
+{bandl}
+        ),
         ibsz AS (SELECT bk, count(*) AS n FROM ibandl GROUP BY bk),
         ireps AS (
             SELECT bk, img_id FROM (
@@ -436,6 +435,17 @@ def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int,
         WHERE {ham} <= {hamming_max} {batch_pred}
         ORDER BY d1, d2
     """
+
+
+def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int,
+                       batch_only: bool = False) -> str:
+    batch_pred = (
+        "AND (c.d1 >= 100000 OR c.d2 >= 100000)" if batch_only else ""
+    )
+    return (
+        f"\n        WITH {_sql_img_bands(shift)}"
+        + _sql_hamming_pairs_tail(hamming_max, max_bucket, batch_pred)
+    )
 
 
 @register(
