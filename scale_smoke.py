@@ -98,6 +98,18 @@ QUERIES = [
     "training_shard_stats",
     "hashed_tf_knn",
     "vocab_coverage_curve",
+    # round 7 new surface: the prefilter audit runs the UNFILTERED verify
+    # (its cost IS the audit); image/simhash hamming families bucket on
+    # band keys (clones are distance-0 -> over-cap stars at N-fold
+    # cliques); bloom decon's screen is a literal map; fertility and
+    # temperature mixtures are one-scan aggregates
+    "minhash_prefilter_audit",
+    "image_neardup_pairs",
+    "incremental_image_dedup_pairs",
+    "simhash_neardup_pairs",
+    "bloom_decontamination",
+    "token_fertility_by_lang",
+    "temperature_mixture_weights",
 ]
 
 
