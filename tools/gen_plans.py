@@ -182,6 +182,18 @@ ENTRIES: dict[str, str] = {
         "representative stars, popcount verify against the 4-int hash "
         "table — pixel bytes never shuffle."
     ),
+    "simhash_neardup_pairs": (
+        "64-bit SimHash pairs on the SAME Hamming machinery as the "
+        "image family: one md5 per distinct token, 64 map-side "
+        "bit-majority sums, 4x16-bit band keys, star-capped buckets, "
+        "popcount verify over 4 ints/doc."
+    ),
+    "bloom_decontamination": (
+        "Scalable eval-decon: the holdout's trigrams inlined as a "
+        "LITERAL Bloom predicate on the corpus trigram scan (lossless "
+        "— false positives die at the exact join), so only might-match "
+        "trigrams ever shuffle."
+    ),
 }
 
 
