@@ -524,8 +524,15 @@ def image_neardup_pairs_from_hashes(
                       *[F.col(f"b{i}").alias(f"x{i}") for i in range(4)])
     b2 = hashes.select(F.col("img_id").alias("d2"),
                        *[F.col(f"b{i}").alias(f"y{i}") for i in range(4)])
-    # ~40 B per image: broadcastable to ~10M images, merge join past that
-    if n_imgs * 64 <= 512 << 20:
+    # Regime switch with a CONSERVATIVE in-JVM estimate: the verify join
+    # broadcasts BOTH sides, and a broadcast hash relation costs far
+    # more than the 40 raw bytes/row (row objects + the hash map +
+    # duplication across the build) — the 64 B/row first cut OOM'd an
+    # 8 GB single JVM at 500k hashes (measured, round 7). 2 KB/row keeps
+    # the pair of broadcasts comfortably inside the same 512 MB budget
+    # the dedup family uses (≈ 130k hashes); beyond that both legs take
+    # explicit merge joins keyed by id — narrow-table shuffles.
+    if n_imgs * 2048 * 2 <= 512 << 20:
         a, b2 = F.broadcast(a), F.broadcast(b2)
     else:
         a, b2 = a.hint("merge"), b2.hint("merge")

@@ -76,19 +76,26 @@ def rep_star_pairs(members: DataFrame, max_bucket: int) -> DataFrame:
 
     ``members`` must carry ``(bk, ds array<id>)`` rows (one per bucket,
     ``ds`` the sorted member ids). Buckets with ``size(ds) >
-    max_bucket`` keep ``ceil(B/max_bucket)`` representatives — the first
-    members in ``md5(doc_id)`` order, deterministic and ingestion-order-
-    free — and every member pairs against the representatives only:
-    O(B·B/max_bucket) candidates, and the star shape still lets
-    connected components recover the whole family as one cluster. A SQL
-    twin reproduces the selection with ``row_number() OVER (PARTITION BY
-    bk ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)``.
+    max_bucket`` keep ``least(ceil(B/max_bucket), MAX_BUCKET_REPS)``
+    representatives — the first members in ``md5(doc_id)`` order,
+    deterministic and ingestion-order-free — and every member pairs
+    against the representatives only. The rep CAP makes per-bucket work
+    LINEAR (≤ 64·B pairs): uncapped ceil(B/25) is quadratic, and a hot
+    16-bit simhash band value holding 1e5 docs of the 100× corpus
+    OOM'd an 8 GB JVM before the cap (round-7 measurement). The star
+    shape still lets connected components recover the whole family as
+    one cluster. A SQL twin reproduces the selection with
+    ``row_number() OVER (PARTITION BY bk ORDER BY
+    md5(CAST(doc_id AS VARCHAR)), doc_id)`` + the same least().
 
-    All array expressions on the grouped member list — no shuffle beyond
-    the groupBy that built ``members``. Known bound: a single bucket's
-    member array must fit one row (the DF prune upstream removes the
-    boilerplate shingles that would otherwise mint corpus-sized
-    buckets)."""
+    Memory shape: the representatives EXPLODE FIRST (one row per
+    (bucket, rep)), and each rep row then expands against the member
+    array — peak per-row materialization is O(B), never O(reps·B) (the
+    single-array form built every star pair of a bucket inside one row
+    before exploding: tens of GB for the hot bucket above). No shuffle
+    beyond the groupBy that built ``members``."""
+    from bigdata_processing_spark.thresholds import MAX_BUCKET_REPS
+
     ds_hash_ordered = F.transform(
         F.array_sort(
             F.transform(
@@ -100,23 +107,26 @@ def rep_star_pairs(members: DataFrame, max_bucket: int) -> DataFrame:
         ),
         lambda s: s.getField("d"),
     )
-    n_reps = F.ceil(
-        F.size("ds").cast("double") / F.lit(float(max_bucket))
-    ).cast("int")
-    rep_pairs = F.flatten(
-        F.transform(
-            F.slice(ds_hash_ordered, F.lit(1), n_reps),
-            lambda r: F.transform(
-                "ds",
-                lambda m: F.struct(
-                    F.least(r, m).alias("d1"), F.greatest(r, m).alias("d2")
-                ),
-            ),
+    n_reps = F.least(
+        F.ceil(F.size("ds").cast("double") / F.lit(float(max_bucket))).cast("int"),
+        F.lit(MAX_BUCKET_REPS),
+    )
+    reps = (
+        members.filter(F.size("ds") > max_bucket)
+        .select(
+            "ds",
+            F.explode(F.slice(ds_hash_ordered, F.lit(1), n_reps)).alias("r"),
         )
     )
+    pair = F.transform(
+        "ds",
+        lambda m: F.struct(
+            F.least(F.col("r"), m).alias("d1"),
+            F.greatest(F.col("r"), m).alias("d2"),
+        ),
+    )
     return (
-        members.filter(F.size("ds") > max_bucket)
-        .select(F.explode(rep_pairs).alias("p"))
+        reps.select(F.explode(pair).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
         .filter(F.col("d1") != F.col("d2"))
     )

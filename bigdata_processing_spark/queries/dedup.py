@@ -33,6 +33,7 @@ from bigdata_processing_spark.thresholds import (
     EST_AGREE_MIN,
     JACCARD_THRESHOLD,
     MAX_BUCKET,
+    MAX_BUCKET_REPS,
     MAX_DF,
     MAX_DF_FRAC,
     N_BANDS,
@@ -239,7 +240,7 @@ _SQL_CAND_GUARDED = f"""
                        ) AS rn
                 FROM bands_p a JOIN bsz z ON a.bk = z.bk
                 WHERE z.n > {MAX_BUCKET}
-            ) WHERE rn <= CAST(ceil(n / CAST({MAX_BUCKET} AS DOUBLE)) AS BIGINT)
+            ) WHERE rn <= least(CAST(ceil(n / CAST({MAX_BUCKET} AS DOUBLE)) AS BIGINT), {MAX_BUCKET_REPS})
         ),
         cand AS (
             SELECT DISTINCT d1, d2 FROM (
@@ -779,7 +780,7 @@ def minhash_unguarded_dup_pairs(
                        ) AS rn
                 FROM bands a JOIN bsz z ON a.bk = z.bk
                 WHERE z.n > {MAX_BUCKET}
-            ) WHERE rn <= CAST(ceil(n / CAST({MAX_BUCKET} AS DOUBLE)) AS BIGINT)
+            ) WHERE rn <= least(CAST(ceil(n / CAST({MAX_BUCKET} AS DOUBLE)) AS BIGINT), {MAX_BUCKET_REPS})
         ),
         cand AS (
             SELECT DISTINCT d1, d2 FROM (

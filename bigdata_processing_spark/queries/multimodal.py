@@ -412,7 +412,7 @@ def _sql_hamming_pairs_tail(hamming_max: int, max_bucket: int,
                        ) AS rn
                 FROM ibandl a JOIN ibsz z ON a.bk = z.bk
                 WHERE z.n > {max_bucket}
-            ) WHERE rn <= CAST(ceil(n / CAST({max_bucket} AS DOUBLE)) AS BIGINT)
+            ) WHERE rn <= least(CAST(ceil(n / CAST({max_bucket} AS DOUBLE)) AS BIGINT), {_TH.MAX_BUCKET_REPS})
         ),
         icand AS (
             SELECT DISTINCT d1, d2 FROM (

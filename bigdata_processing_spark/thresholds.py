@@ -61,6 +61,16 @@ MAX_DF_FRAC = 0.08    # scale term: prune shingles in > 8% of the corpus
 # representative stars still connect the family into one CC cluster
 # (queries/dedup._scored_candidates / _SQL_CAND_GUARDED).
 MAX_BUCKET = 25       # LSH buckets above this switch to representative pairs
+# Representative-count ceiling for over-cap buckets: ceil(B/MAX_BUCKET)
+# reps alone is QUADRATIC in B (B·B/25 pairs — measured OOM: a hot
+# 16-bit simhash band value held ~1e5 of the 100× corpus's docs, and
+# 4,000 reps × 1e5 members exploded the executor). Capping reps bounds
+# per-bucket work LINEARLY (≤ 64·B pairs) while keeping the fixture and
+# oracle outputs bit-identical everywhere ceil(B/25) ≤ 64 (every
+# oracle-checked scale: the biggest fixture buckets are a few hundred
+# members). CC family recovery needs only ≥1 rep; 64 keeps the
+# mutated-clone verify redundancy the r6 recall proof measured.
+MAX_BUCKET_REPS = 64
 
 # Two-stage verification: before the exact-Jaccard join, candidate
 # pairs are prefiltered on the SIGNATURE-estimated jaccard (fraction of

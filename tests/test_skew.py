@@ -280,3 +280,34 @@ def test_rep_star_pairs_properties(spark):
         assert run(list(reversed(ds)), max_bucket) == pairs
 
     check()
+
+
+def test_rep_star_pairs_cap_bounds_hot_buckets(spark):
+    """Round-7 scale fix: uncapped ceil(B/max_bucket) reps are QUADRATIC
+    in B (a hot 16-bit simhash band value holding ~1e5 docs OOM'd an
+    8 GB JVM — both via rep count and via materializing every star pair
+    of a bucket inside ONE array row). Reps are now capped at
+    MAX_BUCKET_REPS and explode before pairing. Small buckets (where
+    ceil(B/25) <= 64 — every oracle-checked scale) are bit-identical."""
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.operators.skew import rep_star_pairs
+    from bigdata_processing_spark.thresholds import MAX_BUCKET_REPS
+
+    def star_pairs(n_members, max_bucket):
+        members = spark.createDataFrame(
+            [("bk0", list(range(n_members)))], "bk string, ds array<bigint>"
+        )
+        return rep_star_pairs(members, max_bucket)
+
+    # hot bucket: 2,000 members -> uncapped would take ceil(2000/25)=80
+    # reps; capped takes 64 -> distinct pairs = 64*(B-1) - C(64,2)
+    B = 2_000
+    got = star_pairs(B, 25).distinct().count()
+    assert got == MAX_BUCKET_REPS * (B - 1) - (MAX_BUCKET_REPS * (MAX_BUCKET_REPS - 1)) // 2
+    # linear-in-B work bound: pairs <= 64*B regardless of bucket size
+    assert got <= MAX_BUCKET_REPS * B
+
+    # under the cap (ceil(100/25)=4 reps) the geometry is unchanged
+    got_small = star_pairs(100, 25).distinct().count()
+    assert got_small == 4 * 99 - (4 * 3) // 2
