@@ -474,7 +474,12 @@ def incremental_dup_pairs(
     # prefilter (old behavior).
     agree_min = est_agree_min(jaccard_threshold)
     live = committed_batches(spark, path) - {exclude_batch_id}
-    if agree_min > 0 and live <= _sigs_batches(path):
+    sigs_live = _sigs_batches(path)
+    # `live <= sigs_live` is vacuously true when live is empty (e.g. a
+    # sig-less legacy store probed with its only batch excluded) — the
+    # sigs/ read would then throw on a path that never existed, so the
+    # store must actually HAVE signatures too
+    if agree_min > 0 and sigs_live and live <= sigs_live:
         old_sig = spark.read.parquet(f"{path}/sigs")
         if exclude_batch_id is not None:
             old_sig = old_sig.filter(F.col("batch_id") != exclude_batch_id)

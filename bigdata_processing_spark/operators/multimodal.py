@@ -491,8 +491,14 @@ def image_neardup_pairs_from_hashes(
     ints/img — broadcastable far past any pixel-data bound) and computes
     the exact popcount distance. No pixel bytes ever shuffle."""
     from bigdata_processing_spark.operators.skew import rep_star_pairs
+    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
 
+    # registered with the dedup family's loose-persist pool: the persist
+    # backs the lazily-consumed result, so it can't unpersist here —
+    # without the registration repeated image/simhash queries in one
+    # session accumulated cached blocks (round-7 advisory)
     hashes = hashes.persist()
+    _LOOSE_PERSISTS.append(hashes)
     n_imgs = hashes.count()
     bandl = None
     for b in range(4):

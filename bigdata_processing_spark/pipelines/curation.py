@@ -256,10 +256,27 @@ def _mark_batch_committed(spark: SparkSession, out_path: str, batch_id: int) -> 
     ``counts/batch_id=N`` partitions (the previous marker) are erased
     by the index's own refit, which consolidates every prior batch into
     batch 0 — committed append survivors then silently vanished from
-    :func:`read_curated` (the round-7 high-severity advisory)."""
+    :func:`read_curated` (the round-7 high-severity advisory).
+
+    On a PRE-round-7 state dir the first marker write must not strand
+    the history: once ``{state}/committed`` exists,
+    :func:`committed_curation_batches` stops consulting the mh-counts
+    fallback, so every batch the fallback vouched for is backfilled a
+    marker FIRST. Backfill precedes the new batch's marker, so a crash
+    between the two never loses an old batch — replay rewrites both."""
+    import os
+
+    cdir = f"{_state_path(out_path)}/committed"
+    if not os.path.exists(cdir):
+        for b in committed_curation_batches(spark, out_path):
+            if b == batch_id:
+                continue
+            literal_df(spark, [(1,)], "committed int").coalesce(1).write.mode(
+                "overwrite"
+            ).parquet(f"{cdir}/batch_id={b}")
     literal_df(spark, [(1,)], "committed int").coalesce(1).write.mode(
         "overwrite"
-    ).parquet(f"{_state_path(out_path)}/committed/batch_id={batch_id}")
+    ).parquet(f"{cdir}/batch_id={batch_id}")
 
 
 def committed_curation_batches(spark: SparkSession, out_path: str) -> set[int]:

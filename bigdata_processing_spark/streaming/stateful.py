@@ -12,7 +12,7 @@ incrementally checkpointed — the configuration that holds at
 hundreds of millions of keys.
 
 Environment note: the python<->JVM state protocol is protobuf-based;
-this container lacks ``google.protobuf`` (re-verified at round-6 start,
+this container lacks ``google.protobuf`` (re-verified at round-8 start,
 2026-08-15: ``import google.protobuf`` raises ModuleNotFoundError), so
 the end-to-end test (tests/test_stateful.py) is skip-gated the same way
 spark-avro is. The

@@ -351,3 +351,51 @@ def test_shard_curated_covers_base_plus_appends(spark, tmp_path):
         "doc_id", "shard").collect()
     assert sorted(map(tuple, a)) == sorted(map(tuple, b))
     clear_dedup_memos()
+
+
+def test_upgrade_path_backfills_committed_markers(spark, tmp_path):
+    """Round-8 advisory (high): the FIRST curation-owned marker write on
+    a pre-round-7 state dir (no {state}/committed) must backfill markers
+    for every batch the mh-counts fallback vouched for — otherwise
+    committed_curation_batches stops consulting the fallback and every
+    previously committed append batch silently vanishes from
+    read_curated, reintroducing the exact data loss the markers fixed."""
+    import shutil
+
+    from bigdata_processing_spark.pipelines.curation import (
+        _state_path,
+        committed_curation_batches,
+    )
+
+    clear_dedup_memos()
+    docs = load_table(spark, SF_SMALL, "documents")
+    ids = sorted(r.doc_id for r in docs.select("doc_id").collect())
+    c1, c2 = ids[int(len(ids) * 0.8)], ids[int(len(ids) * 0.9)]
+    base_sf = os.path.join(str(tmp_path), "base_sf")
+    os.makedirs(base_sf, exist_ok=True)
+    docs.filter(F.col("doc_id") < c1).write.parquet(table_path(base_sf, "documents"))
+    b1 = docs.filter((F.col("doc_id") >= c1) & (F.col("doc_id") < c2))
+    b2 = docs.filter(F.col("doc_id") >= c2)
+
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+    curate_append(spark, out, b1)  # batch 1, committed under markers
+    after_b1 = {
+        r.doc_id for r in read_curated(spark, out).select("doc_id").collect()
+    }
+    b1_survivors = {r.doc_id for r in b1.select("doc_id").collect()} & after_b1
+    assert b1_survivors, "fixture must commit some batch-1 docs"
+
+    # simulate the documented upgrade path: a pre-round-7 state dir has
+    # NO curation-owned marker directory — the fallback (mh counts) is
+    # the only commit record for batches 0 and 1
+    shutil.rmtree(f"{_state_path(out)}/committed")
+    assert committed_curation_batches(spark, out) == {0, 1}
+
+    curate_append(spark, out, b2)  # first marker write post-upgrade
+    assert committed_curation_batches(spark, out) == {0, 1, 2}
+    final = {r.doc_id for r in read_curated(spark, out).select("doc_id").collect()}
+    assert b1_survivors <= final, (
+        "first post-upgrade append stranded pre-existing committed batches"
+    )
+    clear_dedup_memos()

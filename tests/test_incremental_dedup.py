@@ -546,3 +546,26 @@ def test_probe_into_overcap_family_uses_representative_stars(spark, tmp_path):
         release_loose_persists,
     )
     release_loose_persists()
+
+
+def test_legacy_store_probe_with_only_batch_excluded(spark, tmp_path):
+    """Round-8 advisory (low): on a SIG-LESS legacy store probed with
+    its only batch excluded, the prefilter gate `live <= sigs_batches`
+    was vacuously true (empty ⊆ anything) and the sigs/ read threw on a
+    directory that never existed. The gate must also require the sigs
+    store to exist; the probe then runs prefilter-free and still finds
+    the new×new pairs."""
+    base = {i: f"wholly unrelated document number {i} tokens t{i} u{i*3}"
+            for i in range(20)}
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+    _flatten_to_legacy_layout(spark, idx)  # pre-round-7: no sigs/
+
+    twins = {
+        100: "the quick brown fox jumps over the lazy dog tonight",
+        101: "the quick brown fox jumps over the lazy dog tonight",
+    }
+    got = incremental_dup_pairs(
+        _mini_corpus(spark, twins), idx, exclude_batch_id=0
+    ).collect()
+    assert [(r.d1, r.d2, r.jaccard) for r in got] == [(100, 101, 1.0)]
