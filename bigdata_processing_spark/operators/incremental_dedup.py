@@ -405,6 +405,70 @@ def incremental_dup_pairs(
     _LOOSE_PERSISTS.append(new_shset)
     shex = new_shset.select("doc_id", F.explode("sh").alias("s"))
     sig = _sign_excluding(shex, stop)
+
+    # Signature-level exact-dup short-circuit (round 8): a batch doc
+    # whose FULL signature equals a live indexed doc's is (overwhelmingly)
+    # a clone of an already-indexed doc — the recrawl case. It anchors
+    # directly to the MIN-id signature-equal indexed doc (one pair, still
+    # exactly verified downstream) and SKIPS band expansion entirely:
+    # no postings probe, no star work, no membership in bucket totals.
+    # The 100× clone-recrawl append paid an ~80s batch-independent floor
+    # expanding touched-family stars for docs that were exact clones;
+    # anchoring bounds that path at O(batch) pairs — one pair even
+    # against a 1e7-member identical family, where matching ALL
+    # signature-equal docs would re-create the quadratic blow-up the
+    # caps exist to prevent. Anchored docs lose their other family
+    # edges BY DESIGN (same trade the rep-star cap makes): the verdict
+    # — doc is a dup, of whom — is preserved, and the min-id anchor is
+    # exactly the edge the component-min survivor rule wants. The
+    # registered twin + oracle mirror the rule; sig-collision false
+    # anchors die at the exact verify like any candidate. Needs the
+    # sigs store (same coverage gate as the prefilter — batch-bounded
+    # broadcast against one narrow map-side scan, ~72 B/doc); legacy
+    # stores skip it (old behavior).
+    live = committed_batches(spark, path) - {exclude_batch_id}
+    sigs_live = _sigs_batches(path)
+    # `live <= sigs_live` is vacuously true when live is empty (e.g. a
+    # sig-less legacy store probed with its only batch excluded) — the
+    # sigs/ read would then throw on a path that never existed, so the
+    # store must actually HAVE signatures too
+    sigs_ok = bool(sigs_live) and live <= sigs_live
+    sig_cols = ["doc_id"] + [f"h{i}" for i in range(N_HASHES)]
+    sig_full = sig  # every batch doc's signature (prefilter lookup side)
+    old_sig = None
+    exact_pairs = None
+    if sigs_ok:
+        old_sig = spark.read.parquet(f"{path}/sigs")
+        if exclude_batch_id is not None:
+            old_sig = old_sig.filter(F.col("batch_id") != exclude_batch_id)
+        bsig = sig.select(
+            F.col("doc_id").alias("bdoc"),
+            *[F.col(f"h{i}").alias(f"_n{i}") for i in range(N_HASHES)],
+        )
+        # batch-bounded (≤ |batch| rows). localCheckpoint — not persist —
+        # because the anchor table is re-embedded in EVERY branch of the
+        # candidate union (new_post's anti-join side), and each branch
+        # would otherwise carry the whole sig ⋈ sigs-store subtree: the
+        # plan STRING grows multiplicatively and a chained append
+        # pipeline OOM'd the driver rendering it (same lineage-truncation
+        # move as operators/graph.py's star rounds)
+        anch = (
+            old_sig.select(*sig_cols)
+            .join(
+                F.broadcast(bsig),
+                [F.col(f"h{i}") == F.col(f"_n{i}") for i in range(N_HASHES)],
+            )
+            .groupBy("bdoc")
+            .agg(F.min("doc_id").alias("adoc"))
+            .localCheckpoint(eager=True)
+        )
+        exact_pairs = anch.select(
+            F.least("bdoc", "adoc").alias("d1"),
+            F.greatest("bdoc", "adoc").alias("d2"),
+        )
+        anchored_ids = anch.select(F.col("bdoc").alias("doc_id"))
+        sig = sig.join(F.broadcast(anchored_ids), "doc_id", "left_anti")
+
     new_post = sig.select("doc_id", F.explode(_band_keys_col()).alias("bk")).select(
         "bk", "doc_id"
     )
@@ -440,13 +504,8 @@ def incremental_dup_pairs(
     from bigdata_processing_spark.operators.skew import rep_star_pairs
 
     over = totals.filter(F.col("total") > max_bucket).select("bk")
-    over_members = (
-        new_post.join(over, "bk")
-        .unionByName(old_post.join(over, "bk"))
-        .groupBy("bk")
-        .agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
-    )
-    stars = rep_star_pairs(over_members, max_bucket)
+    over_band = new_post.join(over, "bk").unionByName(old_post.join(over, "bk"))
+    stars = rep_star_pairs(over_band, max_bucket)
     new_ids = new_shset.select("doc_id")
     stars_b = stars.join(
         F.broadcast(new_ids.withColumnRenamed("doc_id", "d1")), "d1", "semi"
@@ -459,8 +518,10 @@ def incremental_dup_pairs(
         cross.filter(F.col("d1") != F.col("d2"))
         .unionByName(within)
         .unionByName(stars_b)
-        .distinct().persist()
     )
+    if exact_pairs is not None:
+        cand = cand.unionByName(exact_pairs)
+    cand = cand.distinct().persist()
     _LOOSE_PERSISTS.append(cand)
 
     # Two-stage verify (round 7 — the incremental sibling of the batch
@@ -470,19 +531,13 @@ def incremental_dup_pairs(
     # (~72 B/doc — a fraction of the shingle sets) semi-joined by the
     # broadcast candidate ids. Survivors then drive the shingle-store
     # prune, so the expensive verify leg touches fewer directories AND
-    # intersects fewer pairs. Legacy indexes without sigs/ skip the
-    # prefilter (old behavior).
+    # intersects fewer pairs. (Anchored exact pairs agree on every
+    # component and pass trivially — but their batch-side signatures
+    # left the in-plan ``sig`` with the short-circuit, so the lookup
+    # unions the UNFILTERED batch signature table.) Legacy indexes
+    # without sigs/ skip the prefilter (old behavior).
     agree_min = est_agree_min(jaccard_threshold)
-    live = committed_batches(spark, path) - {exclude_batch_id}
-    sigs_live = _sigs_batches(path)
-    # `live <= sigs_live` is vacuously true when live is empty (e.g. a
-    # sig-less legacy store probed with its only batch excluded) — the
-    # sigs/ read would then throw on a path that never existed, so the
-    # store must actually HAVE signatures too
-    if agree_min > 0 and sigs_live and live <= sigs_live:
-        old_sig = spark.read.parquet(f"{path}/sigs")
-        if exclude_batch_id is not None:
-            old_sig = old_sig.filter(F.col("batch_id") != exclude_batch_id)
+    if agree_min > 0 and sigs_ok:
         ids0 = (
             cand.select(F.col("d1").alias("doc_id"))
             .unionByName(cand.select(F.col("d2").alias("doc_id")))
@@ -506,11 +561,10 @@ def incremental_dup_pairs(
                     if bks0
                     else old_sig.filter(F.lit(False))
                 )
-        sig_cols = ["doc_id"] + [f"h{i}" for i in range(N_HASHES)]
         lookup = (
             old_sig.select(*sig_cols)
             .join(F.broadcast(ids0), "doc_id", "semi")
-            .unionByName(sig.select(*sig_cols))
+            .unionByName(sig_full.select(*sig_cols))
         )
         a = lookup.select(
             F.col("doc_id").alias("d1"),

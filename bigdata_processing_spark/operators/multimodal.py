@@ -507,7 +507,15 @@ def image_neardup_pairs_from_hashes(
             F.concat_ws("_", F.lit(b), F.col(f"b{b}").cast("string")).alias("bk"),
         )
         bandl = leg if bandl is None else bandl.unionByName(leg)
-    members = bandl.groupBy("bk").agg(
+    # member-array groupBy GATED to under-cap buckets (size agg first,
+    # arrays ≤ max_bucket elements); stars take the flat band table —
+    # rank-selected reps, O(1) per-row memory (round 8, no hot-bucket
+    # array rows)
+    bsz0 = bandl.groupBy("bk").agg(F.count("*").alias("__n"))
+    under_bk = bsz0.filter(
+        (F.col("__n") > 1) & (F.col("__n") <= max_bucket)
+    ).select("bk")
+    members = bandl.join(under_bk, "bk").groupBy("bk").agg(
         F.array_sort(F.collect_set("img_id")).alias("ds")
     )
     pair_arr = F.flatten(
@@ -520,11 +528,13 @@ def image_neardup_pairs_from_hashes(
         )
     )
     under = (
-        members.filter((F.size("ds") > 1) & (F.size("ds") <= max_bucket))
+        members.filter(F.size("ds") > 1)
         .select(F.explode(pair_arr).alias("p"))
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
     )
-    cand = under.unionByName(rep_star_pairs(members, max_bucket)).distinct()
+    cand = under.unionByName(
+        rep_star_pairs(bandl, max_bucket, id_col="img_id")
+    ).distinct()
 
     a = hashes.select(F.col("img_id").alias("d1"),
                       *[F.col(f"b{i}").alias(f"x{i}") for i in range(4)])

@@ -68,16 +68,19 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
     return big_s.join(small_s, [key, "__salt"]).drop("__salt")
 
 
-def rep_star_pairs(members: DataFrame, max_bucket: int) -> DataFrame:
+def rep_star_pairs(
+    band: DataFrame, max_bucket: int, id_col: str = "doc_id"
+) -> DataFrame:
     """Member×representative star pairs for OVER-CAP LSH buckets — the
     bounded alternative to both skipping the bucket (silent zero recall
     on large non-identical near-dup families) and expanding it
     quadratically (a B-doc bucket is B² pairs).
 
-    ``members`` must carry ``(bk, ds array<id>)`` rows (one per bucket,
-    ``ds`` the sorted member ids). Buckets with ``size(ds) >
-    max_bucket`` keep ``least(ceil(B/max_bucket), MAX_BUCKET_REPS)``
-    representatives — the first members in ``md5(doc_id)`` order,
+    ``band`` is the FLAT membership table — one ``(bk, id_col)`` row per
+    (bucket, member), no duplicates (the shape postings stores and band
+    explodes already have). Buckets with more than ``max_bucket``
+    members keep ``least(ceil(B/max_bucket), MAX_BUCKET_REPS)``
+    representatives — the first members in ``md5(id)`` order,
     deterministic and ingestion-order-free — and every member pairs
     against the representatives only. The rep CAP makes per-bucket work
     LINEAR (≤ 64·B pairs): uncapped ceil(B/25) is quadratic, and a hot
@@ -88,45 +91,41 @@ def rep_star_pairs(members: DataFrame, max_bucket: int) -> DataFrame:
     ``row_number() OVER (PARTITION BY bk ORDER BY
     md5(CAST(doc_id AS VARCHAR)), doc_id)`` + the same least().
 
-    Memory shape: the representatives EXPLODE FIRST (one row per
-    (bucket, rep)), and each rep row then expands against the member
-    array — peak per-row materialization is O(B), never O(reps·B) (the
-    single-array form built every star pair of a bucket inside one row
-    before exploding: tens of GB for the hot bucket above). No shuffle
-    beyond the groupBy that built ``members``."""
+    Memory shape (round 8 — the array-free form): representatives are
+    RANK-SELECTED with exactly that window (row_number over md5 order
+    within ``bk``, keep ≤ n_reps) and joined back against the flat band
+    table on ``bk`` — per-row memory is O(1) at every stage. The
+    previous form carried a ``collect_list``-built member ARRAY through
+    the groupBy and every rep row: survivable after the round-7 cap
+    (≈1.6 MB rows at B≈1e5), but a 1e7-member boilerplate band value —
+    plausible at real 100-TB scale — meant ~160 MB single rows. Nothing
+    here materializes a bucket in one row anymore; cost is two shuffles
+    of the over-cap SUBSET (size agg reuse + window) instead of one
+    corpus-wide array groupBy."""
+    from pyspark.sql import Window
+
     from bigdata_processing_spark.thresholds import MAX_BUCKET_REPS
 
-    ds_hash_ordered = F.transform(
-        F.array_sort(
-            F.transform(
-                "ds",
-                lambda d: F.struct(
-                    F.md5(d.cast("string")).alias("h"), d.alias("d")
-                ),
-            )
-        ),
-        lambda s: s.getField("d"),
-    )
+    mid = F.col(id_col)
+    bsz = band.groupBy("bk").agg(F.count("*").alias("__B"))
+    over = bsz.filter(F.col("__B") > max_bucket)
+    bover = band.join(over, "bk")
     n_reps = F.least(
-        F.ceil(F.size("ds").cast("double") / F.lit(float(max_bucket))).cast("int"),
+        F.ceil(F.col("__B").cast("double") / F.lit(float(max_bucket))).cast("int"),
         F.lit(MAX_BUCKET_REPS),
     )
+    w = Window.partitionBy("bk").orderBy(F.md5(mid.cast("string")), mid)
     reps = (
-        members.filter(F.size("ds") > max_bucket)
-        .select(
-            "ds",
-            F.explode(F.slice(ds_hash_ordered, F.lit(1), n_reps)).alias("r"),
-        )
+        bover.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n_reps)
+        .select("bk", mid.alias("__r"))
     )
-    pair = F.transform(
-        "ds",
-        lambda m: F.struct(
-            F.least(F.col("r"), m).alias("d1"),
-            F.greatest(F.col("r"), m).alias("d2"),
-        ),
-    )
+    mem = bover.select("bk", mid.alias("__m"))
     return (
-        reps.select(F.explode(pair).alias("p"))
-        .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
-        .filter(F.col("d1") != F.col("d2"))
+        reps.join(mem, "bk")
+        .filter(F.col("__r") != F.col("__m"))
+        .select(
+            F.least("__r", "__m").alias("d1"),
+            F.greatest("__r", "__m").alias("d2"),
+        )
     )

@@ -572,8 +572,22 @@ def _scored_candidates(
     # in-bucket pairs with an array comprehension. One shuffle of
     # (bk, doc_id); work is bounded by bucket sizes, and the cap above
     # bounds the worst key (LSH buckets are the classic skew point —
-    # this shape makes the skew visible and capped).
-    members = bands.groupBy("bk").agg(F.array_sort(F.collect_set("doc_id")).alias("ds"))
+    # this shape makes the skew visible and capped). In the guarded
+    # regime the member-array groupBy is GATED to under-cap buckets
+    # (size agg first, arrays ≤ max_bucket elements — round 8): the
+    # ungated form materialized a hot bucket's whole membership as one
+    # array row, ~160 MB at a 1e7-member boilerplate band value.
+    if max_bucket is not None:
+        bsz0 = bands.groupBy("bk").agg(F.count("*").alias("__n"))
+        under_bk = bsz0.filter(
+            (F.col("__n") > 1) & (F.col("__n") <= max_bucket)
+        ).select("bk")
+        grouped = bands.join(under_bk, "bk")
+    else:
+        grouped = bands
+    members = grouped.groupBy("bk").agg(
+        F.array_sort(F.collect_set("doc_id")).alias("ds")
+    )
     bucket_pred = F.size("ds") > 1
     if max_bucket is not None:
         bucket_pred = bucket_pred & (F.size("ds") <= max_bucket)
@@ -595,12 +609,11 @@ def _scored_candidates(
         # Over-cap buckets: member×representative stars instead of a skip
         # (operators/skew.rep_star_pairs — md5-ordered representative
         # selection, reproduced verbatim by the DuckDB twin's row_number
-        # window). All array ops on the grouped member list: no extra
-        # shuffle beyond the (bk, doc_id) groupBy the under-cap branch
-        # already paid for.
+        # window), fed the FLAT band table: rank-selected reps joined
+        # back on bk, O(1) per-row memory (round 8 — no member arrays).
         from bigdata_processing_spark.operators.skew import rep_star_pairs
 
-        cand = cand.unionByName(rep_star_pairs(members, max_bucket))
+        cand = cand.unionByName(rep_star_pairs(bands, max_bucket))
     cand = cand.distinct()
     if est_agree_min is not None and est_agree_min > 0:
         # Two-stage verify, stage 1: the signature-estimate prefilter.
@@ -767,9 +780,19 @@ def minhash_unguarded_dup_pairs(
         sig AS (SELECT doc_id, """ + ", ".join(
         f"min({T.minhash_hash_sql('s', i)}) AS h{i}" for i in range(N_HASHES)
     ) + """ FROM shex_p GROUP BY doc_id),
+        anch AS (
+            SELECT a.doc_id AS bdoc, min(b.doc_id) AS adoc
+            FROM sig a JOIN sig b
+              ON """ + " AND ".join(
+        f"a.h{i} = b.h{i}" for i in range(N_HASHES)
+    ) + """
+            WHERE a.doc_id % 4 = 0 AND b.doc_id % 4 <> 0
+            GROUP BY a.doc_id
+        ),
         bands AS (SELECT doc_id, unnest([""" + ", ".join(
         f"md5(concat_ws('_', {b}, h{2*b}, h{2*b+1}))" for b in range(N_BANDS)
-    ) + f"""]) AS bk FROM sig),
+    ) + f"""]) AS bk FROM sig
+          WHERE doc_id NOT IN (SELECT bdoc FROM anch)),
         bsz AS (SELECT bk, count(*) AS n FROM bands GROUP BY bk),
         reps_i AS (
             SELECT bk, doc_id FROM (
@@ -794,6 +817,9 @@ def minhash_unguarded_dup_pairs(
                        greatest(r.doc_id, m.doc_id) AS d2
                 FROM reps_i r
                 JOIN bands m ON r.bk = m.bk AND r.doc_id <> m.doc_id
+                UNION ALL
+                SELECT least(bdoc, adoc) AS d1, greatest(bdoc, adoc) AS d2
+                FROM anch
             )
             WHERE d1 % 4 = 0 OR d2 % 4 = 0
         ),
@@ -827,7 +853,9 @@ def incremental_dedup_pairs(
     with ``is_cross`` distinguishing them. Pure relational twin of the
     disk-index operator (operators/incremental_dedup.py): frozen
     boilerplate STOP LIST from the indexed 3/4, combined-bucket cap,
-    batch-only pair emission."""
+    batch-only pair emission, and the round-8 signature short-circuit
+    (batch docs whose full signature equals an indexed doc's anchor to
+    the min-id match and skip band expansion)."""
     import math as _math
 
     docs = load_table(spark, sf_dir, "documents")
@@ -847,13 +875,41 @@ def incremental_dedup_pairs(
     shex_p = shex.join(F.broadcast(stop), "s", "left_anti").select("doc_id", "s")
     sig = _sig_from_shex(shex_p)
 
+    # signature-level exact-dup short-circuit (round 8), mirrored from
+    # the disk operator: a batch doc whose FULL signature equals an
+    # indexed doc's anchors to the MIN-id such doc (one directly-emitted,
+    # still exactly-verified pair) and skips band expansion entirely —
+    # the clone-recrawl case costs O(batch), not touched-family stars
+    siga = sig.filter(F.col("doc_id") % 4 == 0).select(
+        F.col("doc_id").alias("bdoc"),
+        *[F.col(f"h{i}").alias(f"_n{i}") for i in range(N_HASHES)],
+    )
+    sigi = sig.filter(F.col("doc_id") % 4 != 0)
+    anch = (
+        sigi.join(
+            F.broadcast(siga),
+            [F.col(f"h{i}") == F.col(f"_n{i}") for i in range(N_HASHES)],
+        )
+        .groupBy("bdoc")
+        .agg(F.min("doc_id").alias("adoc"))
+    )
+    exact_pairs = anch.select(
+        F.least("bdoc", "adoc").alias("d1"),
+        F.greatest("bdoc", "adoc").alias("d2"),
+    )
+    sig_banded = sig.join(
+        F.broadcast(anch.select(F.col("bdoc").alias("doc_id"))),
+        "doc_id",
+        "left_anti",
+    )
+
     band_keys = F.array(
         *[
             F.md5(F.concat_ws("_", F.lit(b), F.col(f"h{2*b}"), F.col(f"h{2*b+1}")))
             for b in range(N_BANDS)
         ]
     )
-    bands = sig.select("doc_id", F.explode(band_keys).alias("bk"))
+    bands = sig_banded.select("doc_id", F.explode(band_keys).alias("bk"))
     bsz = bands.groupBy("bk").agg(F.count("*").alias("n"))
     a = bands.select("bk", F.col("doc_id").alias("d1"))
     b = bands.select("bk", F.col("doc_id").alias("d2"))
@@ -866,14 +922,13 @@ def incremental_dedup_pairs(
     # over-cap buckets: member×representative stars (operators/skew),
     # same geometry as the batch family since round 6 — without it a
     # batch arriving into a large near-dup family probes ZERO pairs
-    # (measured at the 100× clone corpus)
+    # (measured at the 100× clone corpus); flat band input since round 8
+    # (rank-selected reps, no member arrays)
     from bigdata_processing_spark.operators.skew import rep_star_pairs
 
-    members = bands.groupBy("bk").agg(
-        F.array_sort(F.collect_set("doc_id")).alias("ds")
-    )
     cand = (
-        under.unionByName(rep_star_pairs(members, MAX_BUCKET))
+        under.unionByName(rep_star_pairs(bands, MAX_BUCKET))
+        .unionByName(exact_pairs)
         .filter((F.col("d1") % 4 == 0) | (F.col("d2") % 4 == 0))
         .distinct()
     )

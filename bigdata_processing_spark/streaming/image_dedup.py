@@ -148,13 +148,8 @@ def incremental_image_dup_pairs(
         F.col("img_id").alias("d1"), F.col("d2x").alias("d2")
     )
     over = totals.filter(F.col("total") > max_bucket).select("bk")
-    over_members = (
-        new_band.join(over, "bk")
-        .unionByName(old_band.join(over, "bk"))
-        .groupBy("bk")
-        .agg(F.array_sort(F.collect_set("img_id")).alias("ds"))
-    )
-    stars = rep_star_pairs(over_members, max_bucket)
+    over_band = new_band.join(over, "bk").unionByName(old_band.join(over, "bk"))
+    stars = rep_star_pairs(over_band, max_bucket, id_col="img_id")
     new_ids = new_hash.select("img_id")
     stars_b = stars.join(
         F.broadcast(new_ids.withColumnRenamed("img_id", "d1")), "d1", "semi"

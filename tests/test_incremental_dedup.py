@@ -310,7 +310,10 @@ def test_append_replay_and_half_write_converge(spark, tmp_path):
     got = incremental_dup_pairs(
         _mini_corpus(spark, {600: "replay test doc 3 w3 x6 y9"}), idx
     ).collect()
-    assert {(r.d1, r.d2) for r in got} == {(3, 600), (500, 600)}
+    # 600 is an exact clone of indexed 3 and 500: the round-8 signature
+    # short-circuit anchors it to the MIN-id match only (one pair — the
+    # edge the component-min rule needs), skipping band expansion
+    assert {(r.d1, r.d2) for r in got} == {(3, 600)}
 
 
 def test_streaming_bridge_exactly_once_pairs(spark, tmp_path):
@@ -348,9 +351,13 @@ def test_streaming_bridge_exactly_once_pairs(spark, tmp_path):
         for r in spark.read.parquet(pairs).select("d1", "d2").collect()
     }
     # the two waves may land as one or two micro-batches; either way the
-    # within-wave pair and (if split) the cross-batch pair must be found
+    # within-wave pair and (if split) the cross-batch pair must be found.
+    # 200 is an exact clone of indexed 100 and 101: if the waves split,
+    # the round-8 signature short-circuit anchors it to the MIN-id match
+    # (100) only — (101, 200) is intentionally absent, 200 still joins
+    # the family's component through 100
     assert (100, 101) in got
-    assert (100, 200) in got and (101, 200) in got
+    assert (100, 200) in got
     assert index_doc_count(spark, idx) == 13
 
     # simulated redelivery of the LAST batch after its append: identical
@@ -501,12 +508,16 @@ def test_streaming_bridge_crash_midbatch_replay_converges(spark, tmp_path):
         )
 
     assert state(idx_c, pairs_c) == state(idx_n, pairs_n)
-    # and the converged state is the RIGHT one: all clones pair up
+    # and the converged state is the RIGHT one: both arriving clones
+    # anchor to their indexed twin (round-8 signature short-circuit —
+    # min-id match only, so (200, 201) rides the component through 100
+    # instead of being emitted as its own edge)
     got = {
         (r.d1, r.d2)
         for r in spark.read.parquet(pairs_c).select("d1", "d2").collect()
     }
-    assert {(100, 200), (100, 201), (200, 201)} <= got
+    assert {(100, 200), (100, 201)} <= got
+    assert (200, 201) not in got
 
 
 def test_probe_into_overcap_family_uses_representative_stars(spark, tmp_path):
@@ -569,3 +580,41 @@ def test_legacy_store_probe_with_only_batch_excluded(spark, tmp_path):
         _mini_corpus(spark, twins), idx, exclude_batch_id=0
     ).collect()
     assert [(r.d1, r.d2, r.jaccard) for r in got] == [(100, 101, 1.0)]
+
+
+def test_exact_clone_short_circuits_but_mutated_doc_reaches_stars(spark, tmp_path):
+    """Round-8 signature short-circuit, both sides of the contract: a
+    batch doc whose FULL signature equals an indexed doc's anchors to
+    the MIN-id match (exactly one pair, no star expansion), while a
+    MUTATED near-dup — signature differs in ≥1 component — still runs
+    the band/representative-star path against the over-cap family."""
+    from bigdata_processing_spark.thresholds import MAX_BUCKET
+
+    fam = "template family " + " ".join(f"tok{i}" for i in range(30))
+    mut = fam + " mut6x0"  # shifts ≥1 minhash component; J = 31/32
+    n_fam = MAX_BUCKET + 15  # every family band bucket is over cap
+    base = {i: fam for i in range(n_fam)}
+    base.update({1000 + i: f"filler doc {i} aa{i} bb{i*3} cc{i*7}"
+                 for i in range(10)})
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+
+    rows = incremental_dup_pairs(
+        _mini_corpus(spark, {5000: fam, 5001: mut}), idx
+    ).collect()
+    clone_pairs = [(r.d1, r.d2, r.jaccard) for r in rows if 5000 in (r.d1, r.d2)]
+    mut_pairs = [(r.d1, r.d2, r.jaccard) for r in rows if 5001 in (r.d1, r.d2)]
+    # exact clone: ONE directly-emitted pair against the min-id member
+    assert clone_pairs == [(0, 5000, 1.0)]
+    # mutated doc: star-path pairs against the over-cap family. md5
+    # rep order makes 5001 itself a representative here, so it anchors
+    # the whole bucket (B-1 pairs) — still the star bound, and >1 pair
+    # proves it did NOT take the short-circuit
+    assert len(mut_pairs) > 1, "mutated near-dup must reach the star path"
+    assert all(d1 < n_fam for d1, _d2, _j in mut_pairs)
+    assert all(abs(j - 31 / 32) < 1e-9 for _d1, _d2, j in mut_pairs)
+    assert len(mut_pairs) <= n_fam + 1
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        release_loose_persists,
+    )
+    release_loose_persists()

@@ -232,7 +232,9 @@ def test_rep_star_pairs_properties(spark):
     from bigdata_processing_spark.operators.skew import rep_star_pairs
 
     def run(ds, max_bucket):
-        df = spark.createDataFrame([("b", ds)], "bk string, ds array<bigint>")
+        df = spark.createDataFrame(
+            [("b", d) for d in ds], "bk string, doc_id bigint"
+        )
         return {(r.d1, r.d2) for r in rep_star_pairs(df, max_bucket).collect()}
 
     @settings(
@@ -287,18 +289,19 @@ def test_rep_star_pairs_cap_bounds_hot_buckets(spark):
     in B (a hot 16-bit simhash band value holding ~1e5 docs OOM'd an
     8 GB JVM — both via rep count and via materializing every star pair
     of a bucket inside ONE array row). Reps are now capped at
-    MAX_BUCKET_REPS and explode before pairing. Small buckets (where
-    ceil(B/25) <= 64 — every oracle-checked scale) are bit-identical."""
+    MAX_BUCKET_REPS and (round 8) rank-selected from the FLAT band table
+    — no member arrays anywhere. Small buckets (where ceil(B/25) <= 64 —
+    every oracle-checked scale) are bit-identical."""
     from pyspark.sql import functions as F
 
     from bigdata_processing_spark.operators.skew import rep_star_pairs
     from bigdata_processing_spark.thresholds import MAX_BUCKET_REPS
 
     def star_pairs(n_members, max_bucket):
-        members = spark.createDataFrame(
-            [("bk0", list(range(n_members)))], "bk string, ds array<bigint>"
+        band = spark.range(n_members).select(
+            F.lit("bk0").alias("bk"), F.col("id").alias("doc_id")
         )
-        return rep_star_pairs(members, max_bucket)
+        return rep_star_pairs(band, max_bucket)
 
     # hot bucket: 2,000 members -> uncapped would take ceil(2000/25)=80
     # reps; capped takes 64 -> distinct pairs = 64*(B-1) - C(64,2)
@@ -311,3 +314,23 @@ def test_rep_star_pairs_cap_bounds_hot_buckets(spark):
     # under the cap (ceil(100/25)=4 reps) the geometry is unchanged
     got_small = star_pairs(100, 25).distinct().count()
     assert got_small == 4 * 99 - (4 * 3) // 2
+
+
+def test_rep_star_pairs_plan_is_array_free(spark):
+    """Round-8 shape pin: the star path must carry NO per-bucket member
+    array — representatives come from a rank-select window over the
+    flat band table and join back on bk (per-row memory O(1); the
+    collect_set form meant ~160 MB single rows at a 1e7-member
+    boilerplate band). The physical plan therefore contains a Window
+    and no object-hash aggregate (collect_list/collect_set)."""
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.operators.skew import rep_star_pairs
+
+    band = spark.range(100).select(
+        F.lit("bk0").alias("bk"), F.col("id").alias("doc_id")
+    )
+    plan = rep_star_pairs(band, 10)._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    assert "collect_list" not in plan and "collect_set" not in plan
+    assert "ObjectHashAggregate" not in plan
