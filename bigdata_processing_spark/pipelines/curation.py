@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.operators.store import write_batch_marker
 from bigdata_processing_spark.queries.dedup import _cluster_labels
 from bigdata_processing_spark.sources.writers import literal_df
 from bigdata_processing_spark.thresholds import JACCARD_THRESHOLD
@@ -234,10 +235,11 @@ def _fp_bucket_count(spark: SparkSession, out_path: str) -> int:
     batches at any corpus size instead of only ≤32-doc ones."""
     import os
 
-    p = f"{_state_path(out_path)}/fpmeta"
-    if not os.path.exists(p):
+    from bigdata_processing_spark.operators.store import read_meta
+
+    if not os.path.exists(f"{_state_path(out_path)}/fpmeta"):
         return N_FP_BUCKETS
-    return int(spark.read.parquet(p).collect()[0].n_fbuckets)
+    return int(read_meta(spark, _state_path(out_path), table="fpmeta").n_fbuckets)
 
 
 def _state_path(out_path: str) -> str:
@@ -271,12 +273,10 @@ def _mark_batch_committed(spark: SparkSession, out_path: str, batch_id: int) -> 
         for b in committed_curation_batches(spark, out_path):
             if b == batch_id:
                 continue
-            literal_df(spark, [(1,)], "committed int").coalesce(1).write.mode(
-                "overwrite"
-            ).parquet(f"{cdir}/batch_id={b}")
-    literal_df(spark, [(1,)], "committed int").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{cdir}/batch_id={batch_id}")
+            write_batch_marker(spark, _state_path(out_path), b,
+                               table="committed")
+    write_batch_marker(spark, _state_path(out_path), batch_id,
+                       table="committed")
 
 
 def committed_curation_batches(spark: SparkSession, out_path: str) -> set[int]:
@@ -285,17 +285,17 @@ def committed_curation_batches(spark: SparkSession, out_path: str) -> set[int]:
     there as long as no refit has run — exactly the old behavior)."""
     import os
 
-    p = f"{_state_path(out_path)}/committed"
-    if not os.path.exists(p):
+    from bigdata_processing_spark.operators.store import (
+        committed_batches as _committed,
+    )
+
+    if not os.path.exists(f"{_state_path(out_path)}/committed"):
         from bigdata_processing_spark.operators.incremental_dedup import (
             committed_batches,
         )
 
         return committed_batches(spark, f"{_state_path(out_path)}/mh")
-    return {
-        r.batch_id
-        for r in spark.read.parquet(p).select("batch_id").distinct().collect()
-    }
+    return _committed(spark, _state_path(out_path), table="committed")
 
 
 def _write_fp_batch(
@@ -346,20 +346,20 @@ def curate_corpus_with_state(
         spark, sf_dir, out_path, holdout=holdout, quality_min=quality_min,
         jaccard_threshold=jaccard_threshold, balance_sources=balance_sources,
     )
-    from bigdata_processing_spark.operators.incremental_dedup import (
-        shingle_bucket_count,
+    from bigdata_processing_spark.operators.store import (
+        bucket_count_policy,
+        write_meta,
     )
 
     docs = load_table(spark, sf_dir, "documents")
     state = _state_path(out_path)
     n_corpus = docs.count()
     build_minhash_index(docs, f"{state}/mh")
-    # fp-store modulus: same √n policy as the shingle store, floored at
-    # the legacy constant; persisted because the modulus is state
-    n_fb = max(N_FP_BUCKETS, shingle_bucket_count(n_corpus))
-    literal_df(spark, [(n_fb,)], "n_fbuckets bigint").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{state}/fpmeta")
+    # fp-store modulus: same √n policy as the shingle store
+    # (operators/store.bucket_count_policy), floored at the legacy
+    # constant; persisted because the modulus is state
+    n_fb = max(N_FP_BUCKETS, bucket_count_policy(n_corpus))
+    write_meta(spark, state, (n_fb,), "n_fbuckets bigint", table="fpmeta")
     _write_fp_batch(state, 0, docs, n_fbuckets=n_fb)
     import shutil
 
@@ -462,7 +462,15 @@ def curate_append(
 
     # 2. near-dup: probe the persisted index (batch never sees its own
     # partitions as "old" on a replay), components over the
-    # batch-involving pair graph, survive iff component minimum
+    # batch-involving pair graph, survive iff component minimum.
+    # The probe sees only the EXACT-SURVIVING batch docs (round 8): an
+    # exact-dropped doc needs no near-dup verdict, and its verdicts for
+    # OTHERS are never lost because its kept identical twin — the
+    # indexed fp hit, or the batch's fp-min — carries the same text,
+    # hence the same edges (removed docs stay in the mh index by the
+    # module invariant). On a clone-recrawl batch the probe input is
+    # EMPTY, collapsing the append to exact + state-fold cost; equality
+    # with the full recompute stays test-pinned.
     # persist: connected_components takes two actions over the edge set
     # (size gate + driver collect) — without this each re-runs the
     # probe's verify join (batch-bounded rows, but several jobs of
@@ -471,7 +479,7 @@ def curate_append(
     # CC and the anti-join outright — the count doubles as the persist
     # materializer either way.
     pairs = incremental_dup_pairs(
-        batch_docs, f"{state}/mh", jaccard_threshold=jaccard_threshold,
+        cur, f"{state}/mh", jaccard_threshold=jaccard_threshold,
         exclude_batch_id=batch_id,
     ).persist()
     if pairs.count() > 0:

@@ -50,6 +50,12 @@ _DEFAULT_CONF: dict[str, str] = {
     # broadcast thresholds use real cardinalities instead of file sizes.
     "spark.sql.cbo.enabled": "true",
     "spark.sql.cbo.joinReorder.enabled": "true",
+    # Bound plan-STRING rendering: chained incremental pipelines build
+    # deep reused subtrees, and the default (~2 GB) cap let explain/UI
+    # string generation itself OOM an 8 GB driver before any task ran
+    # (hit twice in round 8; the real fixes are lineage truncations at
+    # the reuse points — this bounds the blast radius of the next one).
+    "spark.sql.maxPlanStringLength": str(8 * 1024 * 1024),
 }
 
 

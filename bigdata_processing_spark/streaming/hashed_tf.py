@@ -37,6 +37,10 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from bigdata_processing_spark.operators.store import (
+    committed_batches as _committed,
+    write_batch_marker,
+)
 from bigdata_processing_spark.sources.writers import literal_df
 
 
@@ -65,9 +69,7 @@ def _write_postings(path: str, batch_id: int, asg: DataFrame) -> int:
     asg.select("vec_id", "v", "nrm", "cell").write.mode("overwrite").partitionBy(
         "cell"
     ).parquet(f"{path}/postings/batch_id={batch_id}")
-    literal_df(spark, [(n,)], "n bigint").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/counts/batch_id={batch_id}")
+    write_batch_marker(spark, path, batch_id, n)
     asg.unpersist()
     return n
 
@@ -108,11 +110,7 @@ def _read_centroids(spark: SparkSession, path: str) -> list[list[float]]:
 
 
 def committed_batches(spark: SparkSession, path: str) -> set[int]:
-    return {
-        r.batch_id
-        for r in spark.read.parquet(f"{path}/counts")
-        .select("batch_id").distinct().collect()
-    }
+    return _committed(spark, path)
 
 
 def append_hashed_tf_batch(path: str, docs: DataFrame, batch_id: int,

@@ -34,7 +34,10 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_processing_spark.sources.writers import literal_df
+from bigdata_processing_spark.operators.store import (
+    committed_batches as _committed,
+    write_batch_marker,
+)
 from bigdata_processing_spark.thresholds import IMAGE_HAMMING_MAX, MAX_BUCKET
 
 _HASH_COLS = ["img_id", "b0", "b1", "b2", "b3"]
@@ -63,9 +66,7 @@ def _write_image_batch(path: str, batch_id: int, hashes: DataFrame) -> int:
     hashes.select(*_HASH_COLS).sortWithinPartitions("img_id").write.mode(
         "overwrite"
     ).parquet(f"{path}/hashes/batch_id={batch_id}")
-    literal_df(spark, [(n,)], "n bigint").coalesce(1).write.mode(
-        "overwrite"
-    ).parquet(f"{path}/counts/batch_id={batch_id}")
+    write_batch_marker(spark, path, batch_id, n)
     hashes.unpersist()
     return n
 
@@ -79,11 +80,7 @@ def build_image_index(media: DataFrame, path: str) -> int:
 
 
 def committed_batches(spark: SparkSession, path: str) -> set[int]:
-    return {
-        r.batch_id
-        for r in spark.read.parquet(f"{path}/counts")
-        .select("batch_id").distinct().collect()
-    }
+    return _committed(spark, path)
 
 
 def append_image_batch(path: str, media: DataFrame,

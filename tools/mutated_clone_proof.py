@@ -119,7 +119,7 @@ def shuffle_spill_mb(sc) -> tuple[float, float]:
         return -1.0, -1.0
 
 
-def run_step(spark, sf_dir: str, n_fams: int) -> dict:
+def run_step(spark, sf_dir: str, n_fams: int, audit: bool = False) -> dict:
     from bigdata_processing_spark.operators.graph import connected_components
     from bigdata_processing_spark.queries.dedup import (
         _scored_candidates,
@@ -170,6 +170,29 @@ def run_step(spark, sf_dir: str, n_fams: int) -> dict:
     sw1, sp1 = shuffle_spill_mb(spark.sparkContext)
     rep["shuffle_mb"] = round(sw1 - sw0, 1)
     rep["spill_mb"] = round(sp1 - sp0, 1)
+
+    if audit:
+        # two-stage-verify payoff in the MUTATED regime (VERDICT r7 #4):
+        # the audit runs the UNFILTERED candidates through both the
+        # signature prefilter and the exact join, so it measures what
+        # the prefilter cuts where recall is non-trivial (the 100×
+        # exact-clone measurement could not show that)
+        from bigdata_processing_spark.queries.dedup import (
+            minhash_prefilter_audit,
+        )
+
+        t0 = time.monotonic()
+        arow = minhash_prefilter_audit(spark, out_dir).collect()[0]
+        rep["audit"] = {
+            "n_candidates": int(arow.n_candidates),
+            "n_pass_prefilter": int(arow.n_pass),
+            "n_true_pairs": int(arow.n_true_pairs),
+            "n_missed": int(arow.n_missed),
+            "prefilter_cut_pct": round(
+                100.0 * (1 - arow.n_pass / max(arow.n_candidates, 1)), 1
+            ),
+            "sec": round(time.monotonic() - t0, 2),
+        }
     clear_dedup_memos()
     shutil.rmtree(out_dir, ignore_errors=True)
     return rep
@@ -181,10 +204,12 @@ def main() -> None:
     if "--sf" in sys.argv:
         sf_dir = sys.argv[sys.argv.index("--sf") + 1]
     steps = [int(a) for a in args] or [20, 60, 200]
+    audit = "--audit" in sys.argv
     spark = get_spark("mutated-clone-proof")
     spark.sparkContext.setLogLevel("ERROR")
     for n_fams in steps:
-        print(json.dumps(run_step(spark, sf_dir, n_fams)), flush=True)
+        print(json.dumps(run_step(spark, sf_dir, n_fams, audit=audit)),
+              flush=True)
 
 
 if __name__ == "__main__":
