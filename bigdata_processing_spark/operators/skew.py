@@ -117,6 +117,13 @@ def rep_star_pairs(
     w = Window.partitionBy("bk").orderBy(F.md5(mid.cast("string")), mid)
     reps = (
         bover.withColumn("__rn", F.row_number().over(w))
+        # the LITERAL rank bound comes first: row_number ≤ constant is
+        # what Spark's WindowGroupLimit pushdown recognizes, turning the
+        # per-bucket FULL sort into a bounded top-64 heap below the
+        # exchange (a hot-band full sort was the round-8 first cut's
+        # memory regression at the 100× simhash corpus); the
+        # data-dependent ceil(B/max_bucket) bound then exact-filters
+        .filter(F.col("__rn") <= F.lit(MAX_BUCKET_REPS))
         .filter(F.col("__rn") <= n_reps)
         .select("bk", mid.alias("__r"))
     )

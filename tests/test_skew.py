@@ -328,9 +328,15 @@ def test_rep_star_pairs_plan_is_array_free(spark):
     from bigdata_processing_spark.operators.skew import rep_star_pairs
 
     band = spark.range(100).select(
-        F.lit("bk0").alias("bk"), F.col("id").alias("doc_id")
+        F.concat(F.lit("b"), F.pmod("id", F.lit(4)).cast("string")).alias("bk"),
+        F.col("id").alias("doc_id"),
     )
     plan = rep_star_pairs(band, 10)._jdf.queryExecution().executedPlan().toString()
     assert "Window" in plan
+    # the literal ≤ MAX_BUCKET_REPS rank filter must reach the sort as a
+    # WindowGroupLimit (bounded top-k heap per bucket, not a full
+    # per-bucket sort — the full sort was a measured memory regression
+    # at the 100× simhash corpus)
+    assert "WindowGroupLimit" in plan
     assert "collect_list" not in plan and "collect_set" not in plan
     assert "ObjectHashAggregate" not in plan
