@@ -45,6 +45,12 @@ from bigdata_processing_spark.session import get_spark  # noqa: E402
 FAMILY_SIZE = 50     # 2x MAX_BUCKET: forces the representative path
 MUT_TOKENS = 3       # member-unique suffix tokens (keeps bigram J >= ~0.85)
 MIN_BASE_TOKENS = 60 # base docs long enough that the suffix can't sink J
+FAM_TOKENS = 8       # family-unique tokens: when n_fams exceeds the
+                     # fixture's long-doc supply, families REUSE base
+                     # docs cyclically, and >= base/8 family-unique
+                     # shingles push CROSS-family (same base) Jaccard
+                     # below threshold while within-family stays >= ~0.9
+                     # — families remain separable clusters at any scale
 
 
 def build_corpus(spark, sf_dir: str, n_fams: int, out_dir: str) -> None:
@@ -65,18 +71,34 @@ def build_corpus(spark, sf_dir: str, n_fams: int, out_dir: str) -> None:
 
     docs = load_table(spark, sf_dir, "documents")
     span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
-    base = (
+    long_docs = (
         docs.withColumn("ntok", F.size(F.split(F.col("text"), r"\s+")))
         .filter(F.col("ntok") >= MIN_BASE_TOKENS)
         .orderBy(F.col("ntok").desc(), F.col("doc_id").asc())
         .limit(n_fams)
         .withColumn(
-            "fam",
+            "bidx",
             F.row_number().over(
                 Window.orderBy(F.col("ntok").desc(), F.col("doc_id").asc())
             ) - 1,
         )
-        .select("fam", "text", "lang", "source")
+        .select("bidx", "text", "lang", "source")
+    )
+    n_base = long_docs.count()
+    fams = spark.range(n_fams).select(
+        F.col("id").alias("fam"),
+        F.pmod(F.col("id"), F.lit(n_base)).cast("long").alias("bidx"),
+    )
+    fam_suffix = F.concat_ws(
+        " ", *[
+            F.concat(F.lit(f"ft{u}x"), F.col("fam").cast("string"))
+            for u in range(FAM_TOKENS)
+        ]
+    )
+    base = fams.join(long_docs, "bidx").select(
+        "fam",
+        F.concat_ws(" ", F.col("text"), fam_suffix).alias("text"),
+        "lang", "source",
     )
     members = spark.range(FAMILY_SIZE).select(F.col("id").alias("member"))
     mut = F.concat_ws(
