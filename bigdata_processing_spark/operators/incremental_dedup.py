@@ -512,7 +512,10 @@ def incremental_dup_pairs(
 
     over = totals.filter(F.col("total") > max_bucket).select("bk")
     over_band = new_post.join(over, "bk").unionByName(old_post.join(over, "bk"))
-    stars = rep_star_pairs(over_band, max_bucket)
+    stars = rep_star_pairs(
+        over_band, max_bucket,
+        sizes=totals.filter(F.col("total") > max_bucket),
+    )
     new_ids = new_shset.select("doc_id")
     stars_b = stars.join(
         F.broadcast(new_ids.withColumnRenamed("doc_id", "d1")), "d1", "semi"

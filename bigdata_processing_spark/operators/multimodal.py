@@ -533,7 +533,7 @@ def image_neardup_pairs_from_hashes(
         .select(F.col("p.d1").alias("d1"), F.col("p.d2").alias("d2"))
     )
     cand = under.unionByName(
-        rep_star_pairs(bandl, max_bucket, id_col="img_id")
+        rep_star_pairs(bandl, max_bucket, id_col="img_id", sizes=bsz0)
     ).distinct()
 
     a = hashes.select(F.col("img_id").alias("d1"),

@@ -69,7 +69,10 @@ def salted_join(big: DataFrame, small: DataFrame, key: str,
 
 
 def rep_star_pairs(
-    band: DataFrame, max_bucket: int, id_col: str = "doc_id"
+    band: DataFrame,
+    max_bucket: int,
+    id_col: str = "doc_id",
+    sizes: DataFrame | None = None,
 ) -> DataFrame:
     """Member×representative star pairs for OVER-CAP LSH buckets — the
     bounded alternative to both skipping the bucket (silent zero recall
@@ -107,7 +110,13 @@ def rep_star_pairs(
     from bigdata_processing_spark.thresholds import MAX_BUCKET_REPS
 
     mid = F.col(id_col)
-    bsz = band.groupBy("bk").agg(F.count("*").alias("__B"))
+    if sizes is not None:
+        # caller already aggregated bucket sizes (first column bk, second
+        # the member count) — reuse instead of re-counting the band table
+        c = sizes.columns
+        bsz = sizes.select(F.col(c[0]).alias("bk"), F.col(c[1]).alias("__B"))
+    else:
+        bsz = band.groupBy("bk").agg(F.count("*").alias("__B"))
     over = bsz.filter(F.col("__B") > max_bucket)
     bover = band.join(over, "bk")
     n_reps = F.least(

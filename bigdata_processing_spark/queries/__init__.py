@@ -58,11 +58,64 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-7 rotation: the NEW registrations lead (never
-    # driver-checked: the image near-dup family and the two-stage-verify
-    # audit), then the guarded jaccard family whose ORACLE TEXT gained
-    # the signature-estimate prefilter (outputs fixture-identical —
-    # miss-rate 0 — but the twins changed, so re-verify them first).
+    # round-8 rotation (r7 verdict #5 — rolling driver-row freshness):
+    # the NEW registration and the one query whose ORACLE TEXT changed
+    # this round (the signature exact-dup short-circuit rewrote the
+    # incremental twin + SQL) lead, then the ~48 STALEST queries — every
+    # query whose newest driver row was still round 1-2. The driver
+    # samples the first 50; pytest re-oracles the whole registry every
+    # run regardless of position.
+    "minhash_margin_sweep",
+    "incremental_dedup_pairs",
+    "argmax_user_by_type",
+    "customers_without_orders",
+    "daily_value_running",
+    "dedup_exact_summary",
+    "dedup_keep_first",
+    "distinct_users_by_type",
+    "event_navigation_windows",
+    "events_by_day_and_type",
+    "explode_token_counts",
+    "filter_prefix_predicate",
+    "fingerprint_sample",
+    "join_of_aggregates",
+    "json_props_extract",
+    "knn_bruteforce",
+    "knn_ivf_label",
+    "lang_id_confusion",
+    "minhash_signatures_sample",
+    "monthly_avg_price",
+    "monthly_orders",
+    "nation_order_counts_outer",
+    "ngram_jaccard_topk",
+    "pivot_daily_by_type",
+    "positional_tokens",
+    "pricing_summary",
+    "quality_scores",
+    "quantized_knn_sample",
+    "revenue_by_region",
+    "rollup_order_priority",
+    "semi_join_filter",
+    "session_windows_30m",
+    "set_ops_all_variants",
+    "set_ops_customer_keys",
+    "simhash_buckets",
+    "sorted_daily_value",
+    "supplier_quantity_ranks",
+    "top3_orders_per_segment",
+    "top_customer_monthly_series",
+    "top_customers_by_revenue",
+    "top_event_type_by_value",
+    "top_suppliers_by_quantity",
+    "tumbling_window_6h",
+    "variant_props_quartiles",
+    "balanced_mixture_sample",
+    "contamination_test_vs_train",
+    "correlated_above_customer_avg",
+    "correlated_exists_urgent",
+    "cube_status_priority",
+    "date_functions",
+    # union-green overflow (recorded rows retained), prior rotations
     "image_neardup_pairs",
     "minhash_prefilter_audit",
     "incremental_image_dedup_pairs",
@@ -70,12 +123,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "token_fertility_by_lang",
     "temperature_mixture_weights",
     "simhash_neardup_pairs",
-    # round-6 rotation block (recorded rows retained): the celled
-    # family (seeded → TRAINED quantizer, 2 unrolled Lloyd rounds,
-    # oracles regenerated) and the guarded dedup family (over-cap LSH
-    # buckets now emit representative star pairs instead of being
-    # skipped; incremental index rides the same geometry + the
-    # doc_id-bucketed shingle store). Everything union-green follows.
     "gopher_rule_funnel",
     "training_shard_stats",
     "hashed_tf_knn",
@@ -86,7 +133,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "semantic_dedup_sweep",
     "hard_negatives_celled",
     "hard_negative_probe_sweep",
-    "incremental_dedup_pairs",
     "quantile_sketch_audit",
     "audio_feature_stats",
     "image_feature_stats",
@@ -103,11 +149,9 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cross_source_dup_matrix",
     "dup_cluster_size_histogram",
     "curation_funnel",
-    # r04 drift-flagged redos (BENCH cold re-measure targets)
     "bigram_perplexity_bands",
     "ivf_append_assignment",
     "hot_key_skew_report",
-    # round-4 rotation block (recorded rows retained)
     "bloom_prejoin_revenue",
     "cms_overestimate_audit",
     "kmv_set_algebra",
@@ -115,13 +159,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winnowing_dup_passages",
     "doc_novelty_bands",
     "pq_adc_knn",
-    # round-3 rotation block (recorded rows retained)
     "collect_sorted_lists",
     "array_functions",
     "salted_supplier_totals",
     "hash_sample_10pct",
-    "multimodal_real_codec",  # NEW r03: non-stub BMP/WAV decode row
-    # NEW r03 corpus-prep + layout ops (scrubbing.py)
+    "multimodal_real_codec",
     "pii_redaction_stats",
     "url_domain_topk",
     "mixture_weights",
@@ -129,8 +171,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "chunk_documents",
     "hard_negatives",
     "seq_length_histogram",
-    # NEW r03 (late-round additions): ANN quantization audits, entropy
-    # quality bands, batch sessionization, canonical dedup selection
     "matryoshka_knn_recall",
     "binary_quantized_knn",
     "word_entropy_bands",
@@ -147,7 +187,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "data_quality_checks",
     "windowed_event_dedup",
     "monthly_revenue_mom_change",
-    # r02-green block
     "global_overhead",
     "map_entries_explode",
     "text_stats_by_lang",
@@ -165,22 +204,17 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "train_test_split",
     "approx_distinct_users",
     "tfidf_top_terms",
-    "contamination_test_vs_train",
     "knn_ivf_seeded",
     "kmeans_iteration_stats",
     "multimodal_decode_stats",
     "multimodal_feature_sample",
     "json_serialize",
-    "correlated_exists_urgent",
-    "correlated_above_customer_avg",
     "token_packing_bins",
     "value_outlier_fences",
     "repetition_ratio_bands",
-    "balanced_mixture_sample",
     "multimodal_frame_stats",
     "stratified_sample_5_per_type",
     "value_quantiles_by_type",
-    "cube_status_priority",
     "embedding_norm_stats",
     "shipped_within_90d",
     "string_functions",
@@ -189,58 +223,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "unpivot_segment_metrics",
     "regexp_extract_ids",
     "first_last_bool_aggs",
-    "date_functions",
     "math_functions",
     "distribution_ranks",
     "ntile_balance_quartiles",
     "pagination_page3",
     "profile_orders",
     "string_agg_top_customers",
-    # (knn_ivf_kmeans / kmeans_clusters are register(driver=False) now:
-    # benched + pytest-gated, not driver-sampled — seeded twins stand in)
-    # round-1 driver-green (rows already recorded in r1 artifacts)
-    "monthly_orders",
-    "join_of_aggregates",
-    "top_suppliers_by_quantity",
-    "argmax_user_by_type",
-    "events_by_day_and_type",
-    "filter_prefix_predicate",
-    "pricing_summary",
-    "top_customers_by_revenue",
-    "semi_join_filter",
-    "nation_order_counts_outer",
-    "revenue_by_region",
-    "top_customer_monthly_series",
-    "set_ops_all_variants",
-    "json_props_extract",
-    "explode_token_counts",
-    "pivot_daily_by_type",
-    "session_windows_30m",
-    "supplier_quantity_ranks",
-    "quality_scores",
-    "lang_id_confusion",
-    "dedup_keep_first",
-    "ngram_jaccard_topk",
-    "simhash_buckets",
-    "knn_bruteforce",
-    "sorted_daily_value",
-    "tumbling_window_6h",
-    "event_navigation_windows",
-    "knn_ivf_label",
-    "quantized_knn_sample",
-    "daily_value_running",
-    "top3_orders_per_segment",
-    "distinct_users_by_type",
-    "rollup_order_priority",
-    "positional_tokens",
-    "variant_props_quartiles",
-    "fingerprint_sample",
-    "dedup_exact_summary",
-    "minhash_signatures_sample",
-    "monthly_avg_price",
-    "customers_without_orders",
-    "set_ops_customer_keys",
-    "top_event_type_by_value",
 )
 
 

@@ -578,12 +578,14 @@ def _scored_candidates(
     # ungated form materialized a hot bucket's whole membership as one
     # array row, ~160 MB at a 1e7-member boilerplate band value.
     if max_bucket is not None:
-        bsz0 = bands.groupBy("bk").agg(F.count("*").alias("__n"))
+        bsz0 = bands.groupBy("bk").agg(F.count("*").alias("__n")).persist()
+        _LOOSE_PERSISTS.append(bsz0)
         under_bk = bsz0.filter(
             (F.col("__n") > 1) & (F.col("__n") <= max_bucket)
         ).select("bk")
         grouped = bands.join(under_bk, "bk")
     else:
+        bsz0 = None
         grouped = bands
     members = grouped.groupBy("bk").agg(
         F.array_sort(F.collect_set("doc_id")).alias("ds")
@@ -613,7 +615,7 @@ def _scored_candidates(
         # back on bk, O(1) per-row memory (round 8 — no member arrays).
         from bigdata_processing_spark.operators.skew import rep_star_pairs
 
-        cand = cand.unionByName(rep_star_pairs(bands, max_bucket))
+        cand = cand.unionByName(rep_star_pairs(bands, max_bucket, sizes=bsz0))
     cand = cand.distinct()
     if est_agree_min is not None and est_agree_min > 0:
         # Two-stage verify, stage 1: the signature-estimate prefilter.
@@ -873,7 +875,15 @@ def incremental_dedup_pairs(
         .select("s")
     )
     shex_p = shex.join(F.broadcast(stop), "s", "left_anti").select("doc_id", "s")
-    sig = _sig_from_shex(shex_p)
+    # five consumers since round 8 (anchor join both sides, band keys,
+    # prefilter a/b): persist the narrow signature table so the
+    # shingle->signature subtree runs once per call, not five times
+    # (the anchor table below persists too — it re-broadcasts under
+    # every consumer of the banded table)
+    sig = _sig_from_shex(shex_p).persist()
+    _LOOSE_PERSISTS.append(sig)
+    sig.count()  # materialize NOW: consumers otherwise race to fill the
+    # cache and the first wave re-runs the shingle subtree concurrently
 
     # signature-level exact-dup short-circuit (round 8), mirrored from
     # the disk operator: a batch doc whose FULL signature equals an
@@ -885,6 +895,9 @@ def incremental_dedup_pairs(
         *[F.col(f"h{i}").alias(f"_n{i}") for i in range(N_HASHES)],
     )
     sigi = sig.filter(F.col("doc_id") % 4 != 0)
+    # batch-bounded; persisted because it re-broadcasts under EVERY
+    # consumer of the banded signature table (bucket sizes, both join
+    # legs, stars) — unpersisted, each consumer re-ran the anchor join
     anch = (
         sigi.join(
             F.broadcast(siga),
@@ -892,7 +905,9 @@ def incremental_dedup_pairs(
         )
         .groupBy("bdoc")
         .agg(F.min("doc_id").alias("adoc"))
+        .persist()
     )
+    _LOOSE_PERSISTS.append(anch)
     exact_pairs = anch.select(
         F.least("bdoc", "adoc").alias("d1"),
         F.greatest("bdoc", "adoc").alias("d2"),
@@ -927,7 +942,7 @@ def incremental_dedup_pairs(
     from bigdata_processing_spark.operators.skew import rep_star_pairs
 
     cand = (
-        under.unionByName(rep_star_pairs(bands, MAX_BUCKET))
+        under.unionByName(rep_star_pairs(bands, MAX_BUCKET, sizes=bsz))
         .unionByName(exact_pairs)
         .filter((F.col("d1") % 4 == 0) | (F.col("d2") % 4 == 0))
         .distinct()
@@ -2583,6 +2598,103 @@ def minhash_prefilter_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(
             F.when((F.col("exact_j") >= t) & (F.col("agree") < m), 1).otherwise(0)
         ).alias("n_missed"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Prefilter MARGIN sweep: the tuning curve behind MINHASH_EST_MARGIN.
+# The round-8 mutated-clone 100× audit measured the margin's real cost
+# for the first time — 2.3% of true pairs sit close enough to the
+# threshold that their 8-component estimate falls under est_agree_min
+# (invisible on clone corpora, where every true pair agrees on all 8).
+# This query emits pass/kept/missed per candidate agree_min 0..N_HASHES
+# in ONE pass over the memoized unfiltered candidates (the grid is a
+# metadata-sized literal cross join), so re-tuning the margin for a
+# corpus is a measurement, not a guess.
+# ---------------------------------------------------------------------------
+@register(
+    "minhash_margin_sweep",
+    oracle=f"""
+        WITH {_SQL_SHINGLES}, {_SQL_CAND_GUARDED},
+        scored AS (
+            SELECT c.d1, c.d2,
+                   {_SQL_EST_AGREE_AB} AS agree,
+                   len(list_intersect(s1.sh, s2.sh))::DOUBLE
+                       / (len(s1.sh) + len(s2.sh) - len(list_intersect(s1.sh, s2.sh)))
+                       AS exact_j
+            FROM cand c
+            JOIN sig_p a ON c.d1 = a.doc_id
+            JOIN sig_p b ON c.d2 = b.doc_id
+            JOIN shset s1 ON c.d1 = s1.doc_id
+            JOIN shset s2 ON c.d2 = s2.doc_id
+        ),
+        grid AS (SELECT unnest(range({N_HASHES + 1})) AS agree_min)
+        SELECT g.agree_min::BIGINT AS agree_min,
+               sum(CASE WHEN s.agree >= g.agree_min THEN 1 ELSE 0 END)::BIGINT
+                   AS n_pass,
+               sum(CASE WHEN s.exact_j >= {JACCARD_THRESHOLD}
+                             AND s.agree >= g.agree_min THEN 1 ELSE 0 END)::BIGINT
+                   AS n_true_kept,
+               sum(CASE WHEN s.exact_j >= {JACCARD_THRESHOLD}
+                             AND s.agree < g.agree_min THEN 1 ELSE 0 END)::BIGINT
+                   AS n_true_missed
+        FROM grid g CROSS JOIN scored s
+        GROUP BY g.agree_min
+        ORDER BY agree_min
+    """,
+)
+@_memo_output
+def minhash_margin_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(agree_min, n_pass, n_true_kept, n_true_missed) for every
+    possible prefilter bound 0..N_HASHES — one scored pass over the
+    memoized unfiltered candidate set crossed with a literal grid. The
+    shipped bound is thresholds.est_agree_min(JACCARD_THRESHOLD); this
+    curve is what justifies (or re-tunes) it per corpus."""
+    from bigdata_processing_spark.sources.writers import literal_df
+
+    sc = _scored_candidates(spark, sf_dir)  # unfiltered: sweeps the filter
+    exact = F.col("inter").cast("double") / (
+        F.col("n1") + F.col("n2") - F.col("inter")
+    )
+    sig = _pruned_sig_df(spark, sf_dir)
+    a = sig.select(F.col("doc_id").alias("d1"),
+                   *[F.col(f"h{i}").alias(f"a{i}") for i in range(N_HASHES)])
+    b = sig.select(F.col("doc_id").alias("d2"),
+                   *[F.col(f"h{i}").alias(f"b{i}") for i in range(N_HASHES)])
+    agree = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"a{i}") == F.col(f"b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    scored = (
+        sc.select("d1", "d2", exact.alias("exact_j"))
+        .join(a, "d1").join(b, "d2")
+        .select("exact_j", agree.alias("agree"))
+    )
+    grid = literal_df(
+        spark, [(m,) for m in range(N_HASHES + 1)], "agree_min bigint"
+    )
+    t = F.lit(JACCARD_THRESHOLD)
+    return (
+        scored.crossJoin(F.broadcast(grid))
+        .groupBy("agree_min")
+        .agg(
+            F.sum(
+                F.when(F.col("agree") >= F.col("agree_min"), 1).otherwise(0)
+            ).alias("n_pass"),
+            F.sum(
+                F.when(
+                    (F.col("exact_j") >= t)
+                    & (F.col("agree") >= F.col("agree_min")), 1
+                ).otherwise(0)
+            ).alias("n_true_kept"),
+            F.sum(
+                F.when(
+                    (F.col("exact_j") >= t)
+                    & (F.col("agree") < F.col("agree_min")), 1
+                ).otherwise(0)
+            ).alias("n_true_missed"),
+        )
+        .orderBy("agree_min")
     )
 
 

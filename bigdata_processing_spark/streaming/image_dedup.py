@@ -146,7 +146,10 @@ def incremental_image_dup_pairs(
     )
     over = totals.filter(F.col("total") > max_bucket).select("bk")
     over_band = new_band.join(over, "bk").unionByName(old_band.join(over, "bk"))
-    stars = rep_star_pairs(over_band, max_bucket, id_col="img_id")
+    stars = rep_star_pairs(
+        over_band, max_bucket, id_col="img_id",
+        sizes=totals.filter(F.col("total") > max_bucket),
+    )
     new_ids = new_hash.select("img_id")
     stars_b = stars.join(
         F.broadcast(new_ids.withColumnRenamed("img_id", "d1")), "d1", "semi"
