@@ -383,6 +383,7 @@ def clear_dedup_memos() -> None:
         except Exception:
             pass
     _LOOSE_PERSISTS.clear()
+    _SIZE_MEMO.clear()
 
 
 def _verified_dup_pairs(
@@ -466,6 +467,41 @@ def _docs_uncompressed_bytes(sf_dir: str) -> int:
 VERIFY_BROADCAST_MAX_BYTES = 512 << 20
 _UNCOMP_TO_MEM_MULT = 8
 
+# Footer-size memo: the regime decision is pure parquet metadata, but a
+# reporting query family can consult it a dozen times per call (labels,
+# removed sets, df tables, verify legs) — read the footers once per dir.
+_SIZE_MEMO: dict[str, int] = {}
+
+
+def _fits_broadcast(
+    sf_dir: str, cap: int = VERIFY_BROADCAST_MAX_BYTES
+) -> bool:
+    """ONE regime decision for every broadcast whose table GROWS WITH
+    the corpus (shingle-set lookups, cluster labels, removed-doc sets,
+    vocabulary/fingerprint df tables, verified-pair frames). Proxy:
+    estimated in-memory bytes of the documents table (8 × uncompressed
+    parquet size — see the comment above VERIFY_BROADCAST_MAX_BYTES);
+    every derived table in this family is bounded by the corpus it was
+    derived from, so one corpus-sized gate covers them all."""
+    sz = _SIZE_MEMO.get(sf_dir)
+    if sz is None:
+        sz = _docs_uncompressed_bytes(sf_dir)
+        _SIZE_MEMO[sf_dir] = sz
+    return _UNCOMP_TO_MEM_MULT * sz <= cap
+
+
+def _bcast_if_small(df: DataFrame, sf_dir: str) -> DataFrame:
+    """Broadcast-or-merge switch for corpus-growing join sides. Small
+    regime: explicit broadcast (these joins are the hot path and AQE
+    does not always convert them — see _sig_from_shex). Big regime:
+    explicit sort-merge HINT, not merely no-hint — a bare F.broadcast()
+    bypasses Spark's size check and OOMs outright at real-corpus
+    cardinalities, and Catalyst's static size estimate through
+    explode/aggregate subtrees undercounts badly enough to re-enter
+    broadcast territory on its own (measured: the 100× proof corpus
+    OOM'd an 8 GB driver through a forced vocab broadcast)."""
+    return F.broadcast(df) if _fits_broadcast(sf_dir) else df.hint("merge")
+
 
 def _scored_candidates(
     spark: SparkSession, sf_dir: str,
@@ -533,10 +569,7 @@ def _scored_candidates(
     # dictionary join, and the verify join. Past the bound they all
     # degrade to key-shuffle joins — the 100x proof OOM'd the first
     # forced vocab broadcast at 500k docs.
-    fits_broadcast = (
-        _UNCOMP_TO_MEM_MULT * _docs_uncompressed_bytes(sf_dir)
-        <= verify_broadcast_max_bytes
-    )
+    fits_broadcast = _fits_broadcast(sf_dir, verify_broadcast_max_bytes)
     if max_df is not None:
         import math
 
@@ -968,10 +1001,7 @@ def incremental_dedup_pairs(
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     # same uncompressed-size regime switch as _scored_candidates: the
     # shingle-set lookups are corpus-sized
-    if (
-        _UNCOMP_TO_MEM_MULT * _docs_uncompressed_bytes(sf_dir)
-        <= VERIFY_BROADCAST_MAX_BYTES
-    ):
+    if _fits_broadcast(sf_dir):
         s1, s2 = F.broadcast(s1), F.broadcast(s2)
     else:
         s1, s2 = s1.hint("merge"), s2.hint("merge")
@@ -1830,12 +1860,14 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-source kept/removed accounting for near-dup removal: every doc
     in a dup cluster except the cluster's min-id canonical is removed.
     Reuses the memoized verified-pair pipeline through dup_clusters —
-    in a session that already ran any dedup query, this is one broadcast
-    join (cluster labels ≪ corpus) plus a per-source rollup; the corpus
-    itself is scanned once and never shuffled on anything but source."""
+    in a session that already ran any dedup query, this is one label
+    join plus a per-source rollup. The label frame is O(dup docs) —
+    30-80% of a web-scale corpus, NOT dimension-sized — so the join side
+    goes through the corpus regime switch: broadcast while small,
+    sort-merge past the bound."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     labels = _cluster_labels(spark, sf_dir)  # memoized (doc_id, cluster_id)
-    joined = docs.join(F.broadcast(labels), "doc_id", "left")
+    joined = docs.join(_bcast_if_small(labels, sf_dir), "doc_id", "left")
     removed = F.when(
         F.col("cluster_id").isNotNull() & (F.col("doc_id") != F.col("cluster_id")),
         F.lit(1),
@@ -1874,15 +1906,16 @@ def dedup_survivors(spark: SparkSession, sf_dir: str) -> DataFrame:
 def cross_source_dup_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pair counts by (source, source) — symmetric pairs folded
     with least/greatest so each source pair appears once. Reads the
-    memoized verified-pair set (pairs ≪ corpus, broadcast into two
-    doc-metadata lookups; the corpus streams once per lookup and never
-    shuffles)."""
+    memoized verified-pair set; the pair frame is O(dup pairs), which
+    grows with the corpus, so both lookup joins go through the corpus
+    regime switch (broadcast small, sort-merge big) rather than forcing
+    a broadcast."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "source")
     pairs = _verified_dup_pairs(spark, sf_dir).select("d1", "d2")
     da = docs.select(F.col("doc_id").alias("d1"), F.col("source").alias("sa"))
     db = docs.select(F.col("doc_id").alias("d2"), F.col("source").alias("sb"))
-    m = da.join(F.broadcast(pairs), "d1")
-    m = db.join(F.broadcast(m), "d2")
+    m = da.join(_bcast_if_small(pairs, sf_dir), "d1")
+    m = db.join(_bcast_if_small(m, sf_dir), "d2")
     return (
         m.select(
             F.least("sa", "sb").alias("source_a"),
@@ -1969,8 +2002,10 @@ def _edit_pruned_pairs(
     cand = _scored_candidates(spark, sf_dir).select("d1", "d2")
     t1 = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("x1"))
     t2 = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("x2"))
-    j = t1.join(F.broadcast(cand), "d1")
-    j = t2.join(F.broadcast(j), "d2")
+    # cand is O(candidate pairs) and j additionally carries x1 text —
+    # both corpus-growing: regime switch, never a forced broadcast
+    j = t1.join(_bcast_if_small(cand, sf_dir), "d1")
+    j = t2.join(_bcast_if_small(j, sf_dir), "d2")
     maxlen = F.greatest(F.length("x1"), F.length("x2"))
     # dist >= |len1-len2| exactly, so the length gap bounds similarity:
     # prune BEFORE the O(len²) DP — at sf0.1 this drops the candidate
@@ -2275,9 +2310,12 @@ def lsh_band_sweep(
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     inter = F.size(F.array_intersect("sh1", "sh2"))
     jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    # corpus-sized shingle-set lookups: same regime switch as the
+    # guarded pipeline's verify join (a forced broadcast here ships the
+    # whole corpus's shingle sets to every executor)
     ver = (
-        pool.join(F.broadcast(s1), "d1")
-        .join(F.broadcast(s2), "d2")
+        pool.join(_bcast_if_small(s1, sf_dir), "d1")
+        .join(_bcast_if_small(s2, sf_dir), "d2")
         .filter(jac >= jaccard_threshold)
         .select("d1", "d2")
         .persist()
@@ -2435,9 +2473,12 @@ def winnowing_dup_passages(
         .distinct()
     )
     dfq = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("df"))
-    fpp = fps.join(F.broadcast(dfq.filter(F.col("df") <= max_df)), "fp").select(
-        "doc_id", "fp"
-    )
+    # df <= max_df keeps MOST of a real corpus's fingerprints (rare is
+    # the common case), so the kept-fp table is O(corpus fingerprints):
+    # regime switch, never a forced broadcast
+    fpp = fps.join(
+        _bcast_if_small(dfq.filter(F.col("df") <= max_df), sf_dir), "fp"
+    ).select("doc_id", "fp")
     a = fpp.select(F.col("doc_id").alias("d1"), "fp")
     b = fpp.select(F.col("doc_id").alias("d2"), "fp")
     return (
@@ -2925,8 +2966,10 @@ def dedup_survivors_by_quality(
     policy, with the count of docs whose decision flips vs keep-first.
 
     Scale shape: quality scores are computed ONLY for dup-cluster
-    members (labels broadcast into the docs scan — members ≪ corpus);
-    the argmax is one window over cluster-sized partitions."""
+    members; the label frame is O(dup docs) — a large fraction of a
+    web-scale corpus — so the member join goes through the corpus
+    regime switch (broadcast small, sort-merge big); the argmax is one
+    window over cluster-sized partitions."""
     from pyspark.sql import Window as W
 
     docs = load_table(spark, sf_dir, "documents")
@@ -2945,7 +2988,7 @@ def dedup_survivors_by_quality(
             / F.greatest(F.length("text"), F.lit(1))
         )
     )
-    members = docs.join(F.broadcast(labels), "doc_id").select(
+    members = docs.join(_bcast_if_small(labels, sf_dir), "doc_id").select(
         "doc_id", "source", "cluster_id", score.alias("score")
     )
     w = W.partitionBy("cluster_id").orderBy(F.col("score").desc(), F.col("doc_id").asc())
@@ -3015,16 +3058,19 @@ NOVELTY_COMMON_DF = 10
 def doc_novelty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Docs banded by bigram novelty (share of the doc's distinct
     bigrams with corpus df < NOVELTY_COMMON_DF), 5 bands. One shingle
-    explode + a vocabulary-sized df table broadcast back — the same
+    explode + a vocabulary-sized df table joined back — the same
     two-pass shape as the DF-pruned MinHash pipeline; nothing but
-    (doc_id, counters) ever shuffles. Docs with no bigrams (single-token
-    texts) drop out in both engines (no shex rows)."""
+    (doc_id, counters) ever shuffles. The df table is O(vocabulary),
+    which grows with the corpus, so the join-back goes through the
+    corpus regime switch (broadcast small, sort-merge big). Docs with
+    no bigrams (single-token texts) drop out in both engines (no shex
+    rows)."""
     shex = _shingle_df(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("s")
     )
     dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
     perdoc = (
-        shex.join(F.broadcast(dfreq), "s")
+        shex.join(_bcast_if_small(dfreq, sf_dir), "s")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_shingles"),
@@ -3065,10 +3111,12 @@ def emit_dedup_corpus(
     (parquet, PARTITIONED BY source). Returns {docs_in, docs_out,
     removed}.
 
-    Scale shape: the removal set is cluster-membership minus survivors
-    (≪ corpus) broadcast against the full scan as an anti-join — the
-    corpus streams straight from input files to output files, never
-    shuffling on anything except the partition column at write.
+    Scale shape: the removal set is cluster-membership minus survivors,
+    anti-joined against the full scan. The removal set is O(dup docs) —
+    30-80% of a web-scale corpus — so both the member join and the
+    anti-join go through the corpus regime switch: broadcast while
+    small (the corpus then streams straight from input files to output
+    files), sort-merge past the bound.
 
     Plain overwrite write (caller owns the output dir); for the
     crash-safe staged-swap emit use pipelines/curation.curate_corpus,
@@ -3096,7 +3144,7 @@ def emit_dedup_corpus(
                 / F.greatest(F.length("text"), F.lit(1))
             )
         )
-        members = docs.join(F.broadcast(labels), "doc_id").select(
+        members = docs.join(_bcast_if_small(labels, sf_dir), "doc_id").select(
             "doc_id", "cluster_id", score.alias("score")
         )
         w = W.partitionBy("cluster_id").orderBy(
@@ -3110,7 +3158,7 @@ def emit_dedup_corpus(
     else:
         raise ValueError(f"unknown survivor policy: {policy}")
 
-    kept = docs.join(F.broadcast(removed), "doc_id", "left_anti")
+    kept = docs.join(_bcast_if_small(removed, sf_dir), "doc_id", "left_anti")
     kept.write.mode("overwrite").partitionBy("source").parquet(out_path)
     n_in = docs.count()
     n_out = spark.read.parquet(out_path).count()
@@ -3205,7 +3253,8 @@ def curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     near_removed = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    surv2 = keepx.join(F.broadcast(near_removed), "doc_id", "left_anti")
+    # near_removed is O(dup docs): regime switch, never a forced broadcast
+    surv2 = keepx.join(_bcast_if_small(near_removed, sf_dir), "doc_id", "left_anti")
     q3 = (
         docs.join(surv2, "doc_id", "left_semi")
         .filter(_quality_score() >= QUALITY_MIN)
