@@ -2481,8 +2481,12 @@ def winnowing_dup_passages(
     ).select("doc_id", "fp")
     a = fpp.select(F.col("doc_id").alias("d1"), "fp")
     b = fpp.select(F.col("doc_id").alias("d2"), "fp")
+    # the pair self-join's sides are BOTH the corpus-sized kept-fp
+    # table; Catalyst's static estimate through the window+agg subtree
+    # undercounts it into auto-broadcast territory (measured at the
+    # 100× proof corpus) — same regime switch as the dfq join
     return (
-        a.join(b, ["fp"])
+        a.join(_bcast_if_small(b, sf_dir), ["fp"])
         .filter(F.col("d1") < F.col("d2"))
         .groupBy("d1", "d2")
         .agg(F.count("*").alias("n_shared"))
