@@ -576,19 +576,39 @@ def _scored_candidates(
         # effective cap: floor for tiny corpora, fraction at scale —
         # n_docs via the persisted shingle frame (one row per doc)
         eff_df = max(max_df, int(math.ceil(max_df_frac * n_docs)))
-        # document frequency per shingle — VOCABULARY-sized, which grows
-        # with the corpus: broadcast only in the small regime
-        dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
-        keep_vocab = dfreq.filter(F.col("df") <= eff_df)
-        # big regime: MERGE hint, not just no-hint — see _sig_from_shex
-        keep_vocab = (
-            F.broadcast(keep_vocab) if fits_broadcast
-            else keep_vocab.hint("merge")
+        # FUSED df-prune + signature dictionary (round 9): ONE groupBy(s)
+        # computes document frequency, and the kept vocabulary rows are
+        # hash-projected into the minhash dictionary directly. (doc_id,
+        # s) rows are unique — word_shingles emits distinct shingles per
+        # doc — so count(*) == countDistinct(doc_id) without the
+        # two-phase distinct aggregation. vs the r8 shape (df shuffle →
+        # keep join → separate vocab DISTINCT shuffle → dictionary join)
+        # this removes one full vocabulary shuffle and one scan+join of
+        # the occurrence stream: the dominant fixed cost of every cold
+        # family member, and a whole shuffle of a 100-TB corpus's
+        # vocabulary at scale. Same regime switch on the dictionary
+        # join: broadcast small, MERGE hint big (see _bcast_if_small).
+        vocab = (
+            shex.groupBy("s").agg(F.count("*").alias("df"))
+            .filter(F.col("df") <= eff_df)
+            .select(
+                "s",
+                *[
+                    h.alias(f"v{i}")
+                    for i, h in enumerate(
+                        T.minhash_hashes(F.col("s"), N_HASHES)
+                    )
+                ],
+            )
         )
-        shex_sig = shex.join(keep_vocab, "s").select("doc_id", "s")
+        vocab = F.broadcast(vocab) if fits_broadcast else vocab.hint("merge")
+        sig = (
+            shex.join(vocab, "s")
+            .groupBy("doc_id")
+            .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(N_HASHES)])
+        )
     else:
-        shex_sig = shex
-    sig = _sig_from_shex(shex_sig, broadcast_vocab=fits_broadcast)
+        sig = _sig_from_shex(shex, broadcast_vocab=fits_broadcast)
     if est_agree_min is not None and est_agree_min > 0:
         # consumed twice (band keys + the estimate prefilter): cache the
         # narrow signature table so the shingle→signature subtree runs once
