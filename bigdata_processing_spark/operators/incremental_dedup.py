@@ -87,6 +87,15 @@ from bigdata_processing_spark.thresholds import (
 
 REFIT_THRESHOLD = 0.5  # rebuild when appended docs exceed this fraction
 _SWAP_SUFFIX = ".rebuild"
+# Corpus-tuned prefilter bound (round 9, VERDICT r8 #4): the sample size
+# for the build/refit-time agree_min measurement. The 445k mutated-clone
+# proof showed the STATIC est_agree_min prices a ~2.3% true-pair loss at
+# J≈0.8 on some corpora; measuring the loss curve on a bounded sample of
+# the fit corpus and persisting the tuned bound in meta makes the trade
+# corpus-specific instead of global. Meta-is-state: probes read the
+# bound back (legacy metas without the column fall back to the static
+# formula).
+AGREE_TUNE_SAMPLE_DOCS = 20_000
 # Legacy constant: pre-round-7 indexes were built with a FIXED 32-bucket
 # shingle store (and their meta has no n_sbuckets column) — the reader
 # falls back to this. New builds size the store with
@@ -300,6 +309,83 @@ def _write_batch(
     return n
 
 
+def measure_agree_min(
+    shset: DataFrame,
+    sig: DataFrame,
+    n_docs: int,
+    jaccard_threshold: float = JACCARD_THRESHOLD,
+    max_bucket: int = MAX_BUCKET,
+    sample_cap: int = AGREE_TUNE_SAMPLE_DOCS,
+    loss_budget: float = 0.0,
+) -> int:
+    """Corpus-tuned signature-prefilter bound: the LARGEST agree_min ≤
+    the static ``est_agree_min(jaccard_threshold)`` whose true-pair loss
+    on a bounded sample of the fit corpus stays within ``loss_budget``
+    (default 0 — lossless on the sample).
+
+    The static bound is theory-backed but global; queries/dedup.py's
+    ``minhash_margin_sweep`` is the full per-corpus curve, and this is
+    its build-time sibling: deterministic id-hash sample (≤
+    ``sample_cap`` docs, so the measurement cost is bounded regardless
+    of corpus size), banded LSH candidates within the sample (bucket
+    cap applied), exact Jaccard against the sample's shingle sets,
+    per-pair component agreement from ``sig``. loss(m) = fraction of
+    true pairs with agreement < m is monotone in m, so the tuned bound
+    only ever LOWERS the static one — on corpora where the static
+    margin is lossless the legacy behavior is preserved exactly."""
+    static_bound = est_agree_min(jaccard_threshold)
+    if static_bound <= 0 or n_docs <= 0:
+        return static_bound
+    mod = max(1, math.ceil(n_docs / sample_cap))
+    keep = F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit("agm")),
+                  F.lit(mod)) == 0
+    s_sig = sig.filter(keep)
+    bands = s_sig.select("doc_id", F.explode(_band_keys_col()).alias("bk"))
+    bsz = bands.groupBy("bk").agg(F.count("*").alias("__n"))
+    under = bands.join(
+        bsz.filter((F.col("__n") > 1) & (F.col("__n") <= max_bucket))
+        .select("bk"),
+        "bk",
+    )
+    cand = (
+        under.select(F.col("doc_id").alias("d1"), "bk")
+        .join(under.select(F.col("doc_id").alias("d2"), "bk"), "bk")
+        .filter(F.col("d1") < F.col("d2"))
+        .select("d1", "d2")
+        .distinct()
+    )
+    s_sh = shset.filter(keep)
+    s1 = s_sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+    s2 = s_sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    a = s_sig.select(F.col("doc_id").alias("d1"),
+                     *[F.col(f"h{i}").alias(f"_a{i}") for i in range(N_HASHES)])
+    b = s_sig.select(F.col("doc_id").alias("d2"),
+                     *[F.col(f"h{i}").alias(f"_b{i}") for i in range(N_HASHES)])
+    agree = None
+    for i in range(N_HASHES):
+        term = F.when(F.col(f"_a{i}") == F.col(f"_b{i}"), 1).otherwise(0)
+        agree = term if agree is None else agree + term
+    inter = F.size(F.array_intersect("sh1", "sh2"))
+    jac = inter.cast("double") / (F.size("sh1") + F.size("sh2") - inter)
+    # true-pair agreement histogram: 9 rows max, one aggregation
+    hist = {
+        r.agree: r.n
+        for r in cand.join(s1, "d1").join(s2, "d2").join(a, "d1").join(b, "d2")
+        .filter(jac >= jaccard_threshold)
+        .select(agree.alias("agree"))
+        .groupBy("agree").agg(F.count("*").alias("n"))
+        .collect()
+    }
+    total = sum(hist.values())
+    if total == 0:
+        return static_bound  # nothing measurable: keep the static bound
+    for m in range(static_bound, -1, -1):
+        lost = sum(n for g, n in hist.items() if g < m)
+        if lost <= loss_budget * total:
+            return m
+    return 0
+
+
 def build_minhash_index(
     docs: DataFrame,
     path: str,
@@ -333,8 +419,14 @@ def build_minhash_index(
     stop = spark.read.parquet(f"{path}/stoplist")  # re-read: frozen on disk
 
     _write_batch(path, 0, shset, stop, n_sbuckets=n_sbuckets)
-    write_meta(spark, path, (n_docs, n_sbuckets),
-               "n_fit bigint, n_sbuckets bigint")
+    # corpus-tuned prefilter bound (round 9) — measured on the fit
+    # corpus, persisted as state; probes read it back from meta
+    tuned = measure_agree_min(shset, _sign_excluding(shex, stop), n_docs)
+    write_meta(
+        spark, path,
+        (n_docs, n_sbuckets, tuned, float(JACCARD_THRESHOLD)),
+        "n_fit bigint, n_sbuckets bigint, agree_min bigint, fit_threshold double",
+    )
     shset.unpersist()
     return n_docs
 
@@ -546,7 +638,20 @@ def incremental_dup_pairs(
     # left the in-plan ``sig`` with the short-circuit, so the lookup
     # unions the UNFILTERED batch signature table.) Legacy indexes
     # without sigs/ skip the prefilter (old behavior).
+    # Bound: the corpus-TUNED agree_min persisted in meta at build/refit
+    # (round 9 — meta-is-state), provided the store was fit at this
+    # verify threshold; legacy metas without the column, metaless
+    # stores, and threshold overrides fall back to the static formula.
     agree_min = est_agree_min(jaccard_threshold)
+    try:
+        _meta = read_meta(spark, path)
+        _am = getattr(_meta, "agree_min", None)
+        _ft = getattr(_meta, "fit_threshold", None)
+        if _am is not None and _ft is not None and \
+                abs(float(_ft) - jaccard_threshold) < 1e-9:
+            agree_min = int(_am)
+    except Exception:
+        pass  # metaless legacy store: static bound
     if agree_min > 0 and sigs_ok:
         ids0 = (
             cand.select(F.col("d1").alias("doc_id"))
@@ -748,8 +853,14 @@ def _rebuild_from_shingles(shset: DataFrame, path: str) -> None:
     stop.write.mode("overwrite").parquet(f"{path}/stoplist")
     stop = spark.read.parquet(f"{path}/stoplist")
     _write_batch(path, 0, shset, stop, n_sbuckets=n_sbuckets)
-    write_meta(spark, path, (n_docs, n_sbuckets),
-               "n_fit bigint, n_sbuckets bigint")
+    # the refit is also where the prefilter bound RE-TUNES: the grown
+    # corpus may price the static margin differently than the fit one
+    tuned = measure_agree_min(shset, _sign_excluding(shex, stop), n_docs)
+    write_meta(
+        spark, path,
+        (n_docs, n_sbuckets, tuned, float(JACCARD_THRESHOLD)),
+        "n_fit bigint, n_sbuckets bigint, agree_min bigint, fit_threshold double",
+    )
     shset.unpersist()
 
 

@@ -116,19 +116,56 @@ def _pruned_sig_df(
 ) -> DataFrame:
     """doc_id → signature over the DF-PRUNED shingle set — the exact
     signatures the guarded LSH pipeline bands and prefilters on
-    (_scored_candidates' sig / the twins' sig_p). Fixture-scale audit
-    helper: broadcasts the kept vocabulary unconditionally."""
+    (_scored_candidates' sig / the twins' sig_p).
+
+    Round 9: served from the SESSION memo _scored_candidates fills (the
+    audit queries call both — pre-memo each cold audit built the whole
+    shingle→df→signature chain twice). On a miss the fused one-shuffle
+    build runs here and fills the same memo."""
+    key = (spark.sparkContext.applicationId, sf_dir, max_df, max_df_frac)
+    cached = _PSIG_MEMO.get(key)
+    if cached is not None:
+        return cached
     import math
 
     shset = _shingle_df(spark, sf_dir)
     n_docs = shset.count()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
     eff = max(max_df, int(math.ceil(max_df_frac * n_docs)))
-    keep = (
-        shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
-        .filter(F.col("df") <= eff).select("s")
+    sig = _fused_pruned_sig(shex, eff, _fits_broadcast(sf_dir)).persist()
+    _PSIG_MEMO[key] = sig
+    return sig
+
+
+def _fused_pruned_sig(shex: DataFrame, eff_df: int, fits_broadcast: bool) -> DataFrame:
+    """FUSED df-prune + signature dictionary (round 9): ONE groupBy(s)
+    computes document frequency, and the kept vocabulary rows are
+    hash-projected into the minhash dictionary directly. (doc_id, s)
+    rows are unique — word_shingles emits distinct shingles per doc —
+    so count(*) == countDistinct(doc_id) without the two-phase distinct
+    aggregation. vs the r8 shape (df shuffle → keep join → separate
+    vocab DISTINCT shuffle → dictionary join) this removes one full
+    vocabulary shuffle and one scan+join of the occurrence stream: the
+    dominant fixed cost of every cold family member, and a whole
+    shuffle of a 100-TB corpus's vocabulary at scale. Regime switch on
+    the dictionary join: broadcast small, MERGE hint big."""
+    vocab = (
+        shex.groupBy("s").agg(F.count("*").alias("df"))
+        .filter(F.col("df") <= eff_df)
+        .select(
+            "s",
+            *[
+                h.alias(f"v{i}")
+                for i, h in enumerate(T.minhash_hashes(F.col("s"), N_HASHES))
+            ],
+        )
     )
-    return _sig_from_shex(shex.join(F.broadcast(keep), "s").select("doc_id", "s"))
+    vocab = F.broadcast(vocab) if fits_broadcast else vocab.hint("merge")
+    return (
+        shex.join(vocab, "s")
+        .groupBy("doc_id")
+        .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(N_HASHES)])
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -289,6 +326,11 @@ _SQL_CAND_PREF = f"""
 # (pairs ≪ corpus) instead of re-shuffling the corpus.
 _PAIR_MEMO: dict[tuple[str, str, float], DataFrame] = {}
 _CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
+# (appId, sf_dir, max_df, max_df_frac) → persisted PRUNED signature frame.
+# Filled by _scored_candidates, read by _pruned_sig_df — the audit
+# queries consume both, and pre-memo each cold audit run built the
+# whole shingle→df→signature chain twice (r8 verdict wrong-item #2).
+_PSIG_MEMO: dict[tuple[str, str, int, float], DataFrame] = {}
 # per-call persists consumed lazily by callers (can't be unpersisted at
 # create time) — evicted by clear_dedup_memos()
 _LOOSE_PERSISTS: list[DataFrame] = []
@@ -366,7 +408,7 @@ def clear_dedup_memos() -> None:
     memoized-family query pay its own full pipeline cost."""
     from bigdata_processing_spark.queries import dedup as _self
 
-    for memo in (_PAIR_MEMO, _CAND_MEMO, _self._LABEL_MEMO,
+    for memo in (_PAIR_MEMO, _CAND_MEMO, _PSIG_MEMO, _self._LABEL_MEMO,
                  _self._EDIT_PRE_MEMO, _self._SWEEP_MEMO, _OUT_MEMO,
                  _self._EMB_MEMO):
         for entry in memo.values():
@@ -576,43 +618,19 @@ def _scored_candidates(
         # effective cap: floor for tiny corpora, fraction at scale —
         # n_docs via the persisted shingle frame (one row per doc)
         eff_df = max(max_df, int(math.ceil(max_df_frac * n_docs)))
-        # FUSED df-prune + signature dictionary (round 9): ONE groupBy(s)
-        # computes document frequency, and the kept vocabulary rows are
-        # hash-projected into the minhash dictionary directly. (doc_id,
-        # s) rows are unique — word_shingles emits distinct shingles per
-        # doc — so count(*) == countDistinct(doc_id) without the
-        # two-phase distinct aggregation. vs the r8 shape (df shuffle →
-        # keep join → separate vocab DISTINCT shuffle → dictionary join)
-        # this removes one full vocabulary shuffle and one scan+join of
-        # the occurrence stream: the dominant fixed cost of every cold
-        # family member, and a whole shuffle of a 100-TB corpus's
-        # vocabulary at scale. Same regime switch on the dictionary
-        # join: broadcast small, MERGE hint big (see _bcast_if_small).
-        vocab = (
-            shex.groupBy("s").agg(F.count("*").alias("df"))
-            .filter(F.col("df") <= eff_df)
-            .select(
-                "s",
-                *[
-                    h.alias(f"v{i}")
-                    for i, h in enumerate(
-                        T.minhash_hashes(F.col("s"), N_HASHES)
-                    )
-                ],
-            )
+        # fused one-shuffle build (see _fused_pruned_sig), PERSISTED into
+        # the session-level signature memo: consumed by the band keys and
+        # the estimate prefilter here, and by _pruned_sig_df in the audit
+        # queries — which otherwise rebuilt the whole chain per cold run
+        psig_key = (
+            spark.sparkContext.applicationId, sf_dir, max_df, max_df_frac
         )
-        vocab = F.broadcast(vocab) if fits_broadcast else vocab.hint("merge")
-        sig = (
-            shex.join(vocab, "s")
-            .groupBy("doc_id")
-            .agg(*[F.min(f"v{i}").alias(f"h{i}") for i in range(N_HASHES)])
-        )
+        sig = _PSIG_MEMO.get(psig_key)
+        if sig is None:
+            sig = _fused_pruned_sig(shex, eff_df, fits_broadcast).persist()
+            _PSIG_MEMO[psig_key] = sig
     else:
         sig = _sig_from_shex(shex, broadcast_vocab=fits_broadcast)
-    if est_agree_min is not None and est_agree_min > 0:
-        # consumed twice (band keys + the estimate prefilter): cache the
-        # narrow signature table so the shingle→signature subtree runs once
-        sig = sig.persist()
 
     band_keys = F.array(
         *[
@@ -726,8 +744,9 @@ def _scored_candidates(
     )
     out.count()  # materialize the counts (pairs ≪ corpus) ...
     shset.unpersist()  # ... so the corpus-sized shingle cache can go now
-    if est_agree_min is not None and est_agree_min > 0:
-        sig.unpersist()
+    # sig stays persisted: it lives in _PSIG_MEMO for the audit family
+    # (narrow — 9 fixed-width columns, ~100 B/doc) and is released by
+    # clear_dedup_memos with the other session memos
     _CAND_MEMO[memo_key] = out
     return out
 

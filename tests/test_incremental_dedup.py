@@ -618,3 +618,129 @@ def test_exact_clone_short_circuits_but_mutated_doc_reaches_stars(spark, tmp_pat
         release_loose_persists,
     )
     release_loose_persists()
+
+
+def test_measure_agree_min_tunes_down_on_lossy_corpus(spark):
+    """The build-time prefilter tuner (round 9): on a corpus where a
+    TRUE pair (exact J >= threshold) agrees on fewer than the static
+    est_agree_min components, the measured bound drops to the largest
+    lossless value; on a clean corpus it returns the static bound."""
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        measure_agree_min,
+    )
+    from bigdata_processing_spark.thresholds import EST_AGREE_MIN
+
+    # docs 1/2: J = 9/11 ≈ 0.818 ≥ 0.8 but signatures agree on only 3
+    # components (h0, h1 — one shared band, so they ARE LSH candidates —
+    # plus h2); docs 3/4: exact clones (agree 8).
+    sh12 = [f"s{i}" for i in range(10)]
+    shset = spark.createDataFrame(
+        [
+            (1, sh12),
+            (2, sh12[:9] + ["zz"]),
+            (3, ["a", "b", "c"]),
+            (4, ["a", "b", "c"]),
+        ],
+        "doc_id bigint, sh array<string>",
+    )
+    sig = spark.createDataFrame(
+        [
+            (1, 1, 2, 3, 4, 5, 6, 7, 8),
+            (2, 1, 2, 3, 40, 50, 60, 70, 80),
+            (3, 9, 9, 9, 9, 9, 9, 9, 9),
+            (4, 9, 9, 9, 9, 9, 9, 9, 9),
+        ],
+        "doc_id bigint, " + ", ".join(f"h{i} bigint" for i in range(8)),
+    )
+    assert measure_agree_min(shset, sig, n_docs=4) == 3
+
+    # clean corpus: only the exact-clone pair → static bound preserved
+    assert (
+        measure_agree_min(
+            shset.filter("doc_id >= 3"), sig.filter("doc_id >= 3"), n_docs=2
+        )
+        == EST_AGREE_MIN
+    )
+
+    # no true pairs at all → nothing measurable, static bound
+    assert (
+        measure_agree_min(
+            shset.filter("doc_id = 1"), sig.filter("doc_id = 1"), n_docs=1
+        )
+        == EST_AGREE_MIN
+    )
+
+
+def test_probe_reads_tuned_agree_min_from_meta(spark, tmp_path):
+    """Meta-is-state: the probe's signature prefilter bound comes from
+    the store's meta row, not the static formula. Pin it by rewriting
+    meta: bound 8 (full agreement) must kill a mutated near-dup pair at
+    the prefilter; bound 0 must let it through to the exact verify."""
+    from bigdata_processing_spark.operators.incremental_dedup import (
+        _shingled,
+        _sign_excluding,
+    )
+    from bigdata_processing_spark.operators.store import read_meta, write_meta
+    from bigdata_processing_spark.thresholds import EST_AGREE_MIN
+
+    words = " ".join(f"tok{i}" for i in range(40))
+    base = {i: f"distinct base doc {i} alpha{i} beta{i*3}" for i in range(8)}
+    base[50] = words
+    batch = {900: words.replace("tok7 ", "tok7x ", 1)}  # mutated near-dup
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+
+    meta = read_meta(spark, idx)
+    assert meta.agree_min == EST_AGREE_MIN  # clean corpus: static bound
+    assert abs(meta.fit_threshold - 0.8) < 1e-9
+
+    # precondition: the planted pair is a true near-dup whose signatures
+    # agree on >= static but < all components (else the test can't
+    # discriminate the two meta bounds)
+    sigs = dict()
+    for who, d in (("idx", {50: base[50]}), ("new", batch)):
+        shex = _shingled(_mini_corpus(spark, d), "text").select(
+            "doc_id", F.explode("sh").alias("s")
+        )
+        stop = spark.read.parquet(f"{idx}/stoplist")
+        sigs[who] = _sign_excluding(shex, stop).collect()[0]
+    agree = sum(
+        1 for i in range(8) if sigs["idx"][f"h{i}"] == sigs["new"][f"h{i}"]
+    )
+    assert EST_AGREE_MIN <= agree < 8, f"fixture drifted: agree={agree}"
+
+    schema = "n_fit bigint, n_sbuckets bigint, agree_min bigint, fit_threshold double"
+
+    def pairs_with_bound(bound):
+        write_meta(
+            spark, idx,
+            (meta.n_fit, meta.n_sbuckets, bound, meta.fit_threshold), schema,
+        )
+        return {
+            (r.d1, r.d2)
+            for r in incremental_dup_pairs(_mini_corpus(spark, batch), idx).collect()
+        }
+
+    assert (50, 900) in pairs_with_bound(0)
+    assert (50, 900) not in pairs_with_bound(8)
+
+
+def test_refit_retunes_agree_min(spark, tmp_path, monkeypatch):
+    """The drift refit re-measures the prefilter bound over the grown
+    corpus and persists it — wiring pinned via a sentinel measurement."""
+    from bigdata_processing_spark.operators import incremental_dedup as mod
+    from bigdata_processing_spark.operators.store import read_meta
+
+    base = {i: f"distinct base doc {i} alpha{i} beta{i*3}" for i in range(10)}
+    big = {100 + i: f"distinct new doc {i} gamma{i} delta{i*5}" for i in range(15)}
+    idx = os.path.join(str(tmp_path), "mh_index")
+    build_minhash_index(_mini_corpus(spark, base), idx)
+    append_to_minhash_index(idx, _mini_corpus(spark, big), refit_threshold=0.5)
+
+    monkeypatch.setattr(mod, "measure_agree_min", lambda *a, **k: 1)
+    tiny = {900: "trailing doc omega sigma tau"}
+    n, refit = append_to_minhash_index(
+        idx, _mini_corpus(spark, tiny), refit_threshold=0.5
+    )
+    assert refit is True
+    assert read_meta(spark, idx).agree_min == 1
