@@ -58,10 +58,12 @@ disk-probe == twin row-for-row.
 
 from __future__ import annotations
 
+import logging
 import math
 import os
 import shutil
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -84,6 +86,8 @@ from bigdata_processing_spark.thresholds import (
     N_HASHES,
     est_agree_min,
 )
+
+log = logging.getLogger(__name__)
 
 REFIT_THRESHOLD = 0.5  # rebuild when appended docs exceed this fraction
 _SWAP_SUFFIX = ".rebuild"
@@ -337,8 +341,17 @@ def measure_agree_min(
     if static_bound <= 0 or n_docs <= 0:
         return static_bound
     mod = max(1, math.ceil(n_docs / sample_cap))
-    keep = F.pmod(F.xxhash64(F.col("doc_id").cast("string"), F.lit("agm")),
-                  F.lit(mod)) == 0
+    # CORRELATED sampling (ADVICE r9): hashing doc_ids independently
+    # keeps a true pair only when BOTH endpoints hash to 0 mod m — pair
+    # density thins as 1/mod², so past a few hundred thousand docs the
+    # histogram is empty and the tuner silently no-ops at exactly the
+    # scales where the measured bound matters. Sampling whole band-0
+    # buckets instead (every doc sharing the first LSH band key is kept
+    # or dropped TOGETHER) preserves the expected sample size n/mod
+    # while true pairs colliding on band 0 — the typical above-threshold
+    # pair — survive at rate 1/mod.
+    band0 = F.md5(F.concat_ws("_", F.lit(0), F.col("h0"), F.col("h1")))
+    keep = F.pmod(F.xxhash64(band0, F.lit("agm")), F.lit(mod)) == 0
     s_sig = sig.filter(keep)
     bands = s_sig.select("doc_id", F.explode(_band_keys_col()).alias("bk"))
     bsz = bands.groupBy("bk").agg(F.count("*").alias("__n"))
@@ -354,7 +367,9 @@ def measure_agree_min(
         .select("d1", "d2")
         .distinct()
     )
-    s_sh = shset.filter(keep)
+    # the keep predicate reads signature columns, so the shingle side is
+    # selected by id (sample-bounded semi join) rather than re-filtered
+    s_sh = shset.join(s_sig.select("doc_id"), "doc_id", "left_semi")
     s1 = s_sh.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = s_sh.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     a = s_sig.select(F.col("doc_id").alias("d1"),
@@ -378,7 +393,15 @@ def measure_agree_min(
     }
     total = sum(hist.values())
     if total == 0:
-        return static_bound  # nothing measurable: keep the static bound
+        # visible fallback (ADVICE r9): an empty histogram means the
+        # sample surfaced no true pairs — the static bound is kept, and
+        # that should be diagnosable, not silent
+        log.warning(
+            "measure_agree_min: no true pairs in the %d-bucket-mod sample "
+            "(n_docs=%d); keeping the static bound %d",
+            mod, n_docs, static_bound,
+        )
+        return static_bound
     for m in range(static_bound, -1, -1):
         lost = sum(n for g, n in hist.items() if g < m)
         if lost <= loss_budget * total:
@@ -521,7 +544,8 @@ def incremental_dup_pairs(
     # — doc is a dup, of whom — is preserved, and the min-id anchor is
     # exactly the edge the component-min survivor rule wants. The
     # registered twin + oracle mirror the rule; sig-collision false
-    # anchors die at the exact verify like any candidate. Needs the
+    # anchors are verified EAGERLY below (round 10) and fall back into
+    # band expansion instead of silently zeroing the doc's recall. Needs the
     # sigs store (same coverage gate as the prefilter — batch-bounded
     # broadcast against one narrow map-side scan, ~72 B/doc); legacy
     # stores skip it (old behavior).
@@ -559,6 +583,46 @@ def incremental_dup_pairs(
             )
             .groupBy("bdoc")
             .agg(F.min("doc_id").alias("adoc"))
+            .localCheckpoint(eager=True)
+        )
+        # Anchor VERIFICATION (round 10, r9 verdict #6b): a full-
+        # signature collision between non-near-dups used to zero the
+        # doc's recall silently — it skipped band expansion AND its one
+        # anchor edge died at the exact verify. Verify anchors EAGERLY
+        # (anchor-bounded: ≤|batch| pairs; the shingle store is pruned
+        # to the anchors' sbucket directories) and short-circuit ONLY
+        # the survivors — a failed anchor falls back into normal band
+        # expansion, restoring the doc's family edges. The common
+        # clone-recrawl case pays one anchor-bounded join; a collision
+        # costs the band expansion it would have needed anyway.
+        averify = old_sh
+        if "sbucket" in old_sh.columns and n_sb is not None:
+            abks = sorted(
+                r.b
+                for r in anch.select(
+                    _sbucket(F.col("adoc"), n_sb).alias("b")
+                ).distinct().collect()
+            )
+            averify = (
+                old_sh.filter(F.col("sbucket").isin(abks))
+                if abks
+                else old_sh.filter(F.lit(False))
+            )
+        averify = averify.select(
+            F.col("doc_id").alias("adoc"), F.col("sh").alias("ash")
+        ).join(F.broadcast(anch.select("adoc")), "adoc", "semi")
+        bsh = new_shset.select(
+            F.col("doc_id").alias("bdoc"), F.col("sh").alias("bsh")
+        )
+        a_inter = F.size(F.array_intersect("bsh", "ash"))
+        a_jac = a_inter.cast("double") / (
+            F.size("bsh") + F.size("ash") - a_inter
+        )
+        anch = (
+            anch.join(F.broadcast(bsh), "bdoc")
+            .join(averify, "adoc")
+            .filter(a_jac >= jaccard_threshold)
+            .select("bdoc", "adoc")
             .localCheckpoint(eager=True)
         )
         exact_pairs = anch.select(
@@ -650,8 +714,10 @@ def incremental_dup_pairs(
         if _am is not None and _ft is not None and \
                 abs(float(_ft) - jaccard_threshold) < 1e-9:
             agree_min = int(_am)
-    except Exception:
-        pass  # metaless legacy store: static bound
+    except AnalysisException:
+        pass  # metaless legacy store (no meta/ path): static bound.
+        # Anything else (transient IO, schema corruption) propagates —
+        # silently switching the bound would mask a real failure.
     if agree_min > 0 and sigs_ok:
         ids0 = (
             cand.select(F.col("d1").alias("doc_id"))

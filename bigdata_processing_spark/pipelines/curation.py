@@ -28,6 +28,7 @@ from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.operators.regime import bcast_if_rows, bcast_if_small
 from bigdata_processing_spark.operators.store import write_batch_marker
 from bigdata_processing_spark.queries.dedup import _cluster_labels
 from bigdata_processing_spark.sources.writers import literal_df
@@ -102,7 +103,10 @@ def curate_corpus(
     near_removed = labels.filter(F.col("doc_id") != F.col("cluster_id")).select(
         "doc_id"
     )
-    cur = cur.join(F.broadcast(near_removed), "doc_id", "left_anti")
+    # near_removed is O(dup docs) — 30-80% of a web-scale corpus, so the
+    # anti-join rides the shared regime switch like its registered twin
+    # (queries/dedup.py dedup_survivors), never a forced broadcast
+    cur = cur.join(bcast_if_small(near_removed, sf_dir), "doc_id", "left_anti")
     n3 = cur.count()
     stats.append(StageStats("near_dedup", n2, n3))
 
@@ -127,7 +131,11 @@ def curate_corpus(
             .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
             .select("doc_id")
         )
-        cur = cur.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        # contaminated grows with the corpus (every doc overlapping the
+        # holdout) — regime switch, not a forced broadcast
+        cur = cur.join(
+            bcast_if_small(contaminated, sf_dir), "doc_id", "left_anti"
+        )
     n5 = cur.count()
     stats.append(StageStats("decontamination", n4, n5))
 
@@ -263,20 +271,28 @@ def _mark_batch_committed(spark: SparkSession, out_path: str, batch_id: int) -> 
     On a PRE-round-7 state dir the first marker write must not strand
     the history: once ``{state}/committed`` exists,
     :func:`committed_curation_batches` stops consulting the mh-counts
-    fallback, so every batch the fallback vouched for is backfilled a
-    marker FIRST. Backfill precedes the new batch's marker, so a crash
-    between the two never loses an old batch — replay rewrites both."""
+    fallback. The backfill is CRASH-ATOMIC (round 10, r8 advisory): the
+    full marker set is written into a staging dir first and renamed
+    into place in one step — writing markers directly into the live dir
+    disabled the fallback at the FIRST write, so a crash mid-backfill
+    permanently stranded every not-yet-backfilled pre-upgrade batch.
+    A stale staging dir from an earlier crash is discarded (the live
+    dir still absent means the fallback is still authoritative)."""
     import os
+    import shutil
 
-    cdir = f"{_state_path(out_path)}/committed"
+    state = _state_path(out_path)
+    cdir = f"{state}/committed"
     if not os.path.exists(cdir):
+        staging = f"{state}/committed.backfilling"
+        shutil.rmtree(staging, ignore_errors=True)
+        os.makedirs(staging)
         for b in committed_curation_batches(spark, out_path):
             if b == batch_id:
                 continue
-            write_batch_marker(spark, _state_path(out_path), b,
-                               table="committed")
-    write_batch_marker(spark, _state_path(out_path), batch_id,
-                       table="committed")
+            write_batch_marker(spark, state, b, table="committed.backfilling")
+        os.rename(staging, cdir)  # the one atomic commit point
+    write_batch_marker(spark, state, batch_id, table="committed")
 
 
 def committed_curation_batches(spark: SparkSession, out_path: str) -> set[int]:
@@ -482,7 +498,8 @@ def curate_append(
         cur, f"{state}/mh", jaccard_threshold=jaccard_threshold,
         exclude_batch_id=batch_id,
     ).persist()
-    if pairs.count() > 0:
+    n_pairs = pairs.count()
+    if n_pairs > 0:
         labels, _rounds = connected_components(
             pairs.select("d1", "d2"), src="d1", dst="d2"
         )
@@ -491,7 +508,13 @@ def curate_append(
             .filter(F.col("doc_id") != F.col("cluster_id"))
             .select("doc_id")
         )
-        cur = cur.join(F.broadcast(near_removed), "doc_id", "left_anti")
+        # near_removed ⊆ the pair graph's nodes (≤ 2·n_pairs rows, just
+        # counted) — a bulk append's dup-heavy pair graph can outgrow an
+        # executor, so gate on the KNOWN count instead of forcing the
+        # broadcast
+        cur = cur.join(
+            bcast_if_rows(near_removed, 2 * n_pairs), "doc_id", "left_anti"
+        )
     n3 = cur.count()
     stats.append(StageStats("near_dedup", n2, n3))
 
@@ -516,7 +539,10 @@ def curate_append(
             .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
             .select("doc_id")
         )
-        cur = cur.join(F.broadcast(contaminated), "doc_id", "left_anti")
+        # contaminated ⊆ this batch's docs (count n, known) — gate on it
+        cur = cur.join(
+            bcast_if_rows(contaminated, n), "doc_id", "left_anti"
+        )
     n5 = cur.count()
     stats.append(StageStats("decontamination", n4, n5))
 

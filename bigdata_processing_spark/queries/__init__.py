@@ -58,18 +58,140 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-8 rotation (r7 verdict #5 — rolling driver-row freshness):
-    # the NEW registration and the one query whose ORACLE TEXT changed
-    # this round (the signature exact-dup short-circuit rewrote the
-    # incremental twin + SQL) lead, then the ~48 STALEST queries — every
-    # query whose newest driver row was still round 1-2. The driver
-    # samples the first 50; pytest re-oracles the whole registry every
-    # run regardless of position.
-    "minhash_margin_sweep",
+    # round-10 rotation (r9 verdict #2): LEAD with every query whose
+    # physical plan changed in r9/r10 and never got a driver row on the
+    # new plan — the regime-switched vocab joins (tfidf, surprisal),
+    # the anchor-verified incremental probe, the curation funnel, and
+    # the r9 fused-signature / regime-switch consumers. Then the
+    # stalest cohort, oldest driver row first (26 queries were last
+    # rowed in r02, 19 in r03). The driver samples the first 50;
+    # pytest re-oracles the whole registry every run regardless.
+    "tfidf_top_terms",
+    "unigram_surprisal_bands",
     "incremental_dedup_pairs",
+    "curation_funnel",
+    "doc_novelty_bands",
+    "winnowing_dup_passages",
+    "dedup_survivors",
+    "dedup_survivors_by_quality",
+    "containment_dup_pairs",
+    "cross_source_dup_matrix",
+    "lsh_recall_audit",
+    "minhash_prefilter_audit",
+    "minhash_lsh_dup_pairs",
+    "dup_clusters",
+    "minhash_margin_sweep",
+    "minhash_signatures_sample",
+    # stalest cohort (r02 first, then r03/r04/... within-round by name)
+    "distribution_ranks",
+    "embedding_norm_stats",
+    "first_last_bool_aggs",
+    "json_serialize",
+    "kmeans_iteration_stats",
+    "knn_ivf_seeded",
+    "math_functions",
+    "multimodal_decode_stats",
+    "multimodal_feature_sample",
+    "multimodal_frame_stats",
+    "ntile_balance_quartiles",
+    "null_handling",
+    "pagination_page3",
+    "profile_orders",
+    "regexp_extract_ids",
+    "repetition_ratio_bands",
+    "shipped_within_90d",
+    "stratified_sample_5_per_type",
+    "string_agg_top_customers",
+    "string_functions",
+    "token_packing_bins",
+    "unpivot_segment_metrics",
+    "value_outlier_fences",
+    "value_quantiles_by_type",
+    "value_statistics",
+    "approx_distinct_users",
+    "asof_purchase_last_view",
+    "bpe_token_counts",
+    "data_quality_checks",
+    "global_overhead",
+    "grouping_sets_revenue",
+    "lateral_top_customer_per_nation",
+    "map_entries_explode",
+    "monthly_from_daily_rollup",
+    "monthly_revenue_mom_change",
+    "not_in_supplier_nations",
+    "range_join_value_bands",
+    "rolling_1h_stats",
+    "scalar_subquery_above_avg",
+    "text_stats_by_lang",
+    "train_test_split",
+    "typed_casts",
+    "wei_decimal_topk",
+    "windowed_event_dedup",
+    "anomalous_hours_by_type",
+    "binary_rerank_knn",
+    "embedding_drift_by_cell",
+    "quality_weighted_sample",
+    "resample_hourly_ffill",
+    "session_funnel",
+    "winsorized_value_stats",
+    "binary_quantized_knn",
+    "boilerplate_chunk_stats",
+    "sessionize_events",
+    "word_entropy_bands",
+    "chunk_documents",
+    "hard_negatives",
+    "matryoshka_knn_recall",
+    "mixture_weights",
+    "seq_length_histogram",
+    "url_domain_topk",
+    "zorder_curve_sample",
+    "array_functions",
+    "audio_feature_stats",
+    "bigram_perplexity_bands",
+    "bloom_decontamination",
+    "bloom_prejoin_revenue",
+    "cms_overestimate_audit",
+    "collect_sorted_lists",
+    "dedup_verifier_matrix",
+    "dup_cluster_size_histogram",
+    "edit_distance_dup_pairs",
+    "embedding_neardup_pairs",
+    "gopher_rule_funnel",
+    "hard_negative_probe_sweep",
+    "hard_negatives_celled",
+    "hash_sample_10pct",
+    "hashed_tf_knn",
+    "hashed_tf_knn_celled",
+    "hot_key_skew_report",
+    "image_feature_stats",
+    "image_neardup_pairs",
+    "incremental_image_dedup_pairs",
+    "ivf_append_assignment",
+    "kmv_set_algebra",
+    "lsh_band_sweep",
+    "minhash_estimate_audit",
+    "minhash_unguarded_dup_pairs",
+    "multimodal_real_codec",
+    "pii_redaction_stats",
+    "pq_adc_knn",
+    "quantile_sketch_audit",
+    "salted_supplier_totals",
+    "semantic_dedup_survivors",
+    "semantic_dedup_sweep",
+    "simhash_neardup_pairs",
+    "temperature_mixture_weights",
+    "token_fertility_by_lang",
+    "training_shard_stats",
+    "vocab_coverage_curve",
     "argmax_user_by_type",
+    "balanced_mixture_sample",
+    "contamination_test_vs_train",
+    "correlated_above_customer_avg",
+    "correlated_exists_urgent",
+    "cube_status_priority",
     "customers_without_orders",
     "daily_value_running",
+    "date_functions",
     "dedup_exact_summary",
     "dedup_keep_first",
     "distinct_users_by_type",
@@ -83,7 +205,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "knn_bruteforce",
     "knn_ivf_label",
     "lang_id_confusion",
-    "minhash_signatures_sample",
     "monthly_avg_price",
     "monthly_orders",
     "nation_order_counts_outer",
@@ -109,126 +230,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_suppliers_by_quantity",
     "tumbling_window_6h",
     "variant_props_quartiles",
-    "balanced_mixture_sample",
-    "contamination_test_vs_train",
-    "correlated_above_customer_avg",
-    "correlated_exists_urgent",
-    "cube_status_priority",
-    "date_functions",
-    # union-green overflow (recorded rows retained), prior rotations
-    "image_neardup_pairs",
-    "minhash_prefilter_audit",
-    "incremental_image_dedup_pairs",
-    "bloom_decontamination",
-    "token_fertility_by_lang",
-    "temperature_mixture_weights",
-    "simhash_neardup_pairs",
-    "gopher_rule_funnel",
-    "training_shard_stats",
-    "hashed_tf_knn",
-    "vocab_coverage_curve",
-    "hashed_tf_knn_celled",
-    "embedding_neardup_pairs",
-    "semantic_dedup_survivors",
-    "semantic_dedup_sweep",
-    "hard_negatives_celled",
-    "hard_negative_probe_sweep",
-    "quantile_sketch_audit",
-    "audio_feature_stats",
-    "image_feature_stats",
-    "minhash_unguarded_dup_pairs",
-    "minhash_lsh_dup_pairs",
-    "dup_clusters",
-    "dedup_survivors",
-    "dedup_survivors_by_quality",
-    "containment_dup_pairs",
-    "edit_distance_dup_pairs",
-    "lsh_recall_audit",
-    "minhash_estimate_audit",
-    "dedup_verifier_matrix",
-    "cross_source_dup_matrix",
-    "dup_cluster_size_histogram",
-    "curation_funnel",
-    "bigram_perplexity_bands",
-    "ivf_append_assignment",
-    "hot_key_skew_report",
-    "bloom_prejoin_revenue",
-    "cms_overestimate_audit",
-    "kmv_set_algebra",
-    "lsh_band_sweep",
-    "winnowing_dup_passages",
-    "doc_novelty_bands",
-    "pq_adc_knn",
-    "collect_sorted_lists",
-    "array_functions",
-    "salted_supplier_totals",
-    "hash_sample_10pct",
-    "multimodal_real_codec",
-    "pii_redaction_stats",
-    "url_domain_topk",
-    "mixture_weights",
-    "zorder_curve_sample",
-    "chunk_documents",
-    "hard_negatives",
-    "seq_length_histogram",
-    "matryoshka_knn_recall",
-    "binary_quantized_knn",
-    "word_entropy_bands",
-    "sessionize_events",
-    "unigram_surprisal_bands",
-    "boilerplate_chunk_stats",
-    "quality_weighted_sample",
-    "winsorized_value_stats",
-    "embedding_drift_by_cell",
-    "binary_rerank_knn",
-    "resample_hourly_ffill",
-    "session_funnel",
-    "anomalous_hours_by_type",
-    "data_quality_checks",
-    "windowed_event_dedup",
-    "monthly_revenue_mom_change",
-    "global_overhead",
-    "map_entries_explode",
-    "text_stats_by_lang",
-    "bpe_token_counts",
-    "wei_decimal_topk",
-    "typed_casts",
-    "monthly_from_daily_rollup",
-    "scalar_subquery_above_avg",
-    "not_in_supplier_nations",
-    "lateral_top_customer_per_nation",
-    "grouping_sets_revenue",
-    "rolling_1h_stats",
-    "asof_purchase_last_view",
-    "range_join_value_bands",
-    "train_test_split",
-    "approx_distinct_users",
-    "tfidf_top_terms",
-    "knn_ivf_seeded",
-    "kmeans_iteration_stats",
-    "multimodal_decode_stats",
-    "multimodal_feature_sample",
-    "json_serialize",
-    "token_packing_bins",
-    "value_outlier_fences",
-    "repetition_ratio_bands",
-    "multimodal_frame_stats",
-    "stratified_sample_5_per_type",
-    "value_quantiles_by_type",
-    "embedding_norm_stats",
-    "shipped_within_90d",
-    "string_functions",
-    "null_handling",
-    "value_statistics",
-    "unpivot_segment_metrics",
-    "regexp_extract_ids",
-    "first_last_bool_aggs",
-    "math_functions",
-    "distribution_ranks",
-    "ntile_balance_quartiles",
-    "pagination_page3",
-    "profile_orders",
-    "string_agg_top_customers",
 )
 
 

@@ -122,7 +122,11 @@ def _pruned_sig_df(
     audit queries call both — pre-memo each cold audit built the whole
     shingle→df→signature chain twice). On a miss the fused one-shuffle
     build runs here and fills the same memo."""
-    key = (spark.sparkContext.applicationId, sf_dir, max_df, max_df_frac)
+    # the resolved regime is part of the key (ADVICE r9): a memo hit must
+    # not hand back a signature frame PLANNED under a different broadcast
+    # regime than the caller's (e.g. a cap override forcing sort-merge)
+    fits = _fits_broadcast(sf_dir)
+    key = (spark.sparkContext.applicationId, sf_dir, max_df, max_df_frac, fits)
     cached = _PSIG_MEMO.get(key)
     if cached is not None:
         return cached
@@ -132,7 +136,7 @@ def _pruned_sig_df(
     n_docs = shset.count()
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
     eff = max(max_df, int(math.ceil(max_df_frac * n_docs)))
-    sig = _fused_pruned_sig(shex, eff, _fits_broadcast(sf_dir)).persist()
+    sig = _fused_pruned_sig(shex, eff, fits).persist()
     _PSIG_MEMO[key] = sig
     return sig
 
@@ -326,11 +330,13 @@ _SQL_CAND_PREF = f"""
 # (pairs ≪ corpus) instead of re-shuffling the corpus.
 _PAIR_MEMO: dict[tuple[str, str, float], DataFrame] = {}
 _CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
-# (appId, sf_dir, max_df, max_df_frac) → persisted PRUNED signature frame.
+# (appId, sf_dir, max_df, max_df_frac, fits_broadcast) → persisted PRUNED
+# signature frame (the resolved regime keys the memo so a cap override
+# can't be served a frame planned under the other regime).
 # Filled by _scored_candidates, read by _pruned_sig_df — the audit
 # queries consume both, and pre-memo each cold audit run built the
 # whole shingle→df→signature chain twice (r8 verdict wrong-item #2).
-_PSIG_MEMO: dict[tuple[str, str, int, float], DataFrame] = {}
+_PSIG_MEMO: dict[tuple[str, str, int, float, bool], DataFrame] = {}
 # per-call persists consumed lazily by callers (can't be unpersisted at
 # create time) — evicted by clear_dedup_memos()
 _LOOSE_PERSISTS: list[DataFrame] = []
@@ -462,87 +468,19 @@ def _verified_dup_pairs(
     return out
 
 
-def _docs_uncompressed_bytes(sf_dir: str) -> int:
-    """UNCOMPRESSED byte size of the documents table from the parquet
-    column-chunk footers — pure file metadata, no Spark job.
-
-    Compressed file size is the wrong proxy for in-memory relation size:
-    compression ratio varies wildly with content (the 100× clone proof
-    corpus packs 156 MB of text into 56 MB on disk — a ratio a real
-    boilerplate-heavy web crawl can match), so a disk-based threshold
-    silently re-enters broadcast territory exactly when duplication is
-    worst. Footer uncompressed sizes are ratio-independent. Falls back
-    to 3 × file size when a footer can't be read."""
-    import glob
-    import os
-
-    p = os.path.join(sf_dir, "documents.parquet")
-    files = [p] if os.path.isfile(p) else sorted(
-        glob.glob(os.path.join(p, "*.parquet"))
-    )
-    try:
-        import pyarrow.parquet as pq
-
-        total = 0
-        for f in files:
-            md = pq.ParquetFile(f).metadata
-            for rg in range(md.num_row_groups):
-                g = md.row_group(rg)
-                total += sum(
-                    g.column(c).total_uncompressed_size
-                    for c in range(g.num_columns)
-                )
-        return total
-    except Exception:
-        return 3 * sum(os.path.getsize(f) for f in files)
-
-
-# Broadcasting a side of the verify join ships the WHOLE corpus's shingle
-# sets to every executor — fine while the corpus is dimension-table-sized,
-# an OOM at corpus scale. Estimated in-memory bytes = 8 × uncompressed
-# parquet text (each ~15-char shingle string becomes a ~70-byte JVM
-# object — 2-byte chars + header/padding — and the shingle arrays
-# re-materialize most of the text; measured: the 156 MB-uncompressed
-# 100× proof corpus OOM'd an 8 GB driver as a forced broadcast). Above
-# the cap every corpus-sized join in the pipeline degrades to a
-# key-shuffle join: still candidate-bounded, no broadcast anywhere.
-VERIFY_BROADCAST_MAX_BYTES = 512 << 20
-_UNCOMP_TO_MEM_MULT = 8
-
-# Footer-size memo: the regime decision is pure parquet metadata, but a
-# reporting query family can consult it a dozen times per call (labels,
-# removed sets, df tables, verify legs) — read the footers once per dir.
-_SIZE_MEMO: dict[str, int] = {}
-
-
-def _fits_broadcast(
-    sf_dir: str, cap: int = VERIFY_BROADCAST_MAX_BYTES
-) -> bool:
-    """ONE regime decision for every broadcast whose table GROWS WITH
-    the corpus (shingle-set lookups, cluster labels, removed-doc sets,
-    vocabulary/fingerprint df tables, verified-pair frames). Proxy:
-    estimated in-memory bytes of the documents table (8 × uncompressed
-    parquet size — see the comment above VERIFY_BROADCAST_MAX_BYTES);
-    every derived table in this family is bounded by the corpus it was
-    derived from, so one corpus-sized gate covers them all."""
-    sz = _SIZE_MEMO.get(sf_dir)
-    if sz is None:
-        sz = _docs_uncompressed_bytes(sf_dir)
-        _SIZE_MEMO[sf_dir] = sz
-    return _UNCOMP_TO_MEM_MULT * sz <= cap
-
-
-def _bcast_if_small(df: DataFrame, sf_dir: str) -> DataFrame:
-    """Broadcast-or-merge switch for corpus-growing join sides. Small
-    regime: explicit broadcast (these joins are the hot path and AQE
-    does not always convert them — see _sig_from_shex). Big regime:
-    explicit sort-merge HINT, not merely no-hint — a bare F.broadcast()
-    bypasses Spark's size check and OOMs outright at real-corpus
-    cardinalities, and Catalyst's static size estimate through
-    explode/aggregate subtrees undercounts badly enough to re-enter
-    broadcast territory on its own (measured: the 100× proof corpus
-    OOM'd an 8 GB driver through a forced vocab broadcast)."""
-    return F.broadcast(df) if _fits_broadcast(sf_dir) else df.hint("merge")
+# Round 10: the regime switch moved to operators/regime.py so the whole
+# package (tf-idf, surprisal, the curation pipelines) gates corpus-
+# growing broadcasts through the SAME decision. The underscore aliases
+# keep this module's historical surface (tests/tools poke _SIZE_MEMO to
+# force a regime) — same objects, one memo.
+from bigdata_processing_spark.operators.regime import (  # noqa: E402
+    UNCOMP_TO_MEM_MULT as _UNCOMP_TO_MEM_MULT,
+    VERIFY_BROADCAST_MAX_BYTES,
+    _SIZE_MEMO,
+    bcast_if_small as _bcast_if_small,
+    docs_uncompressed_bytes as _docs_uncompressed_bytes,
+    fits_broadcast as _fits_broadcast,
+)
 
 
 def _scored_candidates(
@@ -623,7 +561,8 @@ def _scored_candidates(
         # the estimate prefilter here, and by _pruned_sig_df in the audit
         # queries — which otherwise rebuilt the whole chain per cold run
         psig_key = (
-            spark.sparkContext.applicationId, sf_dir, max_df, max_df_frac
+            spark.sparkContext.applicationId, sf_dir, max_df, max_df_frac,
+            fits_broadcast,
         )
         sig = _PSIG_MEMO.get(psig_key)
         if sig is None:
@@ -631,6 +570,12 @@ def _scored_candidates(
             _PSIG_MEMO[psig_key] = sig
     else:
         sig = _sig_from_shex(shex, broadcast_vocab=fits_broadcast)
+        if est_agree_min is not None and est_agree_min > 0:
+            # the prefilter consumes sig three times (band keys + both
+            # estimate legs) — without the persist the shingle→signature
+            # subtree recomputes for each (ADVICE r9)
+            sig = sig.persist()
+            _LOOSE_PERSISTS.append(sig)
 
     band_keys = F.array(
         *[

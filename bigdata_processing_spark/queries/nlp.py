@@ -11,6 +11,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.operators.regime import bcast_if_small
 from bigdata_processing_spark.queries import register
 
 
@@ -55,7 +56,11 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
     df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
     n_docs = docs.count()  # one scalar; the corpus size
-    scored = tf.join(F.broadcast(df), "tok").select(
+    # the df table is VOCABULARY-sized — it grows with the corpus, so the
+    # join rides the shared regime switch (broadcast small, sort-merge
+    # big), never a forced broadcast (r9 verdict: same table shape that
+    # OOM'd doc_novelty_bands at 100x)
+    scored = tf.join(bcast_if_small(df, sf_dir), "tok").select(
         "doc_id",
         "tok",
         F.round(F.col("tf") * F.log(F.lit(float(n_docs)) / F.col("df")), 9).alias("tfidf"),

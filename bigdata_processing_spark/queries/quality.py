@@ -19,6 +19,7 @@ from pyspark.sql import functions as F
 
 from bigdata_processing_spark.catalog import load_table
 from bigdata_processing_spark.functions import text as T
+from bigdata_processing_spark.operators.regime import bcast_if_small
 from bigdata_processing_spark.queries import register
 
 CONTAM_FRAC = 0.5  # test doc is contaminated if ≥ this frac of its
@@ -406,10 +407,11 @@ def unigram_surprisal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     both tails are what an LM-perplexity filter (CCNet-style) trims.
 
     Scale shape: the vocabulary aggregate is one (token) shuffle with
-    map-side combine; scoring re-joins tokens to the vocab — hinted
-    broadcast here (vocab ≪ corpus after aggregation; a web-scale vocab
-    drops the hint and it becomes a shuffle join on token, still
-    vocab-bounded); the 1-row total rides a broadcast cross join. Mean
+    map-side combine; scoring re-joins tokens to the vocab through the
+    shared regime switch (vocab ≪ corpus after aggregation, so it
+    broadcasts at test scale; a web-scale vocab degrades to a sort-merge
+    join on token, still vocab-bounded — operators/regime.py); the 1-row
+    total rides a broadcast cross join. Mean
     surprisal is rounded to 1e-6 before banding so the groupBy key is
     stable against summation-order float differences across engines."""
     docs = load_table(spark, sf_dir, "documents")
@@ -418,7 +420,7 @@ def unigram_surprisal_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = tok.groupBy("t").agg(F.count("*").alias("c"))
     tot = vocab.agg(F.sum("c").cast("double").alias("n"))
     sur = (
-        tok.join(F.broadcast(vocab), "t")
+        tok.join(bcast_if_small(vocab, sf_dir), "t")
         .crossJoin(F.broadcast(tot))
         .groupBy("doc_id")
         .agg(F.avg(-F.log2(F.col("c").cast("double") / F.col("n"))).alias("s"))

@@ -103,3 +103,66 @@ def test_curation_emit_swap_recovers_from_crash_window(spark, tmp_path):
     assert not os.path.exists(out + ".old")
     assert not os.path.exists(out + ".emitting")
     clear_dedup_memos()
+
+
+def test_curate_corpus_obeys_the_regime_switch(spark, tmp_path):
+    """Round-10 guard (r9 verdict wrong-item #1): the pipeline's
+    near_removed / contaminated anti-join sides grow with the corpus —
+    O(dup docs) is 30-80% of a web-scale crawl — so they ride the shared
+    regime switch. Forcing the BIG regime must change only the physical
+    plans: the stage ledger and the surviving doc ids stay identical."""
+    from bigdata_processing_spark.catalog import load_table as _lt
+    from bigdata_processing_spark.operators import regime
+
+    docs = _lt(spark, SF_SMALL, "documents")
+    holdout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+    clear_dedup_memos()
+    out_sm = os.path.join(str(tmp_path), "curated_sm")
+    stats_sm = curate_corpus(
+        spark, SF_SMALL, out_sm, holdout=holdout, balance_sources=False
+    )
+    ids_sm = {r.doc_id for r in spark.read.parquet(out_sm).select("doc_id").collect()}
+
+    clear_dedup_memos()  # also clears the shared size memo
+    regime._SIZE_MEMO[SF_SMALL] = 10**15  # force every gate to sort-merge
+    try:
+        out_big = os.path.join(str(tmp_path), "curated_big")
+        stats_big = curate_corpus(
+            spark, SF_SMALL, out_big, holdout=holdout, balance_sources=False
+        )
+    finally:
+        regime._SIZE_MEMO.pop(SF_SMALL, None)
+        clear_dedup_memos()
+    ids_big = {r.doc_id for r in spark.read.parquet(out_big).select("doc_id").collect()}
+
+    assert [(s.stage, s.docs_in, s.docs_out) for s in stats_sm] == [
+        (s.stage, s.docs_in, s.docs_out) for s in stats_big
+    ]
+    assert ids_sm == ids_big
+
+
+def test_bcast_if_rows_gates_on_known_count(spark):
+    """curate_append's removal sets are gated by the COUNT the pipeline
+    already materialized (no corpus dir to proxy from): small counts
+    broadcast, counts past the byte cap degrade to sort-merge."""
+    from bigdata_processing_spark.operators.regime import (
+        VERIFY_BROADCAST_MAX_BYTES,
+        bcast_if_rows,
+    )
+
+    left = spark.range(1000).withColumnRenamed("id", "doc_id")
+    right = spark.range(10).withColumnRenamed("id", "doc_id")
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        small = left.join(bcast_if_rows(right, 10), "doc_id", "left_anti")
+        p = small._jdf.queryExecution().executedPlan().toString()
+        assert "Broadcast" in p, p
+        over_cap = VERIFY_BROADCAST_MAX_BYTES // 64 + 1
+        big = left.join(bcast_if_rows(right, over_cap), "doc_id", "left_anti")
+        p = big._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in p and "Broadcast" not in p, p
+        assert small.count() == big.count() == 990
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)

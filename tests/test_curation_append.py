@@ -399,3 +399,62 @@ def test_upgrade_path_backfills_committed_markers(spark, tmp_path):
         "first post-upgrade append stranded pre-existing committed batches"
     )
     clear_dedup_memos()
+
+
+def test_marker_backfill_is_crash_atomic(spark, tmp_path, monkeypatch):
+    """Round-10 fix (r8 advisory, medium): the pre-round-7 marker
+    backfill must be all-or-nothing. The old code wrote markers straight
+    into the live {state}/committed dir — its FIRST write disabled the
+    mh-counts fallback, so a crash mid-backfill permanently stranded
+    every not-yet-backfilled batch. Now the set is staged and renamed in
+    one step: a crash leaves the fallback authoritative and a replay
+    completes the upgrade."""
+    import shutil
+
+    import bigdata_processing_spark.pipelines.curation as C
+    from bigdata_processing_spark.pipelines.curation import (
+        _mark_batch_committed,
+        _state_path,
+        committed_curation_batches,
+    )
+
+    clear_dedup_memos()
+    base_sf, _full, batch = _split_dirs(spark, tmp_path)
+    out = os.path.join(str(tmp_path), "curated")
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+    curate_append(spark, out, batch)  # batch 1, committed under markers
+    assert committed_curation_batches(spark, out) == {0, 1}
+
+    # simulate the pre-round-7 upgrade: no curation-owned marker dir
+    shutil.rmtree(f"{_state_path(out)}/committed")
+    assert committed_curation_batches(spark, out) == {0, 1}  # fallback
+
+    # crash injection: the backfill's SECOND marker write dies (one
+    # marker already staged — the old code would have written it into
+    # the live dir, killing the fallback with batch 1 still unmarked)
+    real = C.write_batch_marker
+    calls = {"n": 0}
+
+    def dying(spark_, path, bid, n=1, table="counts"):
+        calls["n"] += 1
+        if calls["n"] >= 2:
+            raise RuntimeError("injected crash mid-backfill")
+        real(spark_, path, bid, n, table=table)
+
+    monkeypatch.setattr(C, "write_batch_marker", dying)
+    try:
+        _mark_batch_committed(spark, out, 2)
+    except RuntimeError:
+        pass
+    monkeypatch.setattr(C, "write_batch_marker", real)
+
+    # the crash must NOT have disabled the fallback or lost a batch
+    assert committed_curation_batches(spark, out) == {0, 1}, (
+        "crash mid-backfill stranded pre-upgrade batches"
+    )
+    # replay completes the upgrade: all markers live, fallback retired
+    _mark_batch_committed(spark, out, 2)
+    assert os.path.exists(f"{_state_path(out)}/committed")
+    assert not os.path.exists(f"{_state_path(out)}/committed.backfilling")
+    assert committed_curation_batches(spark, out) == {0, 1, 2}
+    clear_dedup_memos()

@@ -744,3 +744,72 @@ def test_refit_retunes_agree_min(spark, tmp_path, monkeypatch):
     )
     assert refit is True
     assert read_meta(spark, idx).agree_min == 1
+
+
+def test_sig_collision_anchor_falls_back_to_band_expansion(spark, tmp_path):
+    """Round-10 fix (r9 verdict #6b): a batch doc whose FULL minhash
+    signature collides with a NON-near-dup indexed doc used to anchor to
+    it, skip band expansion, and lose its one anchor edge at the exact
+    verify — silent doc-level zero recall. Anchors are now verified
+    eagerly; a failed anchor re-enters band expansion and recovers the
+    doc's true near-dup partners.
+
+    The fixture engineers a genuine collision: doc B extends doc A with
+    filler words whose shingles never lower any of A's 8 minhash minima,
+    so sig(B) == sig(A) while jaccard(A, B) < 0.8. Doc C (indexed) is a
+    true near-dup of B."""
+    import hashlib
+
+    def mh(s: str) -> list[int]:
+        out = []
+        for i in range(8):
+            seed, chunk = divmod(i, 4)
+            h = hashlib.md5(f"{seed}|{s}".encode()).hexdigest()
+            out.append(int(h[8 * chunk : 8 * chunk + 8], 16))
+        return out
+
+    def shingles(text: str) -> set[str]:
+        w = [t for t in text.split(" ")]
+        return {f"{a}_{b}" for a, b in zip(w, w[1:])}
+
+    def sig_of(sh: set[str]) -> tuple[int, ...]:
+        hs = [mh(s) for s in sorted(sh)]
+        return tuple(min(h[i] for h in hs) for i in range(8))
+
+    base_words = [f"a{i:02d}" for i in range(30)]
+    text_a = " ".join(base_words)
+    minima = sig_of(shingles(text_a))
+
+    # greedily extend A with shingles that keep every minimum intact
+    fillers, last = [], base_words[-1]
+    pool = iter(f"f{i:04d}" for i in range(20000))
+    while len(fillers) < 12:
+        cand = next(pool)
+        if all(h >= m for h, m in zip(mh(f"{last}_{cand}"), minima)):
+            fillers.append(cand)
+            last = cand
+    text_b = text_a + " " + " ".join(fillers)
+    assert sig_of(shingles(text_b)) == minima, "fixture must collide"
+    ja_b = len(shingles(text_a)) / len(shingles(text_a) | shingles(text_b))
+    assert ja_b < 0.8, "A and B must NOT be near-dups"
+    text_c = text_b + " czzz"
+    sb, sc = shingles(text_b), shingles(text_c)
+    assert len(sb & sc) / len(sb | sc) >= 0.8, "B and C must be near-dups"
+
+    # filler docs keep the store non-degenerate
+    corpus = {1: text_a, 50: text_c}
+    for i in range(2, 10):
+        corpus[i] = " ".join(f"z{i}w{j}" for j in range(20))
+    idx = os.path.join(str(tmp_path), "mh_collide")
+    build_minhash_index(_mini_corpus(spark, corpus), idx)
+
+    batch = _mini_corpus(spark, {100: text_b})
+    got = {
+        (r.d1, r.d2): r.jaccard
+        for r in incremental_dup_pairs(batch, idx).collect()
+    }
+    # the collided anchor (A=1) must NOT appear: it fails exact verify
+    assert (1, 100) not in got
+    # the true near-dup partner (C=50) must be recovered via bands —
+    # pre-fix the failed anchor suppressed band expansion entirely
+    assert (50, 100) in got and got[(50, 100)] >= 0.8, got

@@ -514,3 +514,115 @@ def test_corpus_growing_reporting_joins_obey_the_regime_switch(spark):
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
         D.clear_dedup_memos()
+
+
+def test_vocab_df_joins_obey_the_regime_switch(spark):
+    """Round-10 guard (r9 verdict wrong-item #1): tfidf_top_terms'
+    document-frequency table and unigram_surprisal_bands' vocabulary
+    GROW WITH the corpus — same table shape whose forced broadcast
+    OOM'd doc_novelty_bands at 100x. Both must route through the shared
+    regime switch: broadcast small, sort-merge past the corpus bound,
+    identical values either way. (The 1-row total in surprisal rides a
+    BroadcastNestedLoopJoin in both regimes — bounded by construction.)"""
+    from bigdata_processing_spark.operators import regime
+    from bigdata_processing_spark.queries.nlp import tfidf_top_terms
+    from bigdata_processing_spark.queries.quality import unigram_surprisal_bands
+
+    def plan_str(df):
+        return df._jdf.queryExecution().executedPlan().toString()
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # ---- forced BIG regime ----
+        regime._SIZE_MEMO[SF_SMALL] = 10**15
+        tf_big = tfidf_top_terms(spark, SF_SMALL)
+        p = plan_str(tf_big)
+        assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p, p
+        sur_big = unigram_surprisal_bands(spark, SF_SMALL)
+        p = plan_str(sur_big)
+        assert "SortMergeJoin" in p and "BroadcastHashJoin" not in p, p
+        def rows(df):
+            # avg() over doubles is summation-order sensitive: SMJ vs BHJ
+            # plans differ in the last ulp — compare at 1e-9
+            return sorted(
+                tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+                for r in df.collect()
+            )
+
+        tf_big_rows = rows(tf_big)
+        sur_big_rows = rows(sur_big)
+
+        # ---- small regime (real fixture size) ----
+        regime._SIZE_MEMO.pop(SF_SMALL, None)
+        tf_sm = tfidf_top_terms(spark, SF_SMALL)
+        assert "BroadcastHashJoin" in plan_str(tf_sm)
+        sur_sm = unigram_surprisal_bands(spark, SF_SMALL)
+        assert "BroadcastHashJoin" in plan_str(sur_sm)
+
+        assert rows(tf_sm) == tf_big_rows
+        assert rows(sur_sm) == sur_big_rows
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        regime._SIZE_MEMO.pop(SF_SMALL, None)
+
+
+def test_every_broadcast_site_is_bounded_or_gated():
+    """Package-wide broadcast audit (r9 verdict next-round #1): every
+    F.broadcast( site must be either bounded by construction (k rows, a
+    batch, a candidate/probe set, a sketch, centroids, a dimension
+    table) or routed through operators/regime.py. The allowlist below
+    pins the audited per-file counts — adding a NEW F.broadcast( site
+    anywhere trips this test until the site is classified here."""
+    import glob
+    import os
+
+    pkg = os.path.join(os.path.dirname(__file__), "..", "bigdata_processing_spark")
+    pkg = os.path.abspath(pkg)
+    # file → (expected count, why the broadcast sides are bounded)
+    allow = {
+        "operators/regime.py": (4, "the gate itself (2 code branches + "
+                                   "2 docstring mentions)"),
+        "streaming/hashed_tf.py": (2, "k centroids / n_probe cells per query"),
+        "streaming/image_dedup.py": (5, "micro-batch ids / candidate-bounded "
+                                        "hash lookups (semi-pruned to cand ids)"),
+        "pipelines/ethereum.py": (4, "scam-address dim table / top-10 semi sets"),
+        "pipelines/curation.py": (5, "holdout trigram vocab (benchmark-sized) "
+                                     "+ batch-bounded fp hit sets; corpus-growing "
+                                     "sides are gated via bcast_if_small/_rows"),
+        "operators/sharding.py": (1, "shard-to-path map: one row per shard"),
+        "operators/ivf.py": (9, "centroid tables / n_probe probe cells"),
+        "operators/clustering.py": (1, "k centroids"),
+        "operators/incremental_dedup.py": (6, "batch signatures / batch id "
+                                              "sets (appends are batch-sized)"),
+        "operators/multimodal.py": (2, "regime-switched at the fits check"),
+        "operators/quantization.py": (1, "query batch"),
+        "operators/sketches.py": (3, "fixed-width sketch / candidate keys"),
+        "operators/skew.py": (1, "salt table: n_salts rows"),
+        "queries/timeseries.py": (4, "histogram bands / query specs / "
+                                     "1-row bounds"),
+        "queries/analytic.py": (1, "customer dim table"),
+        "queries/nlp.py": (5, "query batches / 1-row totals / k-row tops; "
+                              "the vocab-df join is gated (bcast_if_small)"),
+        "queries/quality.py": (4, "per-source rates / query specs / 1-row "
+                                  "totals; the vocab join is gated"),
+        "queries/joins.py": (6, "TPC-H dim tables / top-k semi sets"),
+        "queries/scrubbing.py": (1, "per-language threshold table"),
+        "queries/similarity.py": (11, "query batches (k rows) / centroids / "
+                                      "candidate shortlists"),
+        "queries/dedup.py": (18, "narrow-sig legs behind their own byte "
+                                 "gate; anchor/batch/candidate-bounded sets; "
+                                 "docstring mentions; corpus-growing sides "
+                                 "all ride _bcast_if_small"),
+    }
+    found: dict[str, int] = {}
+    for f in glob.glob(os.path.join(pkg, "**", "*.py"), recursive=True):
+        n = open(f).read().count("F.broadcast(")
+        if n:
+            found[os.path.relpath(f, pkg)] = n
+    assert {k: v for k, v in found.items()} == {
+        k: v[0] for k, v in allow.items()
+    }, (
+        "unclassified F.broadcast( sites — gate corpus-growing sides via "
+        f"operators/regime.py or classify them here: {found}"
+    )

@@ -194,6 +194,79 @@ ENTRIES: dict[str, str] = {
         "— false positives die at the exact join), so only might-match "
         "trigrams ever shuffle."
     ),
+    # --- round-8/9/10 shapes the gallery was missing (r9 verdict #3) ---
+    "hot_key_skew_report": (
+        "Skew diagnosis: two-stage salted aggregation — partial agg on "
+        "(key, salt), final on key — so one hot key spreads over "
+        "n_salts reducers instead of melting one."
+    ),
+    "dup_cluster_size_histogram": (
+        "Reporting over the memoized pair pipeline; the over-cap LSH "
+        "buckets contribute member×representative STARS via rank "
+        "selection — WindowGroupLimit (r8), no member arrays, O(1) "
+        "per-row memory at any bucket size."
+    ),
+    "doc_novelty_bands": (
+        "Vocabulary-df join rides the regime switch (r9): BROADCAST at "
+        "this scale; see the big-regime section below for the same "
+        "query past the corpus bound."
+    ),
+    "winnowing_dup_passages": (
+        "Winnowing fingerprints: window-min candidate selection, "
+        "df-capped fingerprints, pair self-join guarded in BOTH "
+        "regimes (r9's third hazard: Catalyst static-estimate "
+        "re-broadcast through a window+agg subtree)."
+    ),
+    "dedup_survivors": (
+        "Survivor anti-join against the cluster-label frame (O(dup "
+        "docs), corpus-growing): regime-switched — left-outer "
+        "broadcast here, SMJ past the bound."
+    ),
+    "tfidf_top_terms": (
+        "TF-IDF: the token document-frequency table is "
+        "vocabulary-sized (grows with the corpus) — gated through "
+        "operators/regime.bcast_if_small (r10), never a forced "
+        "broadcast."
+    ),
+    "unigram_surprisal_bands": (
+        "Unigram-LM surprisal: corpus vocab re-join gated (r10); the "
+        "1-row total rides a BroadcastNestedLoopJoin in every regime."
+    ),
+    "curation_funnel": (
+        "The composed curation ledger: exact-dedup fingerprint groupBy "
+        "is the only corpus-sized shuffle; near-dup labels come from "
+        "the memoized MinHash pipeline; removal-set anti-joins are "
+        "regime-switched (r10)."
+    ),
+}
+
+# Re-explained with the corpus-size memo FORCED past the broadcast cap:
+# the plans a 100-TB corpus would get. Every corpus-growing join must
+# degrade to SortMergeJoin — no corpus-sized BroadcastHashJoin anywhere.
+BIG_REGIME_ENTRIES: dict[str, str] = {
+    "doc_novelty_bands": (
+        "Big regime: the vocab-df join and rare-fp joins plan as "
+        "SortMergeJoin (the forced broadcast here OOM'd the 100x "
+        "driver pre-r9)."
+    ),
+    "winnowing_dup_passages": (
+        "Big regime: pair self-join SMJ — the explicit merge hint "
+        "exists because a bare no-hint let Catalyst's static estimate "
+        "re-enter broadcast territory (measured at 100x)."
+    ),
+    "dedup_survivors": (
+        "Big regime: the labels left-outer and removed-set anti-join "
+        "both SMJ; output rows identical to the small regime "
+        "(tests/test_plans.py pins row identity)."
+    ),
+    "tfidf_top_terms": (
+        "Big regime: tf⋈df becomes a token-keyed shuffle join — "
+        "vocab-bounded exchange, no vocabulary broadcast."
+    ),
+    "unigram_surprisal_bands": (
+        "Big regime: tok⋈vocab SMJ; only the 1-row total still rides "
+        "a (bounded) broadcast nested loop."
+    ),
 }
 
 
@@ -202,7 +275,7 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
     q = bench_queries()
     parts = [
-        "# PLANS — physical plans of headline queries (sf0.01, AQE pre-execution)\n\n"
+        "# PLANS — physical plans of headline queries (round 10; sf0.01, AQE pre-execution)\n\n"
         "Generated by `python tools/gen_plans.py` from `df.explain('simple')`\n"
         "via `plans.explain_str`. These are the plans the scale design\n"
         "(ARCHITECTURE.md) promises; tests/test_plans.py asserts the\n"
@@ -211,10 +284,37 @@ def main() -> None:
     for name, note in ENTRIES.items():
         plan = explain_str(q[name](spark, SF_DIR), mode="simple").strip()
         parts.append(f"\n## {name}\n\n{note}\n\n```\n{plan}\n```\n")
+
+    # big-regime gallery: force the corpus-size memo past the cap so the
+    # regime-switched queries show their 100-TB plans (SMJ everywhere a
+    # corpus-growing table joins)
+    from bigdata_processing_spark.operators import regime
+    from bigdata_processing_spark.queries.dedup import clear_dedup_memos
+
+    clear_dedup_memos()
+    regime._SIZE_MEMO[SF_DIR] = 10**15
+    parts.append(
+        "\n\n# Big-regime plans (corpus-size memo forced past the "
+        "broadcast cap)\n\nThe plans the SAME queries get once the "
+        "documents table's estimated in-memory size exceeds "
+        "`VERIFY_BROADCAST_MAX_BYTES` (operators/regime.py): every "
+        "corpus-growing join degrades to SortMergeJoin; values are "
+        "identical in both regimes (pinned by tests/test_plans.py and "
+        "tests/test_curation.py).\n"
+    )
+    try:
+        for name, note in BIG_REGIME_ENTRIES.items():
+            plan = explain_str(q[name](spark, SF_DIR), mode="simple").strip()
+            parts.append(
+                f"\n## {name} (big regime)\n\n{note}\n\n```\n{plan}\n```\n"
+            )
+    finally:
+        regime._SIZE_MEMO.pop(SF_DIR, None)
+        clear_dedup_memos()
     out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
     with open(out, "w") as f:
         f.write("".join(parts))
-    print(f"wrote {out} ({len(ENTRIES)} plans)")
+    print(f"wrote {out} ({len(ENTRIES)}+{len(BIG_REGIME_ENTRIES)} plans)")
 
 
 if __name__ == "__main__":
