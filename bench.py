@@ -62,6 +62,14 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = bench_queries()
+    # CANONICAL (name-sorted) timing order, round 10: bench_queries()
+    # follows DRIVER_PRIORITY, so every driver rotation used to shift
+    # which query sat first — and the first slots pay residual JVM/JIT
+    # warm-up the deep slots never see (measured: tfidf_top_terms
+    # 0.55s mid-suite under the r9 order, 1.35s at slot 1 under the
+    # r10 rotation, with the A/B'd query byte-identical). Sorting makes
+    # per-query walls comparable across rounds regardless of rotation.
+    queries = {n: queries[n] for n in sorted(queries)}
 
     # warm-up: JVM, codegen, parquet footer caches
     next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
