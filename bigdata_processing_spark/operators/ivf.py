@@ -227,29 +227,38 @@ def seeded_assign_cells(
     e_col: str = "e", carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """(id, *carry, cell) assignment against seed centroids via a
-    broadcast join + min-struct aggregation — bit-identical to
-    :func:`seeded_assign_best` but with an O(1)-size plan.
+    per-row argmin fold over a ONE-ROW broadcast of all centroids —
+    bit-identical to :func:`seeded_assign_best` with an O(1)-size plan
+    and an O(n)-row pipeline.
 
     The literal-SQL form embeds cells×dim double literals: at 51 cells ×
     64 dims that is a 135 KB expression costing ~1.2 s to parse and a
     codegen blow-up to execute per invocation. Here the centroids are
-    DATA (a k-row broadcast DataFrame carrying the presummed c·c), and
-    the argmin is ``min(struct(sc, cell))`` grouped by id — field-wise
-    struct comparison, the same (s, cell) ordering as ``array_min`` over
-    the literal score array. The per-pair score uses the identical
-    ``aggregate(zip_with(e, cent))`` IEEE fold, and c·c is the same
-    sequential Python fold stored exactly as a double, so assignments
-    match the SQL oracle bit-for-bit (asserted in tests/test_ivf.py).
+    DATA: a k-row :func:`literal_df` (carrying the presummed c·c) is
+    collapsed to ONE row holding ``array<struct<cell, cent, cc>>``,
+    broadcast-crossed onto ``emb``, and each row computes its own
+    ``array_min(transform(cells, c -> (s, cell)))`` — the same
+    field-wise (s, cell) struct ordering as the literal score array.
 
-    ``carry`` names columns of ``emb`` to pass through the aggregation
-    (``any_value`` — deterministic because each carried value is
-    constant within its id group), so callers that need the embedding or
-    metadata next to the cell label avoid an n-row shuffle join back
-    onto ``emb`` (the pre-round-6 pattern cost one such join per Lloyd
-    iteration and one per celled-query memo build).
+    Until round 10 this was a k-row crossJoin + ``min(struct(s, cell))``
+    ``groupBy(id)``. A struct-typed aggregation buffer is not
+    hash-aggregable, so Catalyst planned SortAggregate: the n×k exploded
+    frame (rows carrying the full embedding) was SORTED before the
+    partial agg — 2.6 GB of spill and all of the suite's spill at the
+    sf1 sweep (50k docs × 894 cells = 44.7M fat rows in
+    hashed_tf_knn_celled alone). The per-row fold does the identical
+    IEEE arithmetic on n rows instead of n×k, with no aggregation, no
+    sort, and ``carry`` columns riding the row for free.
 
-    Shuffle: the crossJoin is broadcast (k rows); the argmin agg
-    combines map-side to one struct per id before any exchange."""
+    Bit-exactness contract (asserted in tests/test_ivf.py): the per-pair
+    score uses the identical ``aggregate(zip_with(e, cent))`` ordered
+    fold, c·c is the same sequential Python fold stored exactly as a
+    double, and ``array_min`` over ``struct<s, cell>`` matches an
+    oracle's ``ORDER BY s, cell LIMIT 1``.
+
+    Assumes ``emb`` is unique per ``id_col`` (every caller indexes by a
+    primary key); duplicate ids pass through row-per-row rather than
+    collapsing, matching the one-assignment-per-vector contract."""
 
     def self_dot(v: list[float]) -> float:
         acc = 0.0
@@ -258,30 +267,36 @@ def seeded_assign_cells(
         return acc
 
     spark = emb.sparkSession
+    carried = [c for c in carry if c != id_col]
+    in_cols = [id_col, e_col] + [c for c in carried if c != e_col]
+    if not cents:
+        return (
+            emb.select(*in_cols)
+            .select(id_col, *carried,
+                    F.lit(None).cast("int").alias("cell"))
+            .filter(F.lit(False))
+        )
     cdf = literal_df(
         spark, [(i, list(c), self_dot(c)) for i, c in enumerate(cents)],
         "cell int, cent array<double>, cc double",
     )
-    sc_expr = F.col("cc") - 2.0 * F.aggregate(
-        F.zip_with(e_col, "cent", lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
+    cells = cdf.agg(
+        F.collect_list(F.struct("cell", "cent", "cc")).alias("__cells")
     )
-    carried = [c for c in carry if c != id_col]
-    in_cols = [id_col, e_col] + [c for c in carried if c != e_col]
+
+    def scored(c):
+        s = c.getField("cc") - 2.0 * F.aggregate(
+            F.zip_with(F.col(e_col), c.getField("cent"), lambda x, y: x * y),
+            F.lit(0.0),
+            lambda acc, v: acc + v,
+        )
+        return F.struct(s.alias("s"), c.getField("cell").alias("cell"))
+
+    best = F.array_min(F.transform(F.col("__cells"), scored))
     return (
         emb.select(*in_cols)
-        .crossJoin(F.broadcast(cdf))
-        .select(
-            id_col,
-            *carried,
-            F.struct(sc_expr.alias("s"), F.col("cell")).alias("sc"),
-        )
-        .groupBy(id_col)
-        .agg(
-            *[F.any_value(c).alias(c) for c in carried],
-            F.min("sc").getField("cell").alias("cell"),
-        )
+        .crossJoin(F.broadcast(cells))
+        .select(id_col, *carried, best.getField("cell").alias("cell"))
     )
 
 
