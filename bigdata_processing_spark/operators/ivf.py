@@ -131,7 +131,12 @@ def trained_centroids(
     cents = seed_centroids(emb, k, vec_col=vec_col, id_col=id_col)
     if not cents:
         return cents
-    base = emb.select(id_col, F.col(vec_col).cast("array<double>").alias("__tc_e"))
+    # spread the per-iteration n x k argmin fold across every core:
+    # the scoring is CPU-bound interpreted arithmetic and the source
+    # scan's size-based split under-parallelizes the small-byte frame
+    base = emb.select(
+        id_col, F.col(vec_col).cast("array<double>").alias("__tc_e")
+    ).repartition(2 * emb.sparkSession.sparkContext.defaultParallelism)
     for _ in range(n_iter):
         assigned = seeded_assign_cells(
             base, cents, id_col=id_col, e_col="__tc_e", carry=("__tc_e",)

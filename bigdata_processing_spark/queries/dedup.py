@@ -1501,7 +1501,10 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
         "label",
         F.col("embedding").cast("array<double>").alias("e"),
         V.norm(F.col("embedding")).alias("nrm"),
-    )
+    # spread the argmin fold across every core before assigning: the
+    # n x k scoring is CPU-bound interpreted arithmetic and the
+    # embeddings scan's size-based split under-parallelizes it
+    ).repartition(2 * spark.sparkContext.defaultParallelism)
     base = seeded_assign_cells(base, cents, carry=("label", "e", "nrm")).persist()
     _EMB_MEMO[memo_key] = (base, cents)
     return base, cents

@@ -354,6 +354,12 @@ def hashed_tf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # md5-per-token featurization tree into the join and re-evaluates it
     # per PAIR — measured 179s vs ~1s at sf0.1. Materialized, each doc
     # is featurized exactly once; norms come off the stored column.
+    # repartition before the persist: the featurized frame is tiny in
+    # bytes but every downstream pair/argmin op is CPU-heavy interpreted
+    # arithmetic, and the size-based parquet split leaves it on a
+    # handful of partitions (measured at the 10x sweep: one 10-task
+    # stage pinned a 32-core host). One ~n-row shuffle spreads it across
+    # every core; 2x defaultParallelism scales with the rig.
     docs = (
         load_table(spark, sf_dir, "documents")
         .select(
@@ -361,6 +367,7 @@ def hashed_tf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
             T.hashed_tf(F.col("text"), HASHED_TF_DIM).alias("v"),
         )
         .withColumn("nrm", V.norm(F.col("v")))
+        .repartition(2 * spark.sparkContext.defaultParallelism)
         .persist()
     )
     _LOOSE_PERSISTS.append(docs)
@@ -558,11 +565,14 @@ def hashed_tf_knn_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
     from bigdata_processing_spark.sources.writers import literal_df
 
-    # same persist barrier as hashed_tf_knn: featurize each doc ONCE
+    # same persist barrier as hashed_tf_knn: featurize each doc ONCE;
+    # same pre-persist repartition (the n x k argmin fold is CPU-bound
+    # and parquet splits under-parallelize the small-byte frame)
     vecs = (
         load_table(spark, sf_dir, "documents")
         .select("doc_id", T.hashed_tf(F.col("text"), HASHED_TF_DIM).alias("v"))
         .withColumn("nrm", V.norm(F.col("v")))
+        .repartition(2 * spark.sparkContext.defaultParallelism)
         .persist()
     )
     _LOOSE_PERSISTS.append(vecs)

@@ -89,7 +89,11 @@ def build_hashed_tf_index(docs: DataFrame, path: str, n_cells: int,
 
     dim = dim if dim is not None else HASHED_TF_DIM
     spark = docs.sparkSession
-    vecs = _featurize(docs, dim).persist()
+    # full-corpus build: spread the CPU-bound featurize + argmin across
+    # every core (parquet splits under-parallelize the small-byte frame)
+    vecs = _featurize(docs, dim).repartition(
+        2 * docs.sparkSession.sparkContext.defaultParallelism
+    ).persist()
     cents = seed_centroids(vecs, n_cells, vec_col="v", id_col="vec_id")
     literal_df(
         spark, [(i, list(c)) for i, c in enumerate(cents)],
