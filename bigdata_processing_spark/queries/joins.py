@@ -40,9 +40,14 @@ def top_customers_by_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = load_table(spark, sf_dir, "customer")
     return (
         orders.join(F.broadcast(cust), orders.o_custkey == cust.c_custkey, "inner")
-        .groupBy("c_custkey")
+        # c_name rides the GROUP BY key, not an any_value(): a string
+        # aggregation buffer is not hash-aggregable, so any_value(c_name)
+        # made Catalyst plan SortAggregate — sorting the orders-sized
+        # join output on both sides of the exchange. c_name is
+        # functionally dependent on c_custkey, so the composite key is
+        # value-identical and keeps the plan a pure HashAggregate.
+        .groupBy("c_custkey", "c_name")
         .agg(
-            F.any_value("c_name").alias("c_name"),
             F.sum("o_totalprice").alias("total_revenue"),
             F.count("*").alias("n_orders"),
         )

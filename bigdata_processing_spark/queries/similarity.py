@@ -714,35 +714,44 @@ def matryoshka_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     width. Scale shape: same broadcast-query + single candidate scan as
     knn_bruteforce (both rankings come from one joined pass; no second
     scan), recall join is per-(qid,cid) on tiny top-k sets."""
+    # One pass over the pairs (round 10): norms are per-ROW columns
+    # (the first form re-folded 4 norms per PAIR), both rankings ride
+    # the SAME qid exchange as two window columns, and the recall
+    # intersection is a filter (rnf<=5 AND rnt<=5) + count — the
+    # topf⋈topt self-join of the first form re-evaluated the whole
+    # unpersisted join+dot subtree a second time.
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id"),
         F.col("embedding").cast("array<double>").alias("e"),
         F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("e16"),
     )
+    base = base.select(
+        "vec_id", "e", "e16",
+        V.norm(F.col("e")).alias("nf"),
+        V.norm(F.col("e16")).alias("nt"),
+    )
     q = base.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
         F.col("e16").alias("qe16"),
+        F.col("nf").alias("qnf"),
+        F.col("nt").alias("qnt"),
     )
     joined = base.join(F.broadcast(q), F.col("vec_id") != F.col("qid")).select(
         "qid",
         F.col("vec_id").alias("cid"),
-        (V.dot(F.col("qe"), F.col("e"))
-         / (V.norm(F.col("qe")) * V.norm(F.col("e")))).alias("cf"),
-        (V.dot(F.col("qe16"), F.col("e16"))
-         / (V.norm(F.col("qe16")) * V.norm(F.col("e16")))).alias("ct"),
+        (V.dot(F.col("qe"), F.col("e")) / (F.col("qnf") * F.col("nf"))).alias("cf"),
+        (V.dot(F.col("qe16"), F.col("e16")) / (F.col("qnt") * F.col("nt"))).alias("ct"),
     )
     wf = Window.partitionBy("qid").orderBy(F.col("cf").desc(), F.col("cid").asc())
     wt = Window.partitionBy("qid").orderBy(F.col("ct").desc(), F.col("cid").asc())
-    topf = joined.withColumn("rn", F.row_number().over(wf)).filter(
-        F.col("rn") <= 5
-    ).select("qid", "cid")
-    topt = joined.withColumn("rn", F.row_number().over(wt)).filter(
-        F.col("rn") <= 5
-    ).select("qid", "cid")
-    hits = topf.join(topt, ["qid", "cid"]).groupBy("qid").agg(
-        F.count("*").alias("hits")
+    hits = (
+        joined.withColumn("rnf", F.row_number().over(wf))
+        .withColumn("rnt", F.row_number().over(wt))
+        .filter((F.col("rnf") <= 5) & (F.col("rnt") <= 5))
+        .groupBy("qid")
+        .agg(F.count("*").alias("hits"))
     )
     return (
         q.select("qid").distinct()

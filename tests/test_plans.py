@@ -593,8 +593,11 @@ def test_every_broadcast_site_is_bounded_or_gated():
         "operators/sharding.py": (1, "shard-to-path map: one row per shard"),
         "operators/ivf.py": (9, "centroid tables / n_probe probe cells"),
         "operators/clustering.py": (1, "k centroids"),
-        "operators/incremental_dedup.py": (6, "batch signatures / batch id "
-                                              "sets (appends are batch-sized)"),
+        "operators/incremental_dedup.py": (8, "batch signatures / batch id "
+                                              "sets (appends are batch-sized) "
+                                              "+ anchor-verify's anchor-id "
+                                              "semi set and batch shingle "
+                                              "side (both <= |batch| rows)"),
         "operators/multimodal.py": (2, "regime-switched at the fits check"),
         "operators/quantization.py": (1, "query batch"),
         "operators/sketches.py": (3, "fixed-width sketch / candidate keys"),
