@@ -64,11 +64,12 @@ ENTRIES: dict[str, str] = {
         "product); the train vocab aggregates before joining."
     ),
     "rolling_1h_stats": (
-        "RANGE-frame rolling window over epoch-micros of a TIMESTAMP_NTZ "
-        "column — single Window over a global sort; at cluster scale this "
-        "is the one operator that deliberately trades parallelism for "
-        "exact global frame semantics (partition by coarse time bucket "
-        "for the parallel variant)."
+        "RANGE-frame rolling window, HOUR-BUCKETED WITH A ONE-BUCKET "
+        "HALO (round 10): the window partitions by hour bucket and each "
+        "event also rides into the next bucket as flagged lookback "
+        "context, so every 1-hour frame is fully contained in its "
+        "partition — row-identical to the global-sort form that used to "
+        "run as a single task, at hours-of-data parallelism."
     ),
     "quantized_knn_sample": (
         "Int8 kNN: quantized corpus streams once against a broadcast "
