@@ -34,6 +34,17 @@ _COS = """list_dot_product(qe, ce)
                    / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"""
 
 
+def _spread(df: DataFrame) -> DataFrame:
+    """Spread a CPU-bound corpus side across every core. The embedding
+    frames are tiny in BYTES, so the size-based parquet split leaves
+    them on a handful of partitions — but each downstream broadcast-kNN
+    pair scores interpreted vector arithmetic, and the 10x sweep
+    measured every brute/PQ/int8 query's dominant stage running 10
+    tasks on a 32-core host. One ~n-row round-robin shuffle before the
+    heavy join; 2x defaultParallelism scales with the rig."""
+    return df.repartition(2 * df.sparkSession.sparkContext.defaultParallelism)
+
+
 def _with_norm(emb: DataFrame, id_alias: str, e_alias: str, n_alias: str,
                extra: dict[str, str] | None = None) -> DataFrame:
     """Project (id, embedding-as-double, precomputed norm [, extras]) —
@@ -71,7 +82,7 @@ def _with_norm(emb: DataFrame, id_alias: str, e_alias: str, n_alias: str,
 def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     q = _with_norm(emb.filter(F.col("vec_id") % 100 == 0), "qid", "qe", "qn")
-    c = _with_norm(emb, "cid", "ce", "cn")
+    c = _spread(_with_norm(emb, "cid", "ce", "cn"))
     joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
@@ -117,7 +128,7 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         emb.filter(F.col("vec_id") % 100 == 0), "qid", "qe", "qn",
         extra={"label": "qlabel"},
     )
-    c = _with_norm(emb, "cid", "ce", "cn", extra={"label": "clabel"})
+    c = _spread(_with_norm(emb, "cid", "ce", "cn", extra={"label": "clabel"}))
     joined = c.join(F.broadcast(q), F.col("clabel") != F.col("qlabel"))
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
@@ -401,7 +412,7 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = _with_norm(
         emb.filter(F.col("vec_id") % 100 == 0), "qid", "qe", "qn", {"label": "qlabel"}
     )
-    c = _with_norm(emb, "cid", "ce", "cn", {"label": "clabel"})
+    c = _spread(_with_norm(emb, "cid", "ce", "cn", {"label": "clabel"}))
     joined = c.join(
         F.broadcast(q), (F.col("clabel") == F.col("qlabel")) & (F.col("cid") != F.col("qid"))
     )
@@ -451,7 +462,7 @@ def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("qvec").alias("qq"),
         F.col("scale").alias("qscale"),
     )
-    c = emb.select("vec_id", "qvec", "scale")
+    c = _spread(emb.select("vec_id", "qvec", "scale"))
     joined = c.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     qdot = quantized_dot(F.col("qq"), F.col("qscale"), F.col("qvec"), F.col("scale"))
     # rank on the RAW dot (matching the oracle, which rounds only for
@@ -726,11 +737,11 @@ def matryoshka_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").cast("array<double>").alias("e"),
         F.slice(F.col("embedding").cast("array<double>"), 1, 16).alias("e16"),
     )
-    base = base.select(
+    base = _spread(base.select(
         "vec_id", "e", "e16",
         V.norm(F.col("e")).alias("nf"),
         V.norm(F.col("e16")).alias("nt"),
-    )
+    ))
     q = base.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"),
         F.col("e").alias("qe"),
@@ -1252,10 +1263,12 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
         pq_encode,
     )
 
-    emb = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id",
-        F.col("embedding").cast("array<double>").alias("e"),
-        V.norm(F.col("embedding")).alias("nrm"),
+    emb = _spread(
+        load_table(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.col("embedding").cast("array<double>").alias("e"),
+            V.norm(F.col("embedding")).alias("nrm"),
+        )
     )
     seeds = seed_centroids(emb, PQ_K, vec_col="e")
     if not seeds:
