@@ -655,7 +655,10 @@ def ivfpq_search(
     ``dot(q, centroid[cell]) + dot(q, dequant(residual codes))`` — the
     centroid term is computed ONCE per (query, probed cell) pair
     (queries × n_probe rows, broadcast-sized), never per candidate."""
-    from bigdata_processing_spark.operators.quantization import pq_adc_expr
+    from bigdata_processing_spark.operators.quantization import (
+        pq_adc_lut_sql,
+        pq_lut_expr,
+    )
 
     spark = postings.sparkSession
     probes = _cell_probes(spark, queries, centroids, n_probe)
@@ -675,11 +678,16 @@ def ivfpq_search(
             .drop("cent")
         )
     # probes already carries (qid, qe, qn, cell[, qc]): one broadcast join
-    # pairs each candidate row with exactly its probing queries
+    # pairs each candidate row with exactly its probing queries. The ADC
+    # lookup table rides the broadcast side too (M·K doubles per probe
+    # row) so each candidate scores as M array lookups, not M folds.
+    probes = probes.withColumn("_adc_lut", pq_lut_expr(codebooks))
     cand = postings.join(F.broadcast(probes), ["cell"]).filter(
         F.col("vec_id") != F.col("qid")
     )
-    adc = pq_adc_expr(codebooks, centroid_dot=F.col("qc") if residual else None)
+    adc = F.expr(pq_adc_lut_sql(
+        len(codebooks), centroid_dot_col="qc" if residual else None
+    ))
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
     return (
         cand.select("qid", F.col("vec_id").alias("cid"), adc.alias("adc_cos"))
@@ -739,8 +747,12 @@ def ivfpq_search_on_disk(postings: DataFrame, centroids: list[list[float]],
     probes = _cell_probes(spark, queries, centroids, n_probe)
     cells = [r.cell for r in probes.select("cell").distinct().collect()]
     pruned = postings.filter(F.col("cell").isin(cells))
-    from bigdata_processing_spark.operators.quantization import pq_adc_expr
+    from bigdata_processing_spark.operators.quantization import (
+        pq_adc_lut_sql,
+        pq_lut_expr,
+    )
 
+    probes = probes.withColumn("_adc_lut", pq_lut_expr(codebooks))
     cand = pruned.join(F.broadcast(probes), ["cell"]).filter(
         F.col("vec_id") != F.col("qid")
     )
@@ -749,7 +761,7 @@ def ivfpq_search_on_disk(postings: DataFrame, centroids: list[list[float]],
         cand.select(
             "qid",
             F.col("vec_id").alias("cid"),
-            pq_adc_expr(codebooks).alias("adc_cos"),
+            F.expr(pq_adc_lut_sql(len(codebooks))).alias("adc_cos"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)

@@ -147,6 +147,47 @@ def pq_adc_expr(codebooks: list[list[list[float]]],
     return F.expr(pq_adc_sql(codebooks, centroid_dot_col=centroid_dot_col))
 
 
+def pq_lut_expr(codebooks: list[list[list[float]]],
+                qe_col: str = "qe") -> Column:
+    """Per-query ADC lookup table — the distance-table half of Jégou's
+    ADC: ``lut[m][cell] = dot(q's m-th subvector, codebooks[m][cell])``,
+    an ``array<array<double>>`` of M·K doubles (8×16 = 128 here) built
+    ONCE per query row on the tiny broadcast side. Each candidate pair
+    then scores as M array lookups (:func:`pq_adc_lut_sql`) instead of
+    M sub-dim zip_with folds — O(M) vs O(dim) multiply-adds per pair,
+    the factoring that makes ADC cheaper than the float dot it
+    approximates. Every entry is the IDENTICAL ``zip_with``/``aggregate``
+    fold :func:`pq_adc_sql` inlines per pair (same slice, same centroid
+    literal, same fold order), so the summed scores are bit-identical —
+    pure factoring, the oracle untouched."""
+    sub = len(codebooks[0][0])
+    entries = []
+    for m, book in enumerate(codebooks):
+        cbm = "array(" + ",".join(_arr_sql(c) for c in book) + ")"
+        qs = f"slice(`{qe_col}`, {sub * m + 1}, {sub})"
+        entries.append(
+            f"transform({cbm}, c -> aggregate(zip_with({qs}, c, "
+            f"(x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+        )
+    return F.expr("array(" + ",".join(entries) + ")")
+
+
+def pq_adc_lut_sql(n_subspaces: int, qn_col: str = "qn",
+                   nrm_col: str = "nrm", lut_col: str = "_adc_lut",
+                   centroid_dot_col: str | None = None) -> str:
+    """SQL text of the ADC cosine over rows carrying the per-query LUT
+    (:func:`pq_lut_expr`) and codes k0..k{M-1}: M array lookups summed
+    in the same fixed subspace order as :func:`pq_adc_sql`, same
+    norm division, same 6-decimal rounding."""
+    terms = [f"`{centroid_dot_col}`"] if centroid_dot_col else []
+    terms += [
+        f"element_at(element_at(`{lut_col}`, {m + 1}), `k{m}` + 1)"
+        for m in range(n_subspaces)
+    ]
+    total = " + ".join(terms)
+    return f"round(({total}) / (`{qn_col}` * `{nrm_col}`), 6)"
+
+
 def pq_adc_search(
     encoded: DataFrame,
     codebooks: list[list[list[float]]],
@@ -158,13 +199,14 @@ def pq_adc_search(
     ivf_search/knn_bruteforce for recall measurement."""
     from pyspark.sql import Window
 
-    joined = encoded.join(F.broadcast(queries), F.col("vec_id") != F.col("qid"))
+    q = queries.withColumn("_adc_lut", pq_lut_expr(codebooks))
+    joined = encoded.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
     return (
         joined.select(
             "qid",
             F.col("vec_id").alias("cid"),
-            pq_adc_expr(codebooks).alias("adc_cos"),
+            F.expr(pq_adc_lut_sql(len(codebooks))).alias("adc_cos"),
         )
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= top_k)

@@ -2056,11 +2056,23 @@ def edit_distance_dup_pairs(
     # at scale) skip the O(len²) DP entirely — dist is 0 either way, so
     # the oracle is untouched (pure physical optimization; measured 7.2×
     # → ~2× on the 10× clone corpus where every pair is identical text)
+    # Banded DP for the non-identical tail: only pairs with
+    # dist <= maxlen·(1-θ) survive the filter anyway, so tell the JVM
+    # the per-pair bound — levenshtein(x1, x2, T) fills an O(len·T)
+    # diagonal band and bails out at -1 past T instead of the full
+    # O(len²) grid. T = floor(maxlen·(1-θ))+1 strictly covers the
+    # round-at-6-decimals keep boundary for maxlen < 2e6 (a kept pair
+    # has dist <= maxlen(1-θ)+maxlen·5e-7 < T+1), so every kept pair's
+    # dist is exact; -1 maps to maxlen (sim 0, filtered). Threshold must
+    # be a literal in the Python API — route through expr on a
+    # materialized band column.
+    raw = F.expr("levenshtein(x1, x2, _edit_band)")
     dist = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
-        F.levenshtein("x1", "x2")
+        F.when(raw < 0, maxlen).otherwise(raw)
     )
     sim = 1 - dist.cast("double") / maxlen
-    scored = pre.select(
+    band = (F.floor(maxlen * F.lit(1.0 - edit_sim_threshold)) + 1).cast("int")
+    scored = pre.withColumn("_edit_band", band).select(
         "d1",
         "d2",
         # DuckDB levenshtein returns BIGINT; Spark's returns int — align
@@ -2862,11 +2874,20 @@ def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     con = sc.filter(containment >= CONTAINMENT_THRESHOLD).select("d1", "d2")
     pre = _edit_pruned_pairs(spark, sf_dir)
     maxlen = F.greatest(F.length("x1"), F.length("x2"))
+    # same equality short-circuit + banded DP as edit_distance_dup_pairs
+    eraw = F.expr("levenshtein(x1, x2, _edit_band)")
     edist = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
-        F.levenshtein("x1", "x2")
-    )  # same equality short-circuit as edit_distance_dup_pairs
+        F.when(eraw < 0, maxlen).otherwise(eraw)
+    )
     esim = F.round(1 - edist.cast("double") / maxlen, 6)
-    edt = pre.filter(esim >= EDIT_SIM_THRESHOLD).select("d1", "d2")
+    eband = (
+        F.floor(maxlen * F.lit(1.0 - EDIT_SIM_THRESHOLD)) + 1
+    ).cast("int")
+    edt = (
+        pre.withColumn("_edit_band", eband)
+        .filter(esim >= EDIT_SIM_THRESHOLD)
+        .select("d1", "d2")
+    )
 
     def row(name: str, pairs: DataFrame) -> DataFrame:
         n = pairs.agg(F.count("*").alias("n_pairs"))

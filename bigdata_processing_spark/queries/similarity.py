@@ -1259,8 +1259,9 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     6-decimal rounding that makes ranking ulp-proof."""
     from bigdata_processing_spark.operators.ivf import seed_centroids
     from bigdata_processing_spark.operators.quantization import (
-        pq_adc_expr,
+        pq_adc_lut_sql,
         pq_encode,
+        pq_lut_expr,
     )
 
     emb = _spread(
@@ -1288,8 +1289,12 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
+    # per-query ADC lookup table (Jégou's distance table): built on the
+    # broadcast side, each pair then scores as M array lookups instead
+    # of M sub-dim folds — bit-identical terms, oracle untouched
+    q = q.withColumn("_adc_lut", pq_lut_expr(codebook))
     joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    adc_cos = pq_adc_expr(codebook)
+    adc_cos = F.expr(pq_adc_lut_sql(PQ_M))
     w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
     return (
         joined.select("qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos"))

@@ -224,3 +224,44 @@ def test_core_queries_survive_empty_tables(spark, tmp_path):
         "semantic_dedup_survivors",
     ):
         q[name](spark, dst).count()  # must not raise
+
+
+def test_banded_levenshtein_matches_full_dp_at_keep_boundary(spark):
+    """edit_distance_dup_pairs runs levenshtein with the per-pair band
+    T = floor(maxlen*(1-theta))+1 (-1 past the band maps to maxlen →
+    sim 0). Pins, on crafted pairs whose distance straddles the keep
+    boundary, that the banded form makes the identical keep/drop
+    decision — and the identical dist on kept pairs — as the full DP."""
+    theta = 0.8
+    base = "abcdefghijklmnopqrst"  # len 20 → keep bound dist <= 4
+    pairs = []
+    for d in range(7):  # distances 0..6 around the bound
+        mutated = "".join(
+            ("#" if i < d else c) for i, c in enumerate(base)
+        )
+        pairs.append((base, mutated))
+    df = spark.createDataFrame(pairs, "x1 string, x2 string")
+    maxlen = F.greatest(F.length("x1"), F.length("x2"))
+    band = (F.floor(maxlen * F.lit(1.0 - theta)) + 1).cast("int")
+    raw = F.expr("levenshtein(x1, x2, _edit_band)")
+    banded = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
+        F.when(raw < 0, maxlen).otherwise(raw)
+    )
+    full = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
+        F.levenshtein("x1", "x2")
+    )
+    rows = (
+        df.withColumn("_edit_band", band)
+        .select(
+            "x1", "x2",
+            banded.alias("bd"), full.alias("fd"), maxlen.alias("ml"),
+        )
+        .collect()
+    )
+    assert len(rows) == 7
+    for r in rows:
+        keep_full = round(1 - r.fd / r.ml, 6) >= theta
+        keep_band = round(1 - r.bd / r.ml, 6) >= theta
+        assert keep_full == keep_band, (r.x1, r.x2, r.fd, r.bd)
+        if keep_full:
+            assert r.bd == r.fd, (r.x1, r.x2, r.fd, r.bd)

@@ -143,3 +143,48 @@ def test_pq_kmeans_beats_seeded_codebooks(spark):
     r_kmeans = recall(refined, truth)
     assert r_kmeans > r_seeded, (r_seeded, r_kmeans)
     assert r_kmeans >= 0.4
+
+
+def test_adc_lut_scores_bit_identical_to_per_pair_fold(spark):
+    """The per-query ADC lookup table (pq_lut_expr + pq_adc_lut_sql) is
+    a pure FACTORING of the per-pair fold form (pq_adc_sql): every LUT
+    entry is the identical zip_with/aggregate fold, so the scored
+    values — not just the ranking — must match bit-for-bit. Pins the
+    optimization so a future rewrite can't drift the oracle."""
+    from bigdata_processing_spark.functions import vectors as V
+    from bigdata_processing_spark.operators.quantization import (
+        pq_adc_expr,
+        pq_adc_lut_sql,
+        pq_encode,
+        pq_lut_expr,
+    )
+    from bigdata_processing_spark.operators.ivf import seed_centroids
+
+    emb = load_table(spark, SF_ORACLE, "embeddings").select(
+        "vec_id",
+        F.col("embedding").cast("array<double>").alias("e"),
+        V.norm(F.col("embedding")).alias("nrm"),
+    )
+    seeds = seed_centroids(emb, 16, vec_col="e")
+    books = [[c[8 * m: 8 * (m + 1)] for c in seeds] for m in range(8)]
+    enc = pq_encode(emb.limit(300), books, vec_col="e").select(
+        "vec_id", "nrm", *[f"k{m}" for m in range(8)]
+    )
+    q = emb.filter(F.col("vec_id") % 100 == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("e").alias("qe"),
+        F.col("nrm").alias("qn"),
+    )
+    joined = enc.join(
+        F.broadcast(q.withColumn("_adc_lut", pq_lut_expr(books))),
+        F.col("vec_id") != F.col("qid"),
+    )
+    both = joined.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        pq_adc_expr(books).alias("fold"),
+        F.expr(pq_adc_lut_sql(8)).alias("lut"),
+    ).collect()
+    assert both, "empty comparison frame"
+    for r in both:
+        assert r.fold == r.lut, (r.qid, r.cid, r.fold, r.lut)

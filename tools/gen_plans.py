@@ -110,8 +110,11 @@ ENTRIES: dict[str, str] = {
     ),
     "edit_distance_dup_pairs": (
         "Edit-distance verify: integer length-gap prune + memoized "
-        "InMemoryTableScan barrier ahead of the O(len^2) DP, so "
-        "levenshtein runs once per surviving pair (105s -> 2.4s)."
+        "InMemoryTableScan barrier ahead of the DP; the DP itself is "
+        "BANDED — levenshtein(x1, x2, _edit_band) with the per-pair "
+        "keep bound floor(maxlen*(1-theta))+1, an O(len*band) diagonal "
+        "fill with early bail-out (-1 maps to maxlen, sim 0) instead of "
+        "the full O(len^2) grid."
     ),
     "binary_rerank_knn": (
         "Two-stage ANN: popcount Hamming shortlist (broadcast packed "
