@@ -305,6 +305,59 @@ def seeded_assign_cells(
     )
 
 
+def seeded_assign_cells_intexact(
+    emb: DataFrame, cents: list[list[float]], id_col: str = "vec_id",
+    e_col: str = "e", carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """numpy-matmul twin of :func:`seeded_assign_cells` for WHOLE-VALUED
+    vector families — hashed-TF count vectors and their seed centroids.
+
+    Why a separate path exists at all: the fold form's per-row
+    ``array_min(transform(cells, ...))`` is a higher-order function,
+    which Catalyst interprets (no whole-stage codegen), and its cost is
+    n·cells·dim interpreted ops — measured 15 s at the sf1 sweep for
+    hashed_tf_knn_celled alone (500k docs × ~2.8k cells × 16 dims).
+    A float-vector family can't leave the ordered fold without risking
+    the cross-engine argmin contract (summation order moves ulps, ulps
+    flip near-tie argmins). This family CAN: every element is a whole
+    number (token counts / seed-doc counts), so every product and every
+    partial sum is an integer far below 2^53 held exactly in float64 —
+    the arithmetic has NO rounding in any order, making BLAS-order
+    matmul scores bit-identical to the sequential fold's. numpy argmin
+    returns the FIRST index of the minimum, matching the struct-min
+    ``(s asc, cell asc)`` tie-break. Equality with the fold form on the
+    real fixture is pinned in tests/test_ivf.py.
+
+    Caller contract: use ONLY when both sides are whole-valued (the
+    docstring precondition is the correctness proof). Float embeddings
+    keep :func:`seeded_assign_cells`."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql.functions import pandas_udf
+
+    if not cents:
+        return seeded_assign_cells(
+            emb, cents, id_col=id_col, e_col=e_col, carry=carry
+        )
+    C = np.asarray(cents, dtype=np.float64)          # k × d
+    cc = np.einsum("kd,kd->k", C, C)                 # exact: whole values
+
+    def _assign_batch(v):
+        V = np.stack(v.to_numpy())                   # b × d
+        scores = cc[None, :] - 2.0 * (V @ C.T)       # exact whole doubles
+        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+
+    # defined via the explicit form: the annotation-inference path can't
+    # resolve locally-imported 'pd.Series' hints under deferred annotations
+    _assign = pandas_udf(_assign_batch, "int")
+
+    carried = [c for c in carry if c != id_col]
+    in_cols = [id_col, e_col] + [c for c in carried if c != e_col]
+    return emb.select(*in_cols).select(
+        id_col, *carried, _assign(F.col(e_col)).alias("cell")
+    )
+
+
 def build_ivf_index(
     emb: DataFrame,
     vec_col: str = "embedding",

@@ -560,7 +560,7 @@ def hashed_tf_knn_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.operators.ivf import (
         ivf_cell_count,
         seed_centroids,
-        seeded_assign_cells,
+        seeded_assign_cells_intexact,
     )
     from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
     from bigdata_processing_spark.sources.writers import literal_df
@@ -580,9 +580,13 @@ def hashed_tf_knn_celled(spark: SparkSession, sf_dir: str) -> DataFrame:
     cents = seed_centroids(
         vecs, ivf_cell_count(n_docs), vec_col="v", id_col="doc_id"
     )
-    # doc → cell via the broadcast-join struct-min assigner (no n×C
-    # window sort; bit-equal to the oracle's correlated ORDER BY)
-    asg = seeded_assign_cells(vecs, cents, id_col="doc_id", e_col="v")
+    # doc → cell via the exact-integer numpy assigner: hashed-TF counts
+    # and their seed centroids are whole doubles, so the matmul argmin
+    # is bit-equal to the ordered fold (seeded_assign_cells_intexact's
+    # docstring carries the proof; equality pinned in test_ivf). The
+    # interpreted HOF fold was this query's sf1 cost center (~15s of
+    # n×C×dim interpreted ops).
+    asg = seeded_assign_cells_intexact(vecs, cents, id_col="doc_id", e_col="v")
 
     def self_dot(c):
         acc = 0.0

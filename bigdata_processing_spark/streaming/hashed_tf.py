@@ -83,7 +83,7 @@ def build_hashed_tf_index(docs: DataFrame, path: str, n_cells: int,
     between refits, exactly like the MinHash stop list."""
     from bigdata_processing_spark.operators.ivf import (
         seed_centroids,
-        seeded_assign_cells,
+        seeded_assign_cells_intexact,
     )
     from bigdata_processing_spark.queries.nlp import HASHED_TF_DIM
 
@@ -99,7 +99,9 @@ def build_hashed_tf_index(docs: DataFrame, path: str, n_cells: int,
         spark, [(i, list(c)) for i, c in enumerate(cents)],
         "cell int, cent array<double>",
     ).coalesce(1).write.mode("overwrite").parquet(f"{path}/centroids")
-    asg = seeded_assign_cells(
+    # hashed-TF counts are whole-valued: the exact numpy assigner is
+    # bit-equal to the ordered fold (operators/ivf docstring proof)
+    asg = seeded_assign_cells_intexact(
         vecs, cents, id_col="vec_id", e_col="v", carry=("v", "nrm")
     )
     n = _write_postings(path, 0, asg)
@@ -123,14 +125,18 @@ def append_hashed_tf_batch(path: str, docs: DataFrame, batch_id: int,
     assign against the FROZEN centroids (broadcast struct-min — no
     shuffle beyond the partitioned write), overwrite the batch's own
     postings partition. Replay-idempotent."""
-    from bigdata_processing_spark.operators.ivf import seeded_assign_cells
+    from bigdata_processing_spark.operators.ivf import (
+        seeded_assign_cells_intexact,
+    )
     from bigdata_processing_spark.queries.nlp import HASHED_TF_DIM
 
     dim = dim if dim is not None else HASHED_TF_DIM
     spark = docs.sparkSession
     cents = _read_centroids(spark, path)
     vecs = _featurize(docs, dim)
-    asg = seeded_assign_cells(
+    # frozen seed centroids are whole-valued hashed-TF vectors: exact
+    # numpy assigner, bit-equal to the fold (operators/ivf)
+    asg = seeded_assign_cells_intexact(
         vecs, cents, id_col="vec_id", e_col="v", carry=("v", "nrm")
     )
     return _write_postings(path, batch_id, asg)

@@ -612,3 +612,42 @@ def test_trained_centroids_empty_cell_keeps_seed(spark):
     emb = load_table(spark, SF, "embeddings").limit(6)
     cents = trained_centroids(emb, 6, n_iter=1)
     assert len(cents) == 6 and all(c is not None and len(c) == 64 for c in cents)
+
+
+def test_intexact_assigner_matches_ordered_fold_on_hashed_tf(spark):
+    """seeded_assign_cells_intexact's correctness proof is the
+    whole-valued precondition (integer arithmetic in float64 is exact in
+    any summation order). Pin the conclusion on real data: the numpy
+    matmul assignment equals the ordered-fold assignment row for row on
+    the hashed-TF fixture, ties included."""
+    from bigdata_processing_spark.functions import text as T
+    from bigdata_processing_spark.operators.ivf import (
+        ivf_cell_count,
+        seed_centroids,
+        seeded_assign_cells,
+        seeded_assign_cells_intexact,
+    )
+    from bigdata_processing_spark.queries.nlp import HASHED_TF_DIM
+
+    vecs = (
+        load_table(spark, "/root/testdata/sf0.01", "documents")
+        .select("doc_id", T.hashed_tf(F.col("text"), HASHED_TF_DIM).alias("v"))
+        .persist()
+    )
+    n = vecs.count()
+    cents = seed_centroids(vecs, ivf_cell_count(n), vec_col="v", id_col="doc_id")
+    fold = {
+        r.doc_id: r.cell
+        for r in seeded_assign_cells(
+            vecs, cents, id_col="doc_id", e_col="v"
+        ).collect()
+    }
+    fast = {
+        r.doc_id: r.cell
+        for r in seeded_assign_cells_intexact(
+            vecs, cents, id_col="doc_id", e_col="v"
+        ).collect()
+    }
+    vecs.unpersist()
+    assert fold == fast
+    assert len(fold) == n
