@@ -343,6 +343,8 @@ def seeded_assign_cells_intexact(
     cc = np.einsum("kd,kd->k", C, C)                 # exact: whole values
 
     def _assign_batch(v):
+        if len(v) == 0:  # defensive: empty Arrow batch
+            return pd.Series([], dtype="int32")
         V = np.stack(v.to_numpy())                   # b × d
         scores = cc[None, :] - 2.0 * (V @ C.T)       # exact whole doubles
         return pd.Series(np.argmin(scores, axis=1).astype("int32"))
