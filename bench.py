@@ -71,8 +71,17 @@ def main() -> None:
     # per-query walls comparable across rounds regardless of rotation.
     queries = {n: queries[n] for n in sorted(queries)}
 
-    # warm-up: JVM, codegen, parquet footer caches
-    next(iter(queries.values()))(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    # warm-up LAP (round 11): a single warm-up query was not enough —
+    # JIT tiering, GC sizing, and the Python-worker pool keep ramping
+    # through the first ~dozen executions, so the alphabetically-first
+    # sub-second queries absorbed the residual tax (measured:
+    # approx_distinct_users 2.53s cold → 1.19s after ONE warm-up query
+    # → ~0.5s deep in the suite; the r10 driver run pushed it over the
+    # regression gate on load alone). Run the first 12 canonical-order
+    # queries once UNTIMED — the exact queries that sit in the early
+    # timed slots — so every timed number starts from the same warm JVM.
+    for fn in list(queries.values())[:12]:
+        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # min of 2 runs per query: a single pass attributes the previous
     # query's GC/worker-pool churn to whoever runs next (measured 10x

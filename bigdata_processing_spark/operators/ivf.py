@@ -329,8 +329,19 @@ def seeded_assign_cells_intexact(
     real fixture is pinned in tests/test_ivf.py.
 
     Caller contract: use ONLY when both sides are whole-valued (the
-    docstring precondition is the correctness proof). Float embeddings
-    keep :func:`seeded_assign_cells`."""
+    docstring precondition is the correctness proof). Enforced at
+    runtime since round 11: non-whole centroids raise at plan time and
+    every Arrow batch full-checks its vectors (the check is one O(b·d)
+    vectorized compare next to an O(b·d·k) matmul — noise), so a future
+    float-family caller fails loudly instead of shipping
+    plausible-but-unpinned argmins. Float embeddings keep
+    :func:`seeded_assign_cells`.
+
+    Null vectors (e.g. hashed_tf of a null text) get a NULL cell — the
+    honest answer for an unfeaturizable row. This intentionally diverges
+    from the fold form, whose null score sorts first and silently lands
+    every null vector in cell 0; callers that must not carry nulls
+    filter them before assignment (streaming/hashed_tf._featurize)."""
     import numpy as np
     import pandas as pd
     from pyspark.sql.functions import pandas_udf
@@ -340,14 +351,33 @@ def seeded_assign_cells_intexact(
             emb, cents, id_col=id_col, e_col=e_col, carry=carry
         )
     C = np.asarray(cents, dtype=np.float64)          # k × d
+    if not np.all(np.isfinite(C)) or np.any(C != np.floor(C)):
+        raise ValueError(
+            "seeded_assign_cells_intexact requires whole-valued centroids "
+            "(the bit-exactness proof needs integer-exact float64 "
+            "arithmetic); use seeded_assign_cells for float families"
+        )
     cc = np.einsum("kd,kd->k", C, C)                 # exact: whole values
 
     def _assign_batch(v):
         if len(v) == 0:  # defensive: empty Arrow batch
-            return pd.Series([], dtype="int32")
-        V = np.stack(v.to_numpy())                   # b × d
+            return pd.Series([], dtype="Int32")
+        arr = v.to_numpy()
+        nulls = np.fromiter((x is None for x in arr), dtype=bool,
+                            count=len(arr))
+        out = pd.array([pd.NA] * len(arr), dtype="Int32")
+        if nulls.all():
+            return pd.Series(out)
+        V = np.stack(arr[~nulls])                    # b × d
+        if not np.all(np.isfinite(V)) or np.any(V != np.floor(V)):
+            raise ValueError(
+                "seeded_assign_cells_intexact: non-whole-valued vector in "
+                "batch — the integer-exactness precondition does not hold; "
+                "use seeded_assign_cells for float families"
+            )
         scores = cc[None, :] - 2.0 * (V @ C.T)       # exact whole doubles
-        return pd.Series(np.argmin(scores, axis=1).astype("int32"))
+        out[~nulls] = np.argmin(scores, axis=1).astype("int32")
+        return pd.Series(out)
 
     # defined via the explicit form: the annotation-inference path can't
     # resolve locally-imported 'pd.Series' hints under deferred annotations

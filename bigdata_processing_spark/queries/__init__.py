@@ -58,69 +58,29 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # locally regardless of position.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-10 rotation (r9 verdict #2): LEAD with every query whose
-    # physical plan changed in r9/r10 and never got a driver row on the
-    # new plan — the regime-switched vocab joins (tfidf, surprisal),
-    # the anchor-verified incremental probe, the curation funnel, and
-    # the r9 fused-signature / regime-switch consumers. Then the
-    # stalest cohort, oldest driver row first (26 queries were last
-    # rowed in r02, 19 in r03). The driver samples the first 50;
-    # pytest re-oracles the whole registry every run regardless.
-    "tfidf_top_terms",
-    "unigram_surprisal_bands",
-    "incremental_dedup_pairs",
-    "curation_funnel",
-    "doc_novelty_bands",
-    "winnowing_dup_passages",
-    "dedup_survivors",
-    "dedup_survivors_by_quality",
-    "containment_dup_pairs",
-    "cross_source_dup_matrix",
-    "lsh_recall_audit",
-    "minhash_prefilter_audit",
-    "minhash_lsh_dup_pairs",
-    "dup_clusters",
-    "minhash_margin_sweep",
-    "minhash_signatures_sample",
-    # stalest cohort (r02 first, then r03/r04/... within-round by name)
-    "distribution_ranks",
-    "embedding_norm_stats",
-    "first_last_bool_aggs",
-    "json_serialize",
-    "kmeans_iteration_stats",
-    "knn_ivf_seeded",
-    "math_functions",
-    "multimodal_decode_stats",
-    "multimodal_feature_sample",
-    "multimodal_frame_stats",
-    "ntile_balance_quartiles",
-    "null_handling",
-    "pagination_page3",
-    "profile_orders",
-    "regexp_extract_ids",
-    "repetition_ratio_bands",
-    "shipped_within_90d",
-    "stratified_sample_5_per_type",
-    "string_agg_top_customers",
-    "string_functions",
-    "token_packing_bins",
-    "unpivot_segment_metrics",
-    "value_outlier_fences",
-    "value_quantiles_by_type",
-    "value_statistics",
-    "approx_distinct_users",
-    "asof_purchase_last_view",
-    "bpe_token_counts",
-    "data_quality_checks",
-    "global_overhead",
-    "grouping_sets_revenue",
-    "lateral_top_customer_per_nation",
-    "map_entries_explode",
-    "monthly_from_daily_rollup",
+    # round-11 rotation (r10 verdict #1): LEAD with the queries whose
+    # PHYSICAL plans changed in r10/r11 after the driver sampled — the
+    # banded-DP edit verifier (edit_distance_dup_pairs,
+    # dedup_verifier_matrix; r11 widens the band past the 2e6-char
+    # precondition), the PQ-ADC LUT (pq_adc_knn), the exact-integer
+    # matmul assigner (hashed_tf_knn_celled, ivf_append_assignment;
+    # r11 adds the whole-valued runtime guard), the single-pass
+    # matryoshka audit, the hour-bucket+halo rolling window, and the
+    # hash-aggregable top-customers form. Then the stale cohort,
+    # oldest driver row first (r03 → r07 by name within each round).
+    # The driver samples the first 50; pytest re-oracles the whole
+    # registry every run regardless.
+    "edit_distance_dup_pairs",
+    "dedup_verifier_matrix",
+    "pq_adc_knn",
+    "hashed_tf_knn_celled",
+    "ivf_append_assignment",
+    "matryoshka_knn_recall",
+    "rolling_1h_stats",
+    "top_customers_by_revenue",
     "monthly_revenue_mom_change",
     "not_in_supplier_nations",
     "range_join_value_bands",
-    "rolling_1h_stats",
     "scalar_subquery_above_avg",
     "text_stats_by_lang",
     "train_test_split",
@@ -140,7 +100,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "word_entropy_bands",
     "chunk_documents",
     "hard_negatives",
-    "matryoshka_knn_recall",
     "mixture_weights",
     "seq_length_histogram",
     "url_domain_topk",
@@ -152,28 +111,23 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "bloom_prejoin_revenue",
     "cms_overestimate_audit",
     "collect_sorted_lists",
-    "dedup_verifier_matrix",
     "dup_cluster_size_histogram",
-    "edit_distance_dup_pairs",
     "embedding_neardup_pairs",
     "gopher_rule_funnel",
     "hard_negative_probe_sweep",
     "hard_negatives_celled",
     "hash_sample_10pct",
     "hashed_tf_knn",
-    "hashed_tf_knn_celled",
     "hot_key_skew_report",
     "image_feature_stats",
     "image_neardup_pairs",
     "incremental_image_dedup_pairs",
-    "ivf_append_assignment",
     "kmv_set_algebra",
     "lsh_band_sweep",
     "minhash_estimate_audit",
     "minhash_unguarded_dup_pairs",
     "multimodal_real_codec",
     "pii_redaction_stats",
-    "pq_adc_knn",
     "quantile_sketch_audit",
     "salted_supplier_totals",
     "semantic_dedup_survivors",
@@ -225,11 +179,60 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "supplier_quantity_ranks",
     "top3_orders_per_segment",
     "top_customer_monthly_series",
-    "top_customers_by_revenue",
     "top_event_type_by_value",
     "top_suppliers_by_quantity",
     "tumbling_window_6h",
     "variant_props_quartiles",
+    "approx_distinct_users",
+    "asof_purchase_last_view",
+    "bpe_token_counts",
+    "containment_dup_pairs",
+    "cross_source_dup_matrix",
+    "curation_funnel",
+    "data_quality_checks",
+    "dedup_survivors",
+    "dedup_survivors_by_quality",
+    "distribution_ranks",
+    "doc_novelty_bands",
+    "dup_clusters",
+    "embedding_norm_stats",
+    "first_last_bool_aggs",
+    "global_overhead",
+    "grouping_sets_revenue",
+    "incremental_dedup_pairs",
+    "json_serialize",
+    "kmeans_iteration_stats",
+    "knn_ivf_seeded",
+    "lateral_top_customer_per_nation",
+    "lsh_recall_audit",
+    "map_entries_explode",
+    "math_functions",
+    "minhash_lsh_dup_pairs",
+    "minhash_margin_sweep",
+    "minhash_prefilter_audit",
+    "minhash_signatures_sample",
+    "monthly_from_daily_rollup",
+    "multimodal_decode_stats",
+    "multimodal_feature_sample",
+    "multimodal_frame_stats",
+    "ntile_balance_quartiles",
+    "null_handling",
+    "pagination_page3",
+    "profile_orders",
+    "regexp_extract_ids",
+    "repetition_ratio_bands",
+    "shipped_within_90d",
+    "stratified_sample_5_per_type",
+    "string_agg_top_customers",
+    "string_functions",
+    "tfidf_top_terms",
+    "token_packing_bins",
+    "unigram_surprisal_bands",
+    "unpivot_segment_metrics",
+    "value_outlier_fences",
+    "value_quantiles_by_type",
+    "value_statistics",
+    "winnowing_dup_passages",
 )
 
 

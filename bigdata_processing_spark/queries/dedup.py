@@ -1976,6 +1976,24 @@ def containment_dup_pairs(
 _EDIT_PRE_MEMO: dict[tuple[str, str, float], DataFrame] = {}
 
 
+def _edit_band_col(maxlen, theta: float):
+    """Keep-boundary-covering band for ``levenshtein(x1, x2, band)``.
+
+    A pair survives the verifier iff ``round(1 - dist/maxlen, 6) >=
+    theta``, i.e. ``dist <= maxlen*(1-theta) + maxlen*5e-7`` (the
+    round-at-6-decimals slack). The band is that bound floored, +1, so
+    every keepable pair's distance is computed exactly at ANY maxlen.
+    Round 10 used ``floor(maxlen*(1-theta)) + 1``, whose proof required
+    ``maxlen < 2e6`` — past it the rounding slack exceeds one edit and a
+    keepable pair could be silently banded to -1 → sim 0 (ADVICE r10).
+    Including the slack term IN the band removes the precondition
+    instead of asserting it; the widening is ``maxlen*5e-7`` DP cells —
+    zero below 2e6 chars, negligible beyond."""
+    return (
+        F.floor(maxlen * F.lit(1.0 - theta) + maxlen * F.lit(5e-7)) + 1
+    ).cast("int")
+
+
 def _edit_pruned_pairs(
     spark: SparkSession, sf_dir: str,
     edit_sim_threshold: float = EDIT_SIM_THRESHOLD,
@@ -2060,18 +2078,17 @@ def edit_distance_dup_pairs(
     # dist <= maxlen·(1-θ) survive the filter anyway, so tell the JVM
     # the per-pair bound — levenshtein(x1, x2, T) fills an O(len·T)
     # diagonal band and bails out at -1 past T instead of the full
-    # O(len²) grid. T = floor(maxlen·(1-θ))+1 strictly covers the
-    # round-at-6-decimals keep boundary for maxlen < 2e6 (a kept pair
-    # has dist <= maxlen(1-θ)+maxlen·5e-7 < T+1), so every kept pair's
-    # dist is exact; -1 maps to maxlen (sim 0, filtered). Threshold must
-    # be a literal in the Python API — route through expr on a
-    # materialized band column.
+    # O(len²) grid. T comes from _edit_band_col: the round-at-6-decimals
+    # keep boundary including its maxlen·5e-7 rounding slack, so every
+    # keepable pair's dist is exact at ANY maxlen; -1 maps to maxlen
+    # (sim 0, filtered). Threshold must be a literal in the Python API —
+    # route through expr on a materialized band column.
     raw = F.expr("levenshtein(x1, x2, _edit_band)")
     dist = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
         F.when(raw < 0, maxlen).otherwise(raw)
     )
     sim = 1 - dist.cast("double") / maxlen
-    band = (F.floor(maxlen * F.lit(1.0 - edit_sim_threshold)) + 1).cast("int")
+    band = _edit_band_col(maxlen, edit_sim_threshold)
     scored = pre.withColumn("_edit_band", band).select(
         "d1",
         "d2",
@@ -2880,9 +2897,7 @@ def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(eraw < 0, maxlen).otherwise(eraw)
     )
     esim = F.round(1 - edist.cast("double") / maxlen, 6)
-    eband = (
-        F.floor(maxlen * F.lit(1.0 - EDIT_SIM_THRESHOLD)) + 1
-    ).cast("int")
+    eband = _edit_band_col(maxlen, EDIT_SIM_THRESHOLD)
     edt = (
         pre.withColumn("_edit_band", eband)
         .filter(esim >= EDIT_SIM_THRESHOLD)

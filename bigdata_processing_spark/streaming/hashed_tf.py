@@ -49,7 +49,11 @@ def _featurize(docs: DataFrame, dim: int, id_col: str = "doc_id",
     from bigdata_processing_spark.functions import text as T
     from bigdata_processing_spark.functions import vectors as V
 
-    return docs.select(
+    # a null-text doc has no tokens to hash (hashed_tf(null) is null) —
+    # it cannot be featurized or probed, so it is excluded from the
+    # index rather than riding through assignment as a null vector
+    # (ADVICE r10: a null v aborted the intexact assigner's np.stack)
+    return docs.filter(F.col(text_col).isNotNull()).select(
         F.col(id_col).alias("vec_id"),
         T.hashed_tf(F.col(text_col), dim).alias("v"),
     ).withColumn("nrm", V.norm(F.col("v")))

@@ -228,10 +228,12 @@ def test_core_queries_survive_empty_tables(spark, tmp_path):
 
 def test_banded_levenshtein_matches_full_dp_at_keep_boundary(spark):
     """edit_distance_dup_pairs runs levenshtein with the per-pair band
-    T = floor(maxlen*(1-theta))+1 (-1 past the band maps to maxlen →
-    sim 0). Pins, on crafted pairs whose distance straddles the keep
-    boundary, that the banded form makes the identical keep/drop
-    decision — and the identical dist on kept pairs — as the full DP."""
+    from _edit_band_col (-1 past the band maps to maxlen → sim 0).
+    Pins, on crafted pairs whose distance straddles the keep boundary,
+    that the banded form makes the identical keep/drop decision — and
+    the identical dist on kept pairs — as the full DP."""
+    from bigdata_processing_spark.queries.dedup import _edit_band_col
+
     theta = 0.8
     base = "abcdefghijklmnopqrst"  # len 20 → keep bound dist <= 4
     pairs = []
@@ -242,7 +244,7 @@ def test_banded_levenshtein_matches_full_dp_at_keep_boundary(spark):
         pairs.append((base, mutated))
     df = spark.createDataFrame(pairs, "x1 string, x2 string")
     maxlen = F.greatest(F.length("x1"), F.length("x2"))
-    band = (F.floor(maxlen * F.lit(1.0 - theta)) + 1).cast("int")
+    band = _edit_band_col(maxlen, theta)
     raw = F.expr("levenshtein(x1, x2, _edit_band)")
     banded = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
         F.when(raw < 0, maxlen).otherwise(raw)
@@ -265,3 +267,33 @@ def test_banded_levenshtein_matches_full_dp_at_keep_boundary(spark):
         assert keep_full == keep_band, (r.x1, r.x2, r.fd, r.bd)
         if keep_full:
             assert r.bd == r.fd, (r.x1, r.x2, r.fd, r.bd)
+
+
+def test_edit_band_covers_rounding_slack_at_any_maxlen(spark):
+    """ADVICE r10: the old band floor(maxlen*(1-theta))+1 only covered
+    the round-at-6-decimals keep boundary for maxlen < 2e6 — past it
+    the slack maxlen*5e-7 exceeds one edit, so a keepable pair (dist
+    rounds UP to theta) could be banded to -1 → sim 0. _edit_band_col
+    folds the slack into the band; pin the arithmetic at a 5M-char
+    maxlen where the worst keepable distance is visible."""
+    from bigdata_processing_spark.queries.dedup import _edit_band_col
+
+    theta = 0.8
+    rows = (
+        spark.range(1)
+        .select(
+            _edit_band_col(F.lit(20), theta).alias("small"),
+            _edit_band_col(F.lit(5_000_000), theta).alias("big"),
+        )
+        .collect()
+    )
+    small, big = rows[0].small, rows[0].big
+    # fixture scale: slack adds nothing — band unchanged from round 10
+    assert small == 5
+    # maxlen 5e6: dist = 1_000_002 gives sim = 0.7999996 which rounds
+    # to theta → keepable, but the old band (1_000_001) banded it out
+    worst_keepable = 1_000_002
+    assert round(1 - worst_keepable / 5_000_000, 6) >= theta
+    old_band = int(5_000_000 * (1 - theta)) + 1
+    assert worst_keepable > old_band  # the bug the new band fixes
+    assert big > worst_keepable  # banded DP computes it exactly

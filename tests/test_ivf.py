@@ -651,3 +651,83 @@ def test_intexact_assigner_matches_ordered_fold_on_hashed_tf(spark):
     vecs.unpersist()
     assert fold == fast
     assert len(fold) == n
+
+
+def test_intexact_assigner_enforces_whole_valued_precondition(spark):
+    """VERDICT r10 #3: the bit-exactness proof is the whole-valued
+    precondition, and nothing enforced it — a float-family caller got
+    silently plausible-but-unpinned argmins. Now: float centroids raise
+    at plan time; float vectors raise inside the batch; whole-valued
+    inputs pass."""
+    import pytest
+
+    from bigdata_processing_spark.operators.ivf import (
+        seeded_assign_cells_intexact,
+    )
+
+    whole = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, [3.0, 0.0])], "vec_id int, e array<double>"
+    )
+    # float centroids: immediate, driver-side
+    with pytest.raises(ValueError, match="whole-valued"):
+        seeded_assign_cells_intexact(whole, [[0.5, 1.0], [2.0, 2.0]])
+    # float vectors: raised from the executor batch check
+    floaty = spark.createDataFrame(
+        [(0, [0.5, 2.0])], "vec_id int, e array<double>"
+    )
+    asg = seeded_assign_cells_intexact(floaty, [[1.0, 1.0], [4.0, 0.0]])
+    with pytest.raises(Exception, match="whole-valued|integer-exactness"):
+        asg.collect()
+    # whole-valued passes
+    ok = {
+        r.vec_id: r.cell
+        for r in seeded_assign_cells_intexact(
+            whole, [[1.0, 1.0], [4.0, 0.0]]
+        ).collect()
+    }
+    assert ok == {0: 0, 1: 1}
+
+
+def test_intexact_assigner_null_vector_gets_null_cell(spark):
+    """ADVICE r10: a null vector (hashed_tf of null text) aborted the
+    whole stage from np.stack. Now it yields a NULL cell — the honest
+    answer for an unfeaturizable row (documented divergence from the
+    fold form, whose null score sorts first → silent cell 0) — and the
+    non-null rows are unaffected."""
+    from bigdata_processing_spark.operators.ivf import (
+        seeded_assign_cells_intexact,
+    )
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0]), (1, None), (2, [3.0, 0.0])],
+        "vec_id int, e array<double>",
+    )
+    rows = {
+        r.vec_id: r.cell
+        for r in seeded_assign_cells_intexact(
+            df, [[1.0, 1.0], [4.0, 0.0]]
+        ).collect()
+    }
+    assert rows == {0: 0, 1: None, 2: 1}
+
+    all_null = spark.createDataFrame(
+        [(7, None)], "vec_id int, e array<double>"
+    )
+    rows2 = seeded_assign_cells_intexact(
+        all_null, [[1.0, 1.0]]
+    ).collect()
+    assert len(rows2) == 1 and rows2[0].cell is None
+
+
+def test_streaming_featurize_drops_null_text(spark):
+    """The streaming hashed-TF front excludes null-text docs before
+    assignment (they cannot be featurized; hashed_tf(null) is null and
+    would otherwise ride into the assigner as a null vector)."""
+    from bigdata_processing_spark.streaming.hashed_tf import _featurize
+
+    docs = spark.createDataFrame(
+        [(0, "a b c"), (1, None), (2, "d e")], "doc_id long, text string"
+    )
+    out = _featurize(docs, 8).collect()
+    assert sorted(r.vec_id for r in out) == [0, 2]
+    assert all(r.v is not None and r.nrm is not None for r in out)

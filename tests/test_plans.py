@@ -629,3 +629,165 @@ def test_every_broadcast_site_is_bounded_or_gated():
         "unclassified F.broadcast( sites — gate corpus-growing sides via "
         f"operators/regime.py or classify them here: {found}"
     )
+
+
+# ---------------------------------------------------------------------------
+# Pipeline entry points, EXECUTED plans (VERDICT r10 #6): the registered
+# regime tests above pin tfidf/surprisal and the dedup reporting family;
+# these pin curate_corpus / curate_append themselves, via the SQL status
+# store's physical-plan descriptions of every query the pipeline actually
+# ran — so a refactor that keeps the broadcast-sweep allowlist count but
+# drops the regime gate cannot ship the old corpus-sized-broadcast OOM.
+# ---------------------------------------------------------------------------
+def _max_sql_exec_id(spark) -> int:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return max(
+        (lst.apply(i).executionId() for i in range(lst.size())), default=-1
+    )
+
+
+def _sql_plans_after(spark, mark: int) -> list[str]:
+    store = spark._jsparkSession.sharedState().statusStore()
+    lst = store.executionsList()
+    return [
+        lst.apply(i).physicalPlanDescription()
+        for i in range(lst.size())
+        if lst.apply(i).executionId() > mark
+    ]
+
+
+def _anti_join_lines(plans: list[str]) -> list[str]:
+    # operator lines only ("SortMergeJoin LeftAnti (23)") — the
+    # formatted description also carries "Join type: LeftAnti" detail
+    # lines that name no strategy
+    import re
+
+    return [
+        ln
+        for p in plans
+        for ln in p.splitlines()
+        if re.search(r"\w+Join LeftAnti", ln)
+    ]
+
+
+def test_curate_corpus_big_regime_executes_zero_anti_broadcasts(
+    spark, tmp_path
+):
+    """Forced big regime: every LeftAnti join curate_corpus EXECUTES
+    (near_removed, contaminated — both corpus-growing) must be a
+    SortMergeJoin. AQE is disabled for the run because at fixture scale
+    it would legitimately re-convert the merge-hinted joins back to
+    broadcast from runtime stats — the pinned property is the STATIC
+    strategy the gate chooses, same as the registered regime tests."""
+    import os
+
+    from bigdata_processing_spark.catalog import load_table as _lt
+    from bigdata_processing_spark.operators import regime
+    from bigdata_processing_spark.pipelines.curation import curate_corpus
+    from bigdata_processing_spark.queries.dedup import clear_dedup_memos
+
+    docs = _lt(spark, SF_SMALL, "documents")
+    holdout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    clear_dedup_memos()
+    regime._SIZE_MEMO[SF_SMALL] = 10**15
+    mark = _max_sql_exec_id(spark)
+    try:
+        curate_corpus(
+            spark, SF_SMALL, os.path.join(str(tmp_path), "curated_big"),
+            holdout=holdout, balance_sources=False,
+        )
+        anti = _anti_join_lines(_sql_plans_after(spark, mark))
+    finally:
+        regime._SIZE_MEMO.pop(SF_SMALL, None)
+        clear_dedup_memos()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    # the two gated stages ran (near_dedup + decontamination anti-joins,
+    # each executed by several stage counts + the final write)
+    assert len(anti) >= 2, anti
+    bad = [ln for ln in anti if "BroadcastHashJoin" in ln]
+    assert not bad, f"corpus-growing anti-join broadcast in big regime: {bad}"
+    assert all("SortMergeJoin" in ln for ln in anti), anti
+
+
+def test_curate_append_merge_gate_executes_anti_joins_as_smj(
+    spark, tmp_path
+):
+    """curate_append's removal sets are gated by bcast_if_rows on counts
+    the pipeline just materialized; the append path ALSO carries
+    legitimately batch-bounded broadcast anti-joins (the fp hit set, the
+    anchor-id set), so "zero BHJ" is not the invariant here. The pinned
+    properties: BOTH gated sites still route through bcast_if_rows (a
+    refactor to a bare F.broadcast stops calling the gate and fails the
+    call-count assert), and with the gate forced to its merge branch
+    (the decision a past-the-cap count takes) the executed plans carry
+    SortMergeJoin LeftAnti joins — the hint is honored end-to-end. The
+    batch is mutated clones of indexed docs (one appended token: escapes
+    the exact-fp stage, stays near-dup) so the near_dedup gate FIRES,
+    not just the decontamination one."""
+    import os
+
+    from bigdata_processing_spark.catalog import load_table as _lt, table_path
+    from bigdata_processing_spark.pipelines import curation
+    from bigdata_processing_spark.pipelines.curation import (
+        curate_append,
+        curate_corpus_with_state,
+    )
+    from bigdata_processing_spark.queries.dedup import clear_dedup_memos
+
+    docs = _lt(spark, SF_SMALL, "documents")
+    span = docs.agg(F.max("doc_id")).collect()[0][0] + 1
+    base_sf = os.path.join(str(tmp_path), "base_sf")
+    os.makedirs(base_sf, exist_ok=True)
+    docs.write.parquet(table_path(base_sf, "documents"))
+    # mutated clones of every 9th indexed doc: ids above the indexed
+    # range (append contract), near-dup but not exact-dup of the index
+    batch = (
+        docs.filter(F.col("doc_id") % 9 == 0)
+        .withColumn("doc_id", F.col("doc_id") + F.lit(span))
+        .withColumn("text", F.concat(F.col("text"), F.lit(" zq")))
+    )
+    holdout = docs.filter(F.col("doc_id") % 97 == 0).select("doc_id", "text")
+
+    out = os.path.join(str(tmp_path), "curated")
+    clear_dedup_memos()
+    curate_corpus_with_state(spark, base_sf, out, balance_sources=False)
+
+    prev_thresh = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    prev_aqe = spark.conf.get("spark.sql.adaptive.enabled")
+    prev_gate = curation.bcast_if_rows
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    gate_calls = []
+
+    def merge_gate(df, n_rows, **kw):
+        gate_calls.append(n_rows)
+        return df.hint("merge")
+
+    curation.bcast_if_rows = merge_gate
+    mark = _max_sql_exec_id(spark)
+    try:
+        stats = curate_append(spark, out, batch, holdout=holdout)
+        anti = _anti_join_lines(_sql_plans_after(spark, mark))
+    finally:
+        curation.bcast_if_rows = prev_gate
+        clear_dedup_memos()
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev_thresh)
+        spark.conf.set("spark.sql.adaptive.enabled", prev_aqe)
+    assert [s.stage for s in stats] == [
+        "exact_dedup", "near_dedup", "quality_filter", "decontamination",
+        "emit",
+    ]
+    # the near_dedup stage found the planted near-dups (gate #1 fired
+    # with the 2*n_pairs bound) and decontamination always gates (#2)
+    near = next(s for s in stats if s.stage == "near_dedup")
+    assert near.docs_in > near.docs_out, stats  # planted dups removed
+    assert len(gate_calls) == 2, gate_calls
+    smj = [ln for ln in anti if "SortMergeJoin" in ln]
+    assert len(smj) >= 2, anti

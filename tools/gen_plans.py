@@ -274,20 +274,57 @@ BIG_REGIME_ENTRIES: dict[str, str] = {
 }
 
 
+# Plans larger than this go to plans/<name>.txt with a clipped preview
+# inline — a handful of fused dedup/incremental plans are 1-6 MB of
+# expression text, which made PLANS.md a 3.7 MB un-diffable blob
+# (VERDICT r10 #8). The full dump keeps every byte reviewable; the
+# gallery stays under 500 KB.
+INLINE_MAX_BYTES = 20_000
+PREVIEW_LINES = 40
+PREVIEW_WIDTH = 160
+
+
+def _render(name: str, note: str, plan: str, plans_dir: str,
+            sub: str = "") -> str:
+    rel = os.path.join("plans", sub, f"{name}.txt")
+    full = os.path.join(plans_dir, sub, f"{name}.txt")
+    os.makedirs(os.path.dirname(full), exist_ok=True)
+    with open(full, "w") as f:
+        f.write(plan + "\n")
+    title = f"{name} (big regime)" if sub else name
+    if len(plan) <= INLINE_MAX_BYTES:
+        return f"\n## {title}\n\n{note}\n\n```\n{plan}\n```\n"
+    lines = plan.splitlines()
+    prev = "\n".join(
+        (l[:PREVIEW_WIDTH] + " …" if len(l) > PREVIEW_WIDTH else l)
+        for l in lines[:PREVIEW_LINES]
+    )
+    return (
+        f"\n## {title}\n\n{note}\n\n"
+        f"Preview (first {PREVIEW_LINES} of {len(lines)} operator lines, "
+        f"clipped at {PREVIEW_WIDTH} chars; full plan: `{rel}`):\n\n"
+        f"```\n{prev}\n```\n"
+    )
+
+
 def main() -> None:
     spark = get_spark("gen-plans")
     spark.sparkContext.setLogLevel("ERROR")
     q = bench_queries()
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    plans_dir = os.path.join(repo, "plans")
     parts = [
-        "# PLANS — physical plans of headline queries (round 10; sf0.01, AQE pre-execution)\n\n"
+        "# PLANS — physical plans of headline queries (round 11; sf0.01, AQE pre-execution)\n\n"
         "Generated by `python tools/gen_plans.py` from `df.explain('simple')`\n"
         "via `plans.explain_str`. These are the plans the scale design\n"
         "(ARCHITECTURE.md) promises; tests/test_plans.py asserts the\n"
         "load-bearing properties so they cannot silently regress.\n"
+        "Every plan is also dumped verbatim to `plans/<name>.txt`; entries\n"
+        "too large to diff inline show a clipped preview here.\n"
     ]
     for name, note in ENTRIES.items():
         plan = explain_str(q[name](spark, SF_DIR), mode="simple").strip()
-        parts.append(f"\n## {name}\n\n{note}\n\n```\n{plan}\n```\n")
+        parts.append(_render(name, note, plan, plans_dir))
 
     # big-regime gallery: force the corpus-size memo past the cap so the
     # regime-switched queries show their 100-TB plans (SMJ everywhere a
@@ -309,16 +346,17 @@ def main() -> None:
     try:
         for name, note in BIG_REGIME_ENTRIES.items():
             plan = explain_str(q[name](spark, SF_DIR), mode="simple").strip()
-            parts.append(
-                f"\n## {name} (big regime)\n\n{note}\n\n```\n{plan}\n```\n"
-            )
+            parts.append(_render(name, note, plan, plans_dir,
+                                 sub="big_regime"))
     finally:
         regime._SIZE_MEMO.pop(SF_DIR, None)
         clear_dedup_memos()
-    out = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "PLANS.md")
+    out = os.path.join(repo, "PLANS.md")
     with open(out, "w") as f:
         f.write("".join(parts))
-    print(f"wrote {out} ({len(ENTRIES)}+{len(BIG_REGIME_ENTRIES)} plans)")
+    size = os.path.getsize(out)
+    print(f"wrote {out} ({len(ENTRIES)}+{len(BIG_REGIME_ENTRIES)} plans, "
+          f"{size/1000:.0f} KB inline; full dumps under plans/)")
 
 
 if __name__ == "__main__":
