@@ -155,12 +155,19 @@ def test_streamed_assignments_equal_batch_recompute(spark, tmp_path):
         .collect()
     }
     cents = _read_centroids(spark, idx)
+    # materialize the featurized frame before assigning (the hashed_tf
+    # docstring's persist discipline, same as the build path): without
+    # it the UDF's argument is the full inline md5-fold tree, and a
+    # codegen fallback in a long-lived suite JVM leaves the PythonUDF
+    # inside an InterpretedUnsafeProjection -> INTERNAL_ERROR
+    vecs = _featurize(docs, HASHED_TF_DIM).persist()
+    vecs.count()
     batch = {
         (r.vec_id, r.cell)
         for r in seeded_assign_cells_intexact(
-            _featurize(docs, HASHED_TF_DIM), cents,
-            id_col="vec_id", e_col="v",
+            vecs, cents, id_col="vec_id", e_col="v",
         ).collect()
     }
+    vecs.unpersist()
     assert streamed == batch
     assert len(streamed) == docs.count()
