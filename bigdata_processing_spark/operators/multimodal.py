@@ -482,27 +482,43 @@ def image_neardup_pairs_from_hashes(
     """(d1, d2, hamming) for image pairs within ``hamming_max`` of each
     other, from a ``(img_id, b0..b3)`` dHash frame.
 
-    Scale shape: one (band-key, img_id) exchange builds the buckets;
-    under-cap buckets expand in-bucket pairs, over-cap buckets emit
-    member×representative stars (operators/skew.rep_star_pairs — the
-    identical geometry and md5-ordered selection as the MinHash family,
-    so identical-image cliques cost O(B·B/max_bucket), not B²).
-    Verification joins candidates back to the NARROW hash table (4
-    ints/img — broadcastable far past any pixel-data bound) and computes
-    the exact popcount distance. No pixel bytes ever shuffle."""
+    Scale shape (round 11 — the sf100 probe's finding): identical
+    signatures are collapsed FIRST (one narrow window over the 4 band
+    ints, min-id member is the clique's representative), banding / caps
+    / stars / popcount verification run over DISTINCT signatures only,
+    and the output is the CONNECTIVITY-PRESERVING edge set: member ↔
+    clique-rep stars (hamming 0) plus one verified rep ↔ rep edge per
+    signature pair. Exact-duplicate mass is 30-80% of a web-scale crawl
+    (and 99% of the 100x clone probe corpus, where the pre-collapse
+    operator generated 89M star candidates and spilled 28 GB to emit a
+    star-capped SUBSET that could leave members pairless); collapsed,
+    it verifies ~25k signature pairs, no member is ever pairless, and
+    buckets crowd only with DISTINCT near-miss signatures — which also
+    lifts the r10 density sweep's residual loss.
+
+    Under-cap (distinct-sig) buckets expand in-bucket pairs, over-cap
+    buckets emit member×representative stars
+    (operators/skew.rep_star_pairs — the identical geometry and
+    md5-ordered selection as the MinHash family). Verification joins
+    candidates back to the NARROW signature table (4 ints/sig) and
+    computes the exact popcount distance. No pixel bytes ever shuffle."""
     from bigdata_processing_spark.operators.skew import rep_star_pairs
     from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+    from pyspark.sql import Window
 
     # registered with the dedup family's loose-persist pool: the persist
     # backs the lazily-consumed result, so it can't unpersist here —
     # without the registration repeated image/simhash queries in one
     # session accumulated cached blocks (round-7 advisory)
-    hashes = hashes.persist()
-    _LOOSE_PERSISTS.append(hashes)
-    n_imgs = hashes.count()
+    sigw = Window.partitionBy("b0", "b1", "b2", "b3")
+    m = hashes.withColumn("sig_id", F.min("img_id").over(sigw)).persist()
+    _LOOSE_PERSISTS.append(m)
+    n_imgs = m.count()
+    # distinct signatures, keyed by their min-id representative member
+    ds = m.filter(F.col("img_id") == F.col("sig_id")).drop("sig_id")
     bandl = None
     for b in range(4):
-        leg = hashes.select(
+        leg = ds.select(
             "img_id",
             F.concat_ws("_", F.lit(b), F.col(f"b{b}").cast("string")).alias("bk"),
         )
@@ -536,10 +552,10 @@ def image_neardup_pairs_from_hashes(
         rep_star_pairs(bandl, max_bucket, id_col="img_id", sizes=bsz0)
     ).distinct()
 
-    a = hashes.select(F.col("img_id").alias("d1"),
-                      *[F.col(f"b{i}").alias(f"x{i}") for i in range(4)])
-    b2 = hashes.select(F.col("img_id").alias("d2"),
-                       *[F.col(f"b{i}").alias(f"y{i}") for i in range(4)])
+    a = ds.select(F.col("img_id").alias("d1"),
+                  *[F.col(f"b{i}").alias(f"x{i}") for i in range(4)])
+    b2 = ds.select(F.col("img_id").alias("d2"),
+                   *[F.col(f"b{i}").alias(f"y{i}") for i in range(4)])
     # Regime switch with a CONSERVATIVE in-JVM estimate: the verify join
     # broadcasts BOTH sides, and a broadcast hash relation costs far
     # more than the 40 raw bytes/row (row objects + the hash map +
@@ -556,11 +572,30 @@ def image_neardup_pairs_from_hashes(
     for i in range(4):
         term = F.bit_count(F.col(f"x{i}").bitwiseXOR(F.col(f"y{i}")))
         hamming = term if hamming is None else hamming + term
-    return (
+    # verified DISTINCT-signature pairs: candidate-bounded
+    rp = (
         cand.join(a, "d1").join(b2, "d2")
         .select("d1", "d2", hamming.cast("bigint").alias("hamming"))
         .filter(F.col("hamming") <= hamming_max)
     )
+    # Connectivity-preserving expansion: within a clique, member ↔
+    # clique-representative stars (B−1 edges of hamming 0 — the rep is
+    # the min id, so d1 < d2 holds); across cliques, the ONE verified
+    # rep ↔ rep edge per signature pair. Every emitted edge is a true
+    # near-dup pair, and the connected components equal the FULL
+    # true-pair graph's (any true pair (x∈A, y∈B) rides
+    # x–rep(A)–rep(B)–y), so downstream clustering is exact while the
+    # output stays linear in corpus + signature pairs. A 100-clone
+    # clique of a 40-doc exact family is 4,000 members = 7,998,000 true
+    # pairs; the star set is 3,999 edges with identical components —
+    # the sf100 probe measured 389M true pairs on the clone corpus,
+    # which no pair materialization should ever emit.
+    intra = m.filter(F.col("img_id") != F.col("sig_id")).select(
+        F.col("sig_id").alias("d1"),
+        F.col("img_id").alias("d2"),
+        F.lit(0).cast("bigint").alias("hamming"),
+    )
+    return intra.unionByName(rp)
 
 
 def image_pixel_features(media: DataFrame) -> DataFrame:

@@ -330,6 +330,12 @@ _SQL_CAND_PREF = f"""
 # (pairs ≪ corpus) instead of re-shuffling the corpus.
 _PAIR_MEMO: dict[tuple[str, str, float], DataFrame] = {}
 _CAND_MEMO: dict[tuple[str, str], DataFrame] = {}
+# raw (d1, d2) candidate pairs BEFORE the exact-overlap join — the
+# verifiers that never read the overlap counts (the edit-distance
+# family) stop paying the array_intersect join for counts they discard
+# (round 11, the sf100 probe: 167 s / 75 GB of spill at 100× for
+# numbers thrown away).
+_RAWCAND_MEMO: dict[tuple, DataFrame] = {}
 # (appId, sf_dir, max_df, max_df_frac, fits_broadcast) → persisted PRUNED
 # signature frame (the resolved regime keys the memo so a cap override
 # can't be served a frame planned under the other regime).
@@ -414,7 +420,8 @@ def clear_dedup_memos() -> None:
     memoized-family query pay its own full pipeline cost."""
     from bigdata_processing_spark.queries import dedup as _self
 
-    for memo in (_PAIR_MEMO, _CAND_MEMO, _PSIG_MEMO, _self._LABEL_MEMO,
+    for memo in (_PAIR_MEMO, _CAND_MEMO, _RAWCAND_MEMO, _PSIG_MEMO,
+                 _self._LABEL_MEMO,
                  _self._EDIT_PRE_MEMO, _self._SWEEP_MEMO, _OUT_MEMO,
                  _self._EMB_MEMO):
         for entry in memo.values():
@@ -483,66 +490,16 @@ from bigdata_processing_spark.operators.regime import (  # noqa: E402
 )
 
 
-def _scored_candidates(
-    spark: SparkSession, sf_dir: str,
-    max_df: int | None = MAX_DF,
-    max_bucket: int | None = MAX_BUCKET,
-    max_df_frac: float = MAX_DF_FRAC,
-    verify_broadcast_max_bytes: int = VERIFY_BROADCAST_MAX_BYTES,
-    est_agree_min: int | None = None,
+def _build_candidates(
+    spark: SparkSession, sf_dir: str, shset: DataFrame, n_docs: int,
+    max_df: int | None, max_bucket: int | None, max_df_frac: float,
+    verify_broadcast_max_bytes: int, est_agree_min: int | None,
 ) -> DataFrame:
-    """LSH candidate pairs with their exact shingle overlap:
-    (d1, d2, inter, n1, n2). Every set-similarity verifier — Jaccard
-    (minhash_lsh_dup_pairs / dup_clusters) and containment
-    (containment_dup_pairs) — derives from these counts, so the
-    candidate generation + overlap join runs once per session and guard
-    configuration.
-
-    The corpus-scale guards are ON BY DEFAULT: shingles present in more
-    than ``max(max_df, ceil(max_df_frac·n_docs))`` docs are pruned
-    before signatures (boilerplate carries no near-dup signal but
-    dominates shuffle volume; "common" must be RELATIVE to corpus size —
-    an absolute cap prunes the whole vocabulary at 10×, measured in
-    tools/sf1_dedup_proof.py) and LSH buckets larger than ``max_bucket``
-    are SAMPLED, not expanded (a B-doc bucket expands to B² candidate
-    pairs; a single hot template bucket is quadratic at 100×): each
-    over-cap bucket keeps ``ceil(B/max_bucket)`` hash-ordered
-    representatives and pairs every member against the representatives
-    only — O(B·B/max_bucket) bounded work, and the star-per-
-    representative shape still lets connected components recover the
-    whole family as one cluster. (Skipping over-cap buckets WHOLE — the
-    pre-round-6 behavior — silently kept large NON-identical near-dup
-    families: exact dedup only catches identical members, so a 50-doc
-    mutated boilerplate template survived dedup entirely; pinned by
-    test_skew.) Pass ``max_df=None`` / ``max_bucket=None`` to disable —
-    ``minhash_unguarded_dup_pairs`` is the registered small-scale audit
-    baseline that does. Guards only bound CANDIDATE GENERATION;
-    verification always scores the full shingle sets, so a surfaced
-    pair's similarity is exact regardless of configuration. Both guards
-    are relational and mirrored verbatim in the family's DuckDB twins
-    (_SQL_CAND_GUARDED, same thresholds.py constants).
-
-    ``est_agree_min``: when set, candidate pairs whose signatures agree
-    on fewer than this many components are dropped BEFORE the exact
-    shingle-set join — the two-stage verify (see _SQL_CAND_PREF /
-    thresholds.MINHASH_EST_MARGIN). The prefilter is a join against the
-    NARROW signature table (~100 B/doc independent of text length, so
-    it broadcasts far past the shingle-set regime bound); the exact
-    intersection — the 100×-proof cost center — then runs only on the
-    ~5% of candidates the estimate can't already rule out. (Carrying
-    signatures through the band buckets instead would widen the
-    (bk, doc_id) exchange ~3× for every candidate; the narrow broadcast
-    join prefilters without touching the dominant shuffle.)"""
-    memo_key = (spark.sparkContext.applicationId, sf_dir, max_df, max_bucket,
-                max_df_frac, verify_broadcast_max_bytes, est_agree_min)
-    cached = _CAND_MEMO.get(memo_key)
-    if cached is not None:
-        return cached
-    # Cache the shingle sets: reused by the signature pass and by both
-    # sides of the verification join (without it Spark recomputes the
-    # docs→shingles subtree four times — measured 4x slower).
-    shset = _shingle_df(spark, sf_dir).persist()
-    n_docs = shset.count()
+    """Lazy guarded candidate (d1, d2) frame from the persisted shingle
+    cache — the shared generation core of :func:`_scored_candidates`
+    (which layers the exact-overlap join on top) and
+    :func:`_candidate_pairs` (which materializes the ids alone for
+    verifiers that never read the overlap counts)."""
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
     # ONE regime decision (uncompressed-size proxy) gates every corpus-sized
     # broadcast in this pipeline: the df-prune vocab join, the signature
@@ -663,6 +620,112 @@ def _scored_candidates(
             .filter(agree >= est_agree_min)
             .select("d1", "d2")
         )
+    return cand
+
+
+def _candidate_pairs(
+    spark: SparkSession, sf_dir: str,
+    max_df: int | None = MAX_DF,
+    max_bucket: int | None = MAX_BUCKET,
+    max_df_frac: float = MAX_DF_FRAC,
+    verify_broadcast_max_bytes: int = VERIFY_BROADCAST_MAX_BYTES,
+    est_agree_min: int | None = None,
+) -> DataFrame:
+    """Guarded LSH candidate (d1, d2) pairs WITHOUT the exact shingle
+    overlap — for verifiers with their own scoring (the edit-distance
+    family). If the session already memoized the SCORED frame for the
+    same guards, its id projection is served for free; otherwise only
+    candidate generation runs and the corpus-sized shingle cache is
+    released immediately after (round 11, the sf100 probe: the edit
+    family previously paid the full array_intersect verify join —
+    167 s / 75 GB of sort spill at 100× — for overlap counts it
+    discarded)."""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, max_df, max_bucket,
+                max_df_frac, verify_broadcast_max_bytes, est_agree_min)
+    cached = _RAWCAND_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    scored = _CAND_MEMO.get(memo_key)
+    if scored is not None:
+        out = scored.select("d1", "d2")
+        _RAWCAND_MEMO[memo_key] = out
+        return out
+    shset = _shingle_df(spark, sf_dir).persist()
+    n_docs = shset.count()
+    cand = _build_candidates(
+        spark, sf_dir, shset, n_docs, max_df, max_bucket, max_df_frac,
+        verify_broadcast_max_bytes, est_agree_min,
+    ).persist()
+    cand.count()  # materialize (pairs ≪ corpus) ...
+    shset.unpersist()  # ... so the corpus-sized shingle cache can go now
+    _RAWCAND_MEMO[memo_key] = cand
+    return cand
+
+
+def _scored_candidates(
+    spark: SparkSession, sf_dir: str,
+    max_df: int | None = MAX_DF,
+    max_bucket: int | None = MAX_BUCKET,
+    max_df_frac: float = MAX_DF_FRAC,
+    verify_broadcast_max_bytes: int = VERIFY_BROADCAST_MAX_BYTES,
+    est_agree_min: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs with their exact shingle overlap:
+    (d1, d2, inter, n1, n2). Every set-similarity verifier — Jaccard
+    (minhash_lsh_dup_pairs / dup_clusters) and containment
+    (containment_dup_pairs) — derives from these counts, so the
+    candidate generation + overlap join runs once per session and guard
+    configuration.
+
+    The corpus-scale guards are ON BY DEFAULT: shingles present in more
+    than ``max(max_df, ceil(max_df_frac·n_docs))`` docs are pruned
+    before signatures (boilerplate carries no near-dup signal but
+    dominates shuffle volume; "common" must be RELATIVE to corpus size —
+    an absolute cap prunes the whole vocabulary at 10×, measured in
+    tools/sf1_dedup_proof.py) and LSH buckets larger than ``max_bucket``
+    are SAMPLED, not expanded (a B-doc bucket expands to B² candidate
+    pairs; a single hot template bucket is quadratic at 100×): each
+    over-cap bucket keeps ``ceil(B/max_bucket)`` hash-ordered
+    representatives and pairs every member against the representatives
+    only — O(B·B/max_bucket) bounded work, and the star-per-
+    representative shape still lets connected components recover the
+    whole family as one cluster. (Skipping over-cap buckets WHOLE — the
+    pre-round-6 behavior — silently kept large NON-identical near-dup
+    families: exact dedup only catches identical members, so a 50-doc
+    mutated boilerplate template survived dedup entirely; pinned by
+    test_skew.) Pass ``max_df=None`` / ``max_bucket=None`` to disable —
+    ``minhash_unguarded_dup_pairs`` is the registered small-scale audit
+    baseline that does. Guards only bound CANDIDATE GENERATION;
+    verification always scores the full shingle sets, so a surfaced
+    pair's similarity is exact regardless of configuration. Both guards
+    are relational and mirrored verbatim in the family's DuckDB twins
+    (_SQL_CAND_GUARDED, same thresholds.py constants).
+
+    ``est_agree_min``: when set, candidate pairs whose signatures agree
+    on fewer than this many components are dropped BEFORE the exact
+    shingle-set join — the two-stage verify (see _SQL_CAND_PREF /
+    thresholds.MINHASH_EST_MARGIN). The prefilter is a join against the
+    NARROW signature table (~100 B/doc independent of text length, so
+    it broadcasts far past the shingle-set regime bound); the exact
+    intersection — the 100×-proof cost center — then runs only on the
+    ~5% of candidates the estimate can't already rule out. (Carrying
+    signatures through the band buckets instead would widen the
+    (bk, doc_id) exchange ~3× for every candidate; the narrow broadcast
+    join prefilters without touching the dominant shuffle.)"""
+    memo_key = (spark.sparkContext.applicationId, sf_dir, max_df, max_bucket,
+                max_df_frac, verify_broadcast_max_bytes, est_agree_min)
+    cached = _CAND_MEMO.get(memo_key)
+    if cached is not None:
+        return cached
+    # Cache the shingle sets: reused by the signature pass and by both
+    # sides of the verification join (without it Spark recomputes the
+    # docs→shingles subtree four times — measured 4x slower).
+    shset = _shingle_df(spark, sf_dir).persist()
+    n_docs = shset.count()
+    cand = _build_candidates(
+        spark, sf_dir, shset, n_docs, max_df, max_bucket, max_df_frac,
+        verify_broadcast_max_bytes, est_agree_min,
+    )
     # Size-aware verify join: broadcasting the shingle-set lookups avoids
     # shuffling the candidate pairs twice (measured 1.7x on the full
     # pipeline) — but only while the doc→shingles map fits an executor.
@@ -671,6 +734,7 @@ def _scored_candidates(
     # candidate-bounded, no corpus-sized broadcast to OOM on.
     s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
     s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
+    fits_broadcast = _fits_broadcast(sf_dir, verify_broadcast_max_bytes)
     if fits_broadcast:
         joined = cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
     else:
@@ -1994,40 +2058,82 @@ def _edit_band_col(maxlen, theta: float):
     ).cast("int")
 
 
-def _edit_pruned_pairs(
+def _edit_scored_pairs(
     spark: SparkSession, sf_dir: str,
     edit_sim_threshold: float = EDIT_SIM_THRESHOLD,
 ) -> DataFrame:
+    """(d1, d2, dist, maxlen) for every length-gap-surviving candidate
+    pair — the shared input of the edit-distance verifiers.
+
+    Round-11 shape (the sf100 probe's finding): the DP runs per DISTINCT
+    TEXT PAIR, not per doc pair. Raw-md5 text identity joins each
+    candidate to its (f1, f2) fingerprint pair; identical texts are dist
+    0 outright, and each distinct unequal pair is verified ONCE on one
+    representative text per fingerprint, the verdict joined back to all
+    doc pairs that share it. Edit distance is a pure text function, so
+    the expansion is exact — and on an exact-dup-heavy corpus (the 100×
+    clone probe: every doc ×100, 612 s / 108 GB of sort spill in the
+    old per-doc-pair form, where every pair row CARRIED both texts
+    through the join and repartition) the DP count and the shuffled
+    bytes collapse by the clone factor squared: pair rows carry two
+    16-byte fingerprints, texts ride only the distinct-pair frame.
+
+    dist >= |len1-len2| exactly, so the length gap bounds similarity:
+    prune BEFORE the O(len·band) DP, in the integer form
+    (5·|Δlen| <= maxlen) whose boundary decision matches the oracle
+    bit-for-bit. The DP is CPU-bound per distinct pair: spread across
+    every core (2× defaultParallelism — scales with the rig)."""
     gap_mult = edit_len_gap_mult(edit_sim_threshold)
     memo_key = (spark.sparkContext.applicationId, sf_dir, edit_sim_threshold)
     cached = _EDIT_PRE_MEMO.get(memo_key)
     if cached is not None:
         return cached
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    cand = _scored_candidates(spark, sf_dir).select("d1", "d2")
-    t1 = docs.select(F.col("doc_id").alias("d1"), F.col("text").alias("x1"))
-    t2 = docs.select(F.col("doc_id").alias("d2"), F.col("text").alias("x2"))
-    # cand is O(candidate pairs) and j additionally carries x1 text —
-    # both corpus-growing: regime switch, never a forced broadcast
-    j = t1.join(_bcast_if_small(cand, sf_dir), "d1")
-    j = t2.join(_bcast_if_small(j, sf_dir), "d2")
-    maxlen = F.greatest(F.length("x1"), F.length("x2"))
-    # dist >= |len1-len2| exactly, so the length gap bounds similarity:
-    # prune BEFORE the O(len²) DP — at sf0.1 this drops the candidate
-    # set from ~44k pairs to the near-identical tail (105s -> ~2s).
-    # Integer form (5·|Δlen| <= maxlen) so the boundary decision matches
-    # the oracle bit-for-bit; the DP is CPU-bound per pair, so spread
-    # the survivors before verifying.
-    # the DP is CPU-bound per pair: spread survivors across every core
-    # (2× defaultParallelism, not a literal — at small scale this still
-    # collapses to one wave; on a big cluster it scales with the rig)
-    pre = (
-        j.filter(
-            gap_mult * F.abs(F.length("x1") - F.length("x2")) <= maxlen
-        )
-        .repartition(2 * spark.sparkContext.defaultParallelism)
-        .persist()
+    fp = docs.select(
+        "doc_id", F.md5("text").alias("f"), F.length("text").alias("ln")
     )
+    cand = _candidate_pairs(spark, sf_dir)
+    f1 = fp.select(F.col("doc_id").alias("d1"), F.col("f").alias("f1"),
+                   F.col("ln").alias("l1"))
+    f2 = fp.select(F.col("doc_id").alias("d2"), F.col("f").alias("f2"),
+                   F.col("ln").alias("l2"))
+    # cand is O(candidate pairs), fp O(corpus) — both corpus-growing:
+    # regime switch, never a forced broadcast
+    j = f1.join(_bcast_if_small(cand, sf_dir), "d1")
+    j = f2.join(_bcast_if_small(j, sf_dir), "d2")
+    maxlen = F.greatest("l1", "l2").cast("int")
+    cf = j.filter(
+        gap_mult * F.abs(F.col("l1") - F.col("l2")) <= F.greatest("l1", "l2")
+    ).select("d1", "d2", "f1", "f2", maxlen.alias("maxlen"))
+    same = cf.filter(F.col("f1") == F.col("f2")).select(
+        "d1", "d2", F.lit(0).alias("dist"), "maxlen"
+    )
+    # one representative text per fingerprint (texts under one raw md5
+    # are identical — min() is a deterministic pick of that one text)
+    texts = docs.groupBy(F.md5("text").alias("f")).agg(
+        F.min("text").alias("x")
+    )
+    dtp = (
+        cf.filter(F.col("f1") != F.col("f2"))
+        .select("f1", "f2", "maxlen")
+        .distinct()
+        .join(texts.select(F.col("f").alias("f1"), F.col("x").alias("x1")), "f1")
+        .join(texts.select(F.col("f").alias("f2"), F.col("x").alias("x2")), "f2")
+        .repartition(2 * spark.sparkContext.defaultParallelism)
+    )
+    raw = F.expr("levenshtein(x1, x2, _edit_band)")
+    dverd = dtp.withColumn(
+        "_edit_band", _edit_band_col(F.col("maxlen"), edit_sim_threshold)
+    ).select(
+        "f1", "f2",
+        F.when(raw < 0, F.col("maxlen")).otherwise(raw).alias("dist"),
+    )
+    diff = (
+        cf.filter(F.col("f1") != F.col("f2"))
+        .join(dverd, ["f1", "f2"])
+        .select("d1", "d2", "dist", "maxlen")
+    )
+    pre = same.unionByName(diff).persist()
     _EDIT_PRE_MEMO[memo_key] = pre
     return pre
 
@@ -2068,33 +2174,18 @@ def edit_distance_dup_pairs(
     fetched for the candidate set by doc_id join (broadcast: candidates
     ≪ corpus) and the integer edit distance is bit-exact across
     engines."""
-    pre = _edit_pruned_pairs(spark, sf_dir, edit_sim_threshold)
-    maxlen = F.greatest(F.length("x1"), F.length("x2"))
-    # equality short-circuit: exact clones (the dominant near-dup class
-    # at scale) skip the O(len²) DP entirely — dist is 0 either way, so
-    # the oracle is untouched (pure physical optimization; measured 7.2×
-    # → ~2× on the 10× clone corpus where every pair is identical text)
-    # Banded DP for the non-identical tail: only pairs with
-    # dist <= maxlen·(1-θ) survive the filter anyway, so tell the JVM
-    # the per-pair bound — levenshtein(x1, x2, T) fills an O(len·T)
-    # diagonal band and bails out at -1 past T instead of the full
-    # O(len²) grid. T comes from _edit_band_col: the round-at-6-decimals
-    # keep boundary including its maxlen·5e-7 rounding slack, so every
-    # keepable pair's dist is exact at ANY maxlen; -1 maps to maxlen
-    # (sim 0, filtered). Threshold must be a literal in the Python API —
-    # route through expr on a materialized band column.
-    raw = F.expr("levenshtein(x1, x2, _edit_band)")
-    dist = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
-        F.when(raw < 0, maxlen).otherwise(raw)
-    )
-    sim = 1 - dist.cast("double") / maxlen
-    band = _edit_band_col(maxlen, edit_sim_threshold)
-    scored = pre.withColumn("_edit_band", band).select(
+    # All the heavy lifting — length-gap prune, identical-text
+    # short-circuit, distinct-text-pair banded DP (_edit_band_col's
+    # keep-boundary band; -1 past it maps to maxlen → sim 0, filtered) —
+    # lives in _edit_scored_pairs, shared with dedup_verifier_matrix.
+    pre = _edit_scored_pairs(spark, sf_dir, edit_sim_threshold)
+    sim = 1 - F.col("dist").cast("double") / F.col("maxlen")
+    scored = pre.select(
         "d1",
         "d2",
         # DuckDB levenshtein returns BIGINT; Spark's returns int — align
         # the dtype so the driver's value hash encodes identically
-        dist.cast("long").alias("dist"),
+        F.col("dist").cast("long").alias("dist"),
         F.round(sim, 6).alias("edit_sim"),
     )
     return (
@@ -2889,20 +2980,10 @@ def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     containment = F.col("inter").cast("double") / F.least("n1", "n2")
     jac = sc.filter(jaccard >= JACCARD_THRESHOLD).select("d1", "d2")
     con = sc.filter(containment >= CONTAINMENT_THRESHOLD).select("d1", "d2")
-    pre = _edit_pruned_pairs(spark, sf_dir)
-    maxlen = F.greatest(F.length("x1"), F.length("x2"))
-    # same equality short-circuit + banded DP as edit_distance_dup_pairs
-    eraw = F.expr("levenshtein(x1, x2, _edit_band)")
-    edist = F.when(F.col("x1") == F.col("x2"), F.lit(0)).otherwise(
-        F.when(eraw < 0, maxlen).otherwise(eraw)
-    )
-    esim = F.round(1 - edist.cast("double") / maxlen, 6)
-    eband = _edit_band_col(maxlen, EDIT_SIM_THRESHOLD)
-    edt = (
-        pre.withColumn("_edit_band", eband)
-        .filter(esim >= EDIT_SIM_THRESHOLD)
-        .select("d1", "d2")
-    )
+    # same distinct-text-pair scored frame as edit_distance_dup_pairs
+    pre = _edit_scored_pairs(spark, sf_dir)
+    esim = F.round(1 - F.col("dist").cast("double") / F.col("maxlen"), 6)
+    edt = pre.filter(esim >= EDIT_SIM_THRESHOLD).select("d1", "d2")
 
     def row(name: str, pairs: DataFrame) -> DataFrame:
         n = pairs.agg(F.count("*").alias("n_pairs"))

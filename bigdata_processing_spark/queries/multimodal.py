@@ -392,13 +392,27 @@ def _sql_hamming_pairs_tail(hamming_max: int, max_bucket: int,
     ``ibands(img_id, b0..b3)`` CTE the CALLER defines — shared by the
     image dHash twins and the 64-bit SimHash twin (same 4×16-bit band
     geometry, same capped buckets + representative stars, same popcount
-    verify)."""
+    verify). Round 11: identical signatures collapse to their min-id
+    representative BEFORE banding, and the output is the
+    connectivity-preserving edge set — member ↔ clique-rep stars
+    (hamming 0) plus one verified rep ↔ rep edge per signature pair —
+    the exact twin of the Spark operator's collapse
+    (operators/multimodal.image_neardup_pairs_from_hashes).
+    ``batch_pred`` filters the output rows (plain d1/d2)."""
     bandl = "\n            UNION ALL\n".join(
-        f"            SELECT img_id, concat('{b}_', b{b}) AS bk FROM ibands"
+        f"            SELECT img_id, concat('{b}_', b{b}) AS bk FROM idsig"
         for b in range(4)
     )
     ham = " + ".join(f"bit_count(xor(x.b{i}, y.b{i}))" for i in range(4))
     return f""",
+        isig AS (
+            SELECT img_id, b0, b1, b2, b3,
+                   min(img_id) OVER (PARTITION BY b0, b1, b2, b3) AS sig_id
+            FROM ibands
+        ),
+        idsig AS (
+            SELECT img_id, b0, b1, b2, b3 FROM isig WHERE img_id = sig_id
+        ),
         ibandl AS (
 {bandl}
         ),
@@ -427,12 +441,22 @@ def _sql_hamming_pairs_tail(hamming_max: int, max_bucket: int,
                 FROM ireps r
                 JOIN ibandl m ON r.bk = m.bk AND r.img_id <> m.img_id
             )
+        ),
+        irp AS (
+            SELECT c.d1, c.d2, ({ham})::BIGINT AS hamming
+            FROM icand c
+            JOIN idsig x ON c.d1 = x.img_id
+            JOIN idsig y ON c.d2 = y.img_id
+            WHERE {ham} <= {hamming_max}
+        ),
+        iallp AS (
+            SELECT sig_id AS d1, img_id AS d2, CAST(0 AS BIGINT) AS hamming
+            FROM isig WHERE img_id <> sig_id
+            UNION ALL
+            SELECT d1, d2, hamming FROM irp
         )
-        SELECT c.d1, c.d2, ({ham})::BIGINT AS hamming
-        FROM icand c
-        JOIN ibands x ON c.d1 = x.img_id
-        JOIN ibands y ON c.d2 = y.img_id
-        WHERE {ham} <= {hamming_max} {batch_pred}
+        SELECT d1, d2, hamming FROM iallp
+        WHERE TRUE {batch_pred}
         ORDER BY d1, d2
     """
 
@@ -440,7 +464,7 @@ def _sql_hamming_pairs_tail(hamming_max: int, max_bucket: int,
 def _sql_image_neardup(shift: int, hamming_max: int, max_bucket: int,
                        batch_only: bool = False) -> str:
     batch_pred = (
-        "AND (c.d1 >= 100000 OR c.d2 >= 100000)" if batch_only else ""
+        "AND (d1 >= 100000 OR d2 >= 100000)" if batch_only else ""
     )
     return (
         f"\n        WITH {_sql_img_bands(shift)}"

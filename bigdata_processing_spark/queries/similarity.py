@@ -725,12 +725,18 @@ def matryoshka_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     width. Scale shape: same broadcast-query + single candidate scan as
     knn_bruteforce (both rankings come from one joined pass; no second
     scan), recall join is per-(qid,cid) on tiny top-k sets."""
-    # One pass over the pairs (round 10): norms are per-ROW columns
-    # (the first form re-folded 4 norms per PAIR), both rankings ride
-    # the SAME qid exchange as two window columns, and the recall
-    # intersection is a filter (rnf<=5 AND rnt<=5) + count — the
-    # topf⋈topt self-join of the first form re-evaluated the whole
-    # unpersisted join+dot subtree a second time.
+    # One EVALUATION of the pair frame (round 10: norms are per-ROW
+    # columns, the dots computed once), but — round 11, found by the
+    # sf100 probe — NOT one window pass: stacking rnf and rnt as two
+    # window columns over the same frame forces two FULL sorts of the
+    # n×q pairs (84 GB of sort spill at 100×; a rank filter above a
+    # single window instead plans WindowGroupLimit, which prunes to
+    # top-k per partition BEFORE the exchange). So: persist the scored
+    # pairs (evaluated once — the r10 double-eval fix stands), run two
+    # group-limited top-5 legs over the cache, and intersect the k-row
+    # results with a join.
+    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+
     emb = load_table(spark, sf_dir, "embeddings")
     base = emb.select(
         F.col("vec_id"),
@@ -754,13 +760,22 @@ def matryoshka_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("vec_id").alias("cid"),
         (V.dot(F.col("qe"), F.col("e")) / (F.col("qnf") * F.col("nf"))).alias("cf"),
         (V.dot(F.col("qe16"), F.col("e16")) / (F.col("qnt") * F.col("nt"))).alias("ct"),
-    )
+    ).persist()
+    _LOOSE_PERSISTS.append(joined)
     wf = Window.partitionBy("qid").orderBy(F.col("cf").desc(), F.col("cid").asc())
     wt = Window.partitionBy("qid").orderBy(F.col("ct").desc(), F.col("cid").asc())
-    hits = (
+    topf = (
         joined.withColumn("rnf", F.row_number().over(wf))
-        .withColumn("rnt", F.row_number().over(wt))
-        .filter((F.col("rnf") <= 5) & (F.col("rnt") <= 5))
+        .filter(F.col("rnf") <= 5)
+        .select("qid", "cid")
+    )
+    topt = (
+        joined.withColumn("rnt", F.row_number().over(wt))
+        .filter(F.col("rnt") <= 5)
+        .select("qid", "cid")
+    )
+    hits = (
+        topf.join(topt, ["qid", "cid"])  # two 5-row/qid sets
         .groupBy("qid")
         .agg(F.count("*").alias("hits"))
     )
