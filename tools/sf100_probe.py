@@ -107,7 +107,9 @@ def main() -> None:
               f"spill {sp1 - sp0:.0f}MB", flush=True)
     clear_dedup_memos()
 
-    out = os.path.join(REPO, "BENCH_SF100_PROBE.json")
+    # a partial (--only) run must not clobber the canonical full table
+    name = "BENCH_SF100_PROBE.json" if only is None else "BENCH_SF100_PROBE.partial.json"
+    out = os.path.join(REPO, name)
     with open(out, "w") as f:
         json.dump({"n": N, "sf_base": 0.1, "rows": rows}, f, indent=1)
     print(f"\nwrote {out}")
