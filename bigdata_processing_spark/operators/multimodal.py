@@ -510,8 +510,18 @@ def image_neardup_pairs_from_hashes(
     # backs the lazily-consumed result, so it can't unpersist here —
     # without the registration repeated image/simhash queries in one
     # session accumulated cached blocks (round-7 advisory)
+    # NULL bands would collapse every null-band row into ONE "signature"
+    # clique and declare unrelated images exact duplicates (the
+    # pre-collapse code dropped null-band pairs at the hamming filter
+    # instead). No current producer emits nulls, but this is a public
+    # operator over arbitrary (img_id, b0..b3) frames — drop them here,
+    # mirrored in the SQL twin (queries/multimodal._sql_hamming_pairs_tail).
     sigw = Window.partitionBy("b0", "b1", "b2", "b3")
-    m = hashes.withColumn("sig_id", F.min("img_id").over(sigw)).persist()
+    nonnull = hashes.filter(
+        F.col("b0").isNotNull() & F.col("b1").isNotNull()
+        & F.col("b2").isNotNull() & F.col("b3").isNotNull()
+    )
+    m = nonnull.withColumn("sig_id", F.min("img_id").over(sigw)).persist()
     _LOOSE_PERSISTS.append(m)
     n_imgs = m.count()
     # distinct signatures, keyed by their min-id representative member

@@ -721,11 +721,20 @@ def _scored_candidates(
     # sides of the verification join (without it Spark recomputes the
     # docs→shingles subtree four times — measured 4x slower).
     shset = _shingle_df(spark, sf_dir).persist()
-    n_docs = shset.count()
-    cand = _build_candidates(
-        spark, sf_dir, shset, n_docs, max_df, max_bucket, max_df_frac,
-        verify_broadcast_max_bytes, est_agree_min,
-    )
+    raw = _RAWCAND_MEMO.get(memo_key)
+    if raw is not None:
+        # Memo reuse is now bidirectional (round 12, ADVICE r11): a
+        # session that ran the edit family first materialized the raw
+        # (d1, d2) frame under the same guard key — layer the exact
+        # overlap join over it instead of re-running the whole LSH
+        # candidate generation (banding shuffles, df-prune, prefilter).
+        cand = raw
+    else:
+        n_docs = shset.count()
+        cand = _build_candidates(
+            spark, sf_dir, shset, n_docs, max_df, max_bucket, max_df_frac,
+            verify_broadcast_max_bytes, est_agree_min,
+        )
     # Size-aware verify join: broadcasting the shingle-set lookups avoids
     # shuffling the candidate pairs twice (measured 1.7x on the full
     # pipeline) — but only while the doc→shingles map fits an executor.

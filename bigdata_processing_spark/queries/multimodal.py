@@ -409,6 +409,8 @@ def _sql_hamming_pairs_tail(hamming_max: int, max_bucket: int,
             SELECT img_id, b0, b1, b2, b3,
                    min(img_id) OVER (PARTITION BY b0, b1, b2, b3) AS sig_id
             FROM ibands
+            WHERE b0 IS NOT NULL AND b1 IS NOT NULL
+              AND b2 IS NOT NULL AND b3 IS NOT NULL
         ),
         idsig AS (
             SELECT img_id, b0, b1, b2, b3 FROM isig WHERE img_id = sig_id

@@ -107,6 +107,29 @@ def _assign_sigs(new_hash: DataFrame, old_sigs: DataFrame | None) -> DataFrame:
     )
 
 
+def _enforce_monotone(new_hash: DataFrame, old_sigs: DataFrame | None) -> None:
+    """First-seen-rep monotonicity, ENFORCED (round 12): every appended
+    img_id must exceed every indexed rep id. A violating batch would
+    silently produce star edges with d1 > d2 and a clique rep that
+    diverges from the batch operator's global-min rep, breaking the
+    pinned incremental == batch equivalence — fail loudly instead.
+    One narrow agg per side (the rep store is distinct-signature reps
+    only, and parquet footer stats keep the max cheap)."""
+    if old_sigs is None:
+        return
+    lo = new_hash.agg(F.min("img_id")).first()[0]
+    if lo is None:
+        return
+    hi = old_sigs.agg(F.max("img_id")).first()[0]
+    if hi is not None and lo <= hi:
+        raise ValueError(
+            "append batch violates the first-seen-rep contract: min batch "
+            f"img_id {lo} <= max indexed rep id {hi}. Append ids must be "
+            "strictly larger than every indexed id (module docstring); "
+            "re-id the batch or rebuild the index."
+        )
+
+
 def _write_image_batch(path: str, batch_id: int, hashes: DataFrame) -> int:
     """Fold a batch into the index: store band postings / bucket sizes /
     rep hashes for the batch's NEW signatures only (a member of an
@@ -117,7 +140,9 @@ def _write_image_batch(path: str, batch_id: int, hashes: DataFrame) -> int:
     spark = hashes.sparkSession
     hashes = hashes.persist()
     n = hashes.count()
-    asg = _assign_sigs(hashes, _indexed_sigs(spark, path, batch_id))
+    old_sigs = _indexed_sigs(spark, path, batch_id)
+    _enforce_monotone(hashes, old_sigs)
+    asg = _assign_sigs(hashes, old_sigs)
     reps = asg.filter(
         F.col("__new_sig") & (F.col("img_id") == F.col("sig_id"))
     ).select(*_HASH_COLS).persist()
@@ -188,6 +213,7 @@ def incremental_image_dup_pairs(
     spark = new_media.sparkSession
     old_sigs = _indexed_sigs(spark, path, exclude_batch_id)
     new_hash = image_dhash(new_media).persist()
+    _enforce_monotone(new_hash, old_sigs)
     asg = _assign_sigs(new_hash, old_sigs).persist()
 
     # clique star edges: every non-rep batch member links to its rep

@@ -297,3 +297,34 @@ def test_edit_band_covers_rounding_slack_at_any_maxlen(spark):
     old_band = int(5_000_000 * (1 - theta)) + 1
     assert worst_keepable > old_band  # the bug the new band fixes
     assert big > worst_keepable  # banded DP computes it exactly
+
+
+def test_scored_candidates_reuses_raw_candidate_memo(spark):
+    """Memo reuse is bidirectional (round 12, ADVICE r11): a session
+    that ran the edit family first materialized the raw (d1, d2) frame;
+    the Jaccard/containment verifiers must layer the exact-overlap join
+    over it instead of re-running LSH candidate generation."""
+    import bigdata_processing_spark.queries.dedup as dd
+    from conftest import SF_SMALL
+
+    dd.clear_dedup_memos()
+    try:
+        raw = dd._candidate_pairs(spark, SF_SMALL)
+        n_raw = raw.count()
+
+        def boom(*a, **k):
+            raise AssertionError(
+                "LSH candidate generation re-ran despite a materialized "
+                "_RAWCAND_MEMO entry under the same guard key"
+            )
+
+        orig = dd._build_candidates
+        dd._build_candidates = boom
+        try:
+            scored = dd._scored_candidates(spark, SF_SMALL)
+            assert scored.count() == n_raw
+            assert set(scored.columns) == {"d1", "d2", "inter", "n1", "n2"}
+        finally:
+            dd._build_candidates = orig
+    finally:
+        dd.clear_dedup_memos()

@@ -284,3 +284,29 @@ def test_image_dhash_brightness_invariance_without_wrap(spark):
         for r in image_dhash(_media_df(spark, [(0, img0), (1, img1)])).collect()
     }
     assert hs[0] == hs[1]
+
+
+def test_image_neardup_null_bands_dropped(spark):
+    """Rows with NULL band values must be DROPPED before the
+    signature-collapse window (ADVICE r11): a null-band cohort would
+    otherwise collapse into ONE "signature" clique and unrelated images
+    would be declared exact duplicates with hamming 0 — the pre-collapse
+    operator dropped such pairs at the hamming filter instead."""
+    from bigdata_processing_spark.operators.multimodal import (
+        image_neardup_pairs_from_hashes,
+    )
+
+    hashes = spark.createDataFrame(
+        [(1, 10, 20, 30, 40),
+         (2, None, None, None, None),
+         (3, None, None, None, None),
+         (4, 10, 20, 30, 40)],
+        "img_id bigint, b0 int, b1 int, b2 int, b3 int",
+    )
+    got = {
+        (r.d1, r.d2, r.hamming)
+        for r in image_neardup_pairs_from_hashes(
+            hashes, hamming_max=3, max_bucket=50
+        ).collect()
+    }
+    assert got == {(1, 4, 0)}

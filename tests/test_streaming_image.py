@@ -160,3 +160,25 @@ def test_disk_probe_matches_relational_twin(spark, tmp_path):
     ))
     want = _pairs(incremental_image_dedup_pairs(spark, SF_SMALL))
     assert got == want and len(want) > 0
+
+
+def test_monotonicity_violation_fails_loudly(spark, tmp_path):
+    """A batch carrying an img_id <= an indexed rep id breaks the
+    first-seen-rep contract (d1 > d2 star edges, divergent clique rep);
+    round 12 ENFORCES it — both the append and the probe raise instead
+    of silently emitting a divergent edge set (ADVICE r11)."""
+    import pytest
+
+    idx = os.path.join(str(tmp_path), "img_index")
+    base = [(i, encode_bmp(40 + 2 * i)) for i in range(5)]
+    build_image_index(_media(spark, base), idx)
+    bad = _media(spark, [(2, encode_bmp(44, shift=8))])
+    with pytest.raises(ValueError, match="first-seen-rep"):
+        append_image_batch(idx, bad, batch_id=1)
+    with pytest.raises(ValueError, match="first-seen-rep"):
+        incremental_image_dup_pairs(bad, idx)
+    # nothing was committed by the failed append
+    assert committed_batches(spark, idx) == {0}
+    # a conforming batch still appends fine afterwards
+    ok = _media(spark, [(100, encode_bmp(44, shift=8))])
+    assert append_image_batch(idx, ok, batch_id=1) == 1

@@ -15,12 +15,25 @@ TPC-H relational tables stay symlinked unscaled, same as sf1_bench.
 
 Usage:
     python tools/sf100_probe.py [--reuse] [--only name1,name2]
+                                [--tier 1|2|all] [--canonical]
 
 --reuse skips the corpus rebuild (/tmp/sf100_equiv).
-Prints a table for BASELINE.md and exits nonzero if any probed query
-spills more than SPILL_FLAG_MB (a spill at this scale is the hazard
-this tool exists to surface — triage before shipping, and either fix
-or adjudicate it in BASELINE.md like the r10 label-verify sort).
+--tier picks the target set: 1 = the sf1 wall-table top-10 (the r11
+probe set), 2 = rows 11-20 (round 12 — each order of magnitude has
+hidden a new hazard class, so the next tier gets probed too), all =
+both. Prints a table for BASELINE.md and exits nonzero if any probed
+query spills more than SPILL_FLAG_MB (a spill at this scale is the
+hazard this tool exists to surface — triage before shipping, and
+either fix or adjudicate it in BASELINE.md like the r10 label-verify
+sort).
+
+Output discipline (round 12, ADVICE r11): measurements always land in
+BENCH_SF100_PROBE.raw.json (or .partial.json for --only runs). The
+canonical BENCH_SF100_PROBE.json carries hand-written adjudications
+('corpus', 'provenance', per-row 'note') that a blind overwrite would
+destroy — it is only touched under --canonical, which MERGES: measured
+rows replace matching query rows but keep their existing 'note',
+unmeasured rows and extra top-level keys survive verbatim.
 """
 
 from __future__ import annotations
@@ -53,6 +66,20 @@ TARGETS = (
     "hashed_tf_knn_celled",
 )
 
+# rows 11-20 of the same sf1 wall table (round 12 — VERDICT r11 #3)
+TARGETS_TIER2 = (
+    "embedding_neardup_pairs",
+    "knn_bruteforce",
+    "contamination_test_vs_train",
+    "quantized_knn_sample",
+    "bigram_perplexity_bands",
+    "kmeans_clusters",
+    "bloom_decontamination",
+    "hard_negatives",
+    "quality_scores",
+    "knn_ivf_seeded",
+)
+
 
 def _stage_totals(sc) -> tuple[float, float]:
     from tools.sf1_dedup_proof import shuffle_spill_mb
@@ -68,6 +95,13 @@ def main() -> None:
     only = None
     if "--only" in sys.argv:
         only = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+    tier = (
+        sys.argv[sys.argv.index("--tier") + 1]
+        if "--tier" in sys.argv else "1"
+    )
+    all_targets = {
+        "1": TARGETS, "2": TARGETS_TIER2, "all": TARGETS + TARGETS_TIER2,
+    }[tier]
 
     spark = get_spark("sf100-probe")
     spark.sparkContext.setLogLevel("ERROR")
@@ -86,7 +120,7 @@ def main() -> None:
             s1.OUT_DIR, s1.N = prev_out, prev_n
 
     queries = bench_queries()
-    targets = [t for t in TARGETS if (only is None or t in only)]
+    targets = [t for t in all_targets if (only is None or t in only)]
     rows = []
     for name in targets:
         clear_dedup_memos()
@@ -107,12 +141,31 @@ def main() -> None:
               f"spill {sp1 - sp0:.0f}MB", flush=True)
     clear_dedup_memos()
 
-    # a partial (--only) run must not clobber the canonical full table
-    name = "BENCH_SF100_PROBE.json" if only is None else "BENCH_SF100_PROBE.partial.json"
+    # measurements never clobber the canonical table (it carries
+    # hand-written adjudications); raw/partial files hold every run
+    name = ("BENCH_SF100_PROBE.raw.json" if only is None
+            else "BENCH_SF100_PROBE.partial.json")
     out = os.path.join(REPO, name)
     with open(out, "w") as f:
-        json.dump({"n": N, "sf_base": 0.1, "rows": rows}, f, indent=1)
+        json.dump({"n": N, "sf_base": 0.1, "tier": tier, "rows": rows},
+                  f, indent=1)
     print(f"\nwrote {out}")
+    if "--canonical" in sys.argv:
+        canon_path = os.path.join(REPO, "BENCH_SF100_PROBE.json")
+        canon = {"n": N, "sf_base": 0.1, "rows": []}
+        if os.path.exists(canon_path):
+            with open(canon_path) as f:
+                canon = json.load(f)
+        by_q = {r["query"]: r for r in canon.get("rows", [])}
+        for r in rows:
+            old = by_q.get(r["query"])
+            if old is not None and "note" in old:
+                r = {**r, "note": old["note"]}
+            by_q[r["query"]] = r
+        canon["rows"] = list(by_q.values())
+        with open(canon_path, "w") as f:
+            json.dump(canon, f, indent=1)
+        print(f"merged into {canon_path} (notes/provenance preserved)")
     print("\n| query | wall_s | shuffle_mb | spill_mb |")
     print("|---|---|---|---|")
     for r in rows:
