@@ -196,19 +196,18 @@ def pq_adc_search(
 ) -> DataFrame:
     """ADC top-k: float queries (qid, qe, qn) against PQ codes + true
     norm (``nrm``). Output (qid, cid, adc_cos, rn) — comparable to
-    ivf_search/knn_bruteforce for recall measurement."""
-    from pyspark.sql import Window
+    ivf_search/knn_bruteforce for recall measurement. Top-k goes
+    through the histogram prune (operators/topk.pruned_topk) instead of
+    a full-frame window sort — bit-identical ranks, no n×q local sort."""
+    from bigdata_processing_spark.operators.topk import pruned_topk
 
     q = queries.withColumn("_adc_lut", pq_lut_expr(codebooks))
     joined = encoded.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
-    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
-    return (
-        joined.select(
-            "qid",
-            F.col("vec_id").alias("cid"),
-            F.expr(pq_adc_lut_sql(len(codebooks))).alias("adc_cos"),
-        )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") <= top_k)
-        .orderBy("qid", "rn")
+    scored = joined.select(
+        "qid",
+        F.col("vec_id").alias("cid"),
+        F.expr(pq_adc_lut_sql(len(codebooks))).alias("adc_cos"),
+    )
+    return pruned_topk(scored, top_k, "qid", "adc_cos", "cid").orderBy(
+        "qid", "rn"
     )

@@ -46,82 +46,28 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 
 # ---------------------------------------------------------------------------
 # Driver-facing priority order. The round driver's correctness harness
-# checks queries in registration order with a bounded budget (round 1
-# recorded exactly the first 50 of 97), so the first 50 slots carry the
-# round's NEW verification information. Round-2 rotation: the 4 queries
-# whose round-1 rows failed on hash only (integer-sum dtype encoding,
-# since aligned) lead so they flip red->green, followed by every query
-# that has never received a driver row — round-1-green queries keep
-# their recorded rows and move to the overflow, so the UNION of
-# driver-verified queries across rounds approaches the full registry.
-# Everything stays registered, benched, and pytest-oracle-checked
-# locally regardless of position.
+# checks queries in registration order with a bounded budget (50 per
+# round), so the first 50 slots carry the round's NEW verification
+# information; pytest re-oracles the whole registry every run
+# regardless.
+#
+# Round-12 rotation (r11 verdict #1 + rotation discipline #8): LEAD
+# with the three Hamming-family queries whose plan AND output contract
+# (connectivity-star edge set) changed in r11 AFTER their last driver
+# rows (r07, old contract), then the three queries whose plans changed
+# THIS round — pq_adc_knn + matryoshka_knn_recall (histogram-pruned
+# top-k, operators/topk.py) and hard_negative_probe_sweep (anchor-cap
+# count job). Slots 7-20: the rest of the r07 stale cohort; slots
+# 21-50: the r09 cohort oldest-first by name (its first 30 — the
+# remaining 16 lead the overflow so the union keeps advancing).
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
-    # round-11 rotation (r10 verdict #1): LEAD with the queries whose
-    # PHYSICAL plans changed in r10/r11 after the driver sampled — the
-    # banded-DP edit verifier (edit_distance_dup_pairs,
-    # dedup_verifier_matrix; r11 widens the band past the 2e6-char
-    # precondition), the PQ-ADC LUT (pq_adc_knn), the exact-integer
-    # matmul assigner (hashed_tf_knn_celled, ivf_append_assignment;
-    # r11 adds the whole-valued runtime guard), the single-pass
-    # matryoshka audit, the hour-bucket+halo rolling window, and the
-    # hash-aggregable top-customers form. Then the stale cohort,
-    # oldest driver row first (r03 → r07 by name within each round).
-    # The driver samples the first 50; pytest re-oracles the whole
-    # registry every run regardless.
-    "edit_distance_dup_pairs",
-    "dedup_verifier_matrix",
-    "pq_adc_knn",
-    "hashed_tf_knn_celled",
-    "ivf_append_assignment",
-    "matryoshka_knn_recall",
-    "rolling_1h_stats",
-    "top_customers_by_revenue",
-    "monthly_revenue_mom_change",
-    "not_in_supplier_nations",
-    "range_join_value_bands",
-    "scalar_subquery_above_avg",
-    "text_stats_by_lang",
-    "train_test_split",
-    "typed_casts",
-    "wei_decimal_topk",
-    "windowed_event_dedup",
-    "anomalous_hours_by_type",
-    "binary_rerank_knn",
-    "embedding_drift_by_cell",
-    "quality_weighted_sample",
-    "resample_hourly_ffill",
-    "session_funnel",
-    "winsorized_value_stats",
-    "binary_quantized_knn",
-    "boilerplate_chunk_stats",
-    "sessionize_events",
-    "word_entropy_bands",
-    "chunk_documents",
-    "hard_negatives",
-    "mixture_weights",
-    "seq_length_histogram",
-    "url_domain_topk",
-    "zorder_curve_sample",
-    "array_functions",
-    "audio_feature_stats",
-    "bigram_perplexity_bands",
-    "bloom_decontamination",
-    "bloom_prejoin_revenue",
-    "cms_overestimate_audit",
-    "collect_sorted_lists",
-    "dup_cluster_size_histogram",
-    "embedding_neardup_pairs",
-    "gopher_rule_funnel",
-    "hard_negative_probe_sweep",
-    "hard_negatives_celled",
-    "hash_sample_10pct",
-    "hashed_tf_knn",
-    "hot_key_skew_report",
-    "image_feature_stats",
+    "simhash_neardup_pairs",
     "image_neardup_pairs",
     "incremental_image_dedup_pairs",
+    "pq_adc_knn",
+    "matryoshka_knn_recall",
+    "hard_negative_probe_sweep",
     "kmv_set_algebra",
     "lsh_band_sweep",
     "minhash_estimate_audit",
@@ -132,7 +78,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "salted_supplier_totals",
     "semantic_dedup_survivors",
     "semantic_dedup_sweep",
-    "simhash_neardup_pairs",
     "temperature_mixture_weights",
     "token_fertility_by_lang",
     "training_shard_stats",
@@ -183,6 +128,53 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_suppliers_by_quantity",
     "tumbling_window_6h",
     "variant_props_quartiles",
+    "edit_distance_dup_pairs",
+    "dedup_verifier_matrix",
+    "hashed_tf_knn_celled",
+    "ivf_append_assignment",
+    "rolling_1h_stats",
+    "top_customers_by_revenue",
+    "monthly_revenue_mom_change",
+    "not_in_supplier_nations",
+    "range_join_value_bands",
+    "scalar_subquery_above_avg",
+    "text_stats_by_lang",
+    "train_test_split",
+    "typed_casts",
+    "wei_decimal_topk",
+    "windowed_event_dedup",
+    "anomalous_hours_by_type",
+    "binary_rerank_knn",
+    "embedding_drift_by_cell",
+    "quality_weighted_sample",
+    "resample_hourly_ffill",
+    "session_funnel",
+    "winsorized_value_stats",
+    "binary_quantized_knn",
+    "boilerplate_chunk_stats",
+    "sessionize_events",
+    "word_entropy_bands",
+    "chunk_documents",
+    "hard_negatives",
+    "mixture_weights",
+    "seq_length_histogram",
+    "url_domain_topk",
+    "zorder_curve_sample",
+    "array_functions",
+    "audio_feature_stats",
+    "bigram_perplexity_bands",
+    "bloom_decontamination",
+    "bloom_prejoin_revenue",
+    "cms_overestimate_audit",
+    "collect_sorted_lists",
+    "dup_cluster_size_histogram",
+    "embedding_neardup_pairs",
+    "gopher_rule_funnel",
+    "hard_negatives_celled",
+    "hash_sample_10pct",
+    "hashed_tf_knn",
+    "hot_key_skew_report",
+    "image_feature_stats",
     "approx_distinct_users",
     "asof_purchase_last_view",
     "bpe_token_counts",

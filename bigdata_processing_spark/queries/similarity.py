@@ -33,6 +33,14 @@ from bigdata_processing_spark.thresholds import (
 _COS = """list_dot_product(qe, ce)
                    / (sqrt(list_dot_product(qe, qe)) * sqrt(list_dot_product(ce, ce)))"""
 
+# hard_negative_probe_sweep thins its anchor set above this many anchors
+# (deterministic xxhash64 subsample, same subset on approx + truth legs).
+# Anchors are every-100th vector, so the cap binds only past ~51k
+# vectors — never at oracle (sf0.01) or bench (sf0.1) scale; it exists
+# for the 100× probe and beyond, where the brute truth leg's work is
+# linear in anchors.
+_SWEEP_ANCHOR_CAP = 512
+
 
 def _spread(df: DataFrame) -> DataFrame:
     """Spread a CPU-bound corpus side across every core. The embedding
@@ -114,7 +122,9 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY qid, rn
     """,
 )
-def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+def hard_negatives(
+    spark: SparkSession, sf_dir: str, anchor_keep_mod: int | None = None,
+) -> DataFrame:
     """Hard-negative mining for contrastive training: for each anchor,
     the top-3 most-similar vectors with a DIFFERENT label — the
     near-misses a triplet/InfoNCE loss learns the most from. Same
@@ -122,12 +132,23 @@ def hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
     label inequality only flips the join predicate), so the 100 TB scale
     path is identical: anchors broadcast, candidates never shuffle, and
     at corpus scale the IVF-celled variant prunes candidates the same
-    way knn_ivf_* does for positives."""
+    way knn_ivf_* does for positives.
+
+    ``anchor_keep_mod``: keep only anchors with
+    ``xxhash64(vec_id) % mod == 0`` — the probe-sweep's audit-scale
+    bound (each anchor's truth row is independent, so a deterministic
+    hash-thin preserves the recall estimate). The registered query
+    never sets it."""
     emb = load_table(spark, sf_dir, "embeddings")
-    q = _with_norm(
-        emb.filter(F.col("vec_id") % 100 == 0), "qid", "qe", "qn",
-        extra={"label": "qlabel"},
-    )
+    anchors = emb.filter(F.col("vec_id") % 100 == 0)
+    if anchor_keep_mod is not None and anchor_keep_mod > 1:
+        # deterministic 1/mod hash-thin of the anchor set — the sweep's
+        # probe-scale bound (see hard_negative_probe_sweep); never set
+        # on the registered call, so the query's own contract is intact
+        anchors = anchors.filter(
+            F.pmod(F.xxhash64(F.col("vec_id")), F.lit(anchor_keep_mod)) == 0
+        )
+    q = _with_norm(anchors, "qid", "qe", "qn", extra={"label": "qlabel"})
     c = _spread(_with_norm(emb, "cid", "ce", "cn", extra={"label": "clabel"}))
     joined = c.join(F.broadcast(q), F.col("clabel") != F.col("qlabel"))
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
@@ -322,11 +343,32 @@ def hard_negative_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     each grid point re-ranks the ``pr <= n_probe`` subset (sweep
     pattern of lsh_band_sweep / semantic_dedup_sweep). Truth is the
     bounded-anchor broadcast shape, so the audit runs at any scale the
-    brute-force baseline does."""
+    brute-force baseline does.
+
+    Probe-scale anchor bound (round 12, VERDICT r11 #6): above
+    ``_SWEEP_ANCHOR_CAP`` anchors the sweep hash-thins the anchor set
+    deterministically (``xxhash64(qid) % mod == 0``, the SAME subset on
+    the approx and truth legs). The truth table is per-anchor
+    independent, so thinning anchors is an unbiased subsample of the
+    recall curve — it bounds the brute truth leg's work (923 s at 100×
+    was all full-anchor exact legs) without touching the sweep's
+    semantics. At fixture scales (≤ ~51k vectors → ≤ 512 anchors) the
+    cap never binds, so the oracle and bench rows are unchanged."""
+    import math
+
     from bigdata_processing_spark.queries.dedup import _emb_assigned
 
     base, cents = _emb_assigned(spark, sf_dir)
+    n_anchors = base.filter(F.col("vec_id") % 100 == 0).count()
+    keep_mod = (
+        math.ceil(n_anchors / _SWEEP_ANCHOR_CAP)
+        if n_anchors > _SWEEP_ANCHOR_CAP else None
+    )
     probes = _anchor_probe_ranks(spark, base, cents)
+    if keep_mod is not None:
+        probes = probes.filter(
+            F.pmod(F.xxhash64(F.col("qid")), F.lit(keep_mod)) == 0
+        )
     c = base.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
@@ -365,7 +407,9 @@ def hard_negative_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= 3)
         .select("n_probe", "qid", F.col("cid").alias("acid"))
     )
-    truth = hard_negatives(spark, sf_dir).select("qid", "cid")
+    truth = hard_negatives(
+        spark, sf_dir, anchor_keep_mod=keep_mod
+    ).select("qid", "cid")
     # left-join truth×grid against the per-grid approx set
     tg = grid.crossJoin(truth)
     j = tg.join(
@@ -762,18 +806,30 @@ def matryoshka_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         (V.dot(F.col("qe16"), F.col("e16")) / (F.col("qnt") * F.col("nt"))).alias("ct"),
     ).persist()
     _LOOSE_PERSISTS.append(joined)
-    wf = Window.partitionBy("qid").orderBy(F.col("cf").desc(), F.col("cid").asc())
-    wt = Window.partitionBy("qid").orderBy(F.col("ct").desc(), F.col("cid").asc())
-    topf = (
-        joined.withColumn("rnf", F.row_number().over(wf))
-        .filter(F.col("rnf") <= 5)
-        .select("qid", "cid")
+    # Round 12: each leg's WindowGroupLimit locally sorted the whole
+    # persisted pair frame (the 42 GB residual the r11 probe
+    # adjudicated) — above the regime bound the histogram prune sorts
+    # only each leg's top band instead, reading the cache twice per leg
+    # (operators/topk.grouped_topk; 268 s / 42 GB → 213 s / zero at the
+    # 100× probe). In the pruned regime the cache is materialized
+    # EAGERLY first: each leg's threshold is a BROADCAST, and building
+    # a multi-GB cache inside the first broadcast job would run
+    # against spark.sql.broadcastTimeout.
+    from bigdata_processing_spark.operators.topk import (
+        PRUNE_MIN_ROWS,
+        grouped_topk,
     )
-    topt = (
-        joined.withColumn("rnt", F.row_number().over(wt))
-        .filter(F.col("rnt") <= 5)
-        .select("qid", "cid")
-    )
+
+    n = base.count()
+    n_pairs = n * max(1, n // 100)
+    if n_pairs >= PRUNE_MIN_ROWS:
+        joined.count()
+    topf = grouped_topk(
+        joined, 5, "qid", "cf", "cid", n_pairs, rn_col="rnf"
+    ).select("qid", "cid")
+    topt = grouped_topk(
+        joined, 5, "qid", "ct", "cid", n_pairs, rn_col="rnt"
+    ).select("qid", "cid")
     hits = (
         topf.join(topt, ["qid", "cid"])  # two 5-row/qid sets
         .groupBy("qid")
@@ -1300,7 +1356,17 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # parsed once instead of O(M·K·dim) py4j Column calls — the Column
     # form spent ~6 s per run BUILDING the tree on the driver
     enc = pq_encode(emb, codebook, vec_col="e")
-    cand = enc.select("vec_id", "nrm", *[f"k{m}" for m in range(PQ_M)])
+    # The histogram-pruned top-k below evaluates its input TWICE; the
+    # expensive half of the subtree is the PQ ENCODE (argmin folds per
+    # subspace), not the LUT scoring — persist the encoded candidates
+    # (8 small ints + a norm per vector, ~40 B/row at any scale) so both
+    # legs re-run only the broadcast join + O(M) lookups.
+    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+
+    cand = enc.select(
+        "vec_id", "nrm", *[f"k{m}" for m in range(PQ_M)]
+    ).persist()
+    _LOOSE_PERSISTS.append(cand)
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -1310,10 +1376,24 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = q.withColumn("_adc_lut", pq_lut_expr(codebook))
     joined = cand.join(F.broadcast(q), F.col("vec_id") != F.col("qid"))
     adc_cos = F.expr(pq_adc_lut_sql(PQ_M))
-    w = Window.partitionBy("qid").orderBy(F.col("adc_cos").desc(), F.col("cid").asc())
+    scored = joined.select(
+        "qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos")
+    )
+    # Round 12 (VERDICT r11 #2): the naive per-qid window LOCALLY SORTS
+    # the full n×q scored frame inside WindowGroupLimit's partial stage
+    # (19.6 GB of sort spill at 100×). Above the regime bound the
+    # histogram prune keeps a provable superset of the top-5 band and
+    # only sorts the survivors — bit-identical ranks
+    # (operators/topk.grouped_topk; re-scoring the cheap LUT projection
+    # twice beats sorting it once, and the persisted encode makes the
+    # second evaluation lookups-only). Below the bound the naive window
+    # stays — small frames pay the prune's extra jobs for nothing.
+    from bigdata_processing_spark.operators.topk import grouped_topk
+
+    n_cand = cand.count()
+    n_pairs = n_cand * max(1, n_cand // 100)
     return (
-        joined.select("qid", F.col("vec_id").alias("cid"), adc_cos.alias("adc_cos"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        grouped_topk(scored, 5, "qid", "adc_cos", "cid", n_pairs)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("qid", "rn")
     )

@@ -208,11 +208,29 @@ def incremental_image_dup_pairs(
     ``exclude_batch_id`` keeps a replayed batch from seeing itself as
     indexed."""
     from bigdata_processing_spark.operators.multimodal import image_dhash
+
+    return incremental_image_dup_pairs_from_hashes(
+        image_dhash(new_media), path, hamming_max=hamming_max,
+        max_bucket=max_bucket, exclude_batch_id=exclude_batch_id,
+    )
+
+
+def incremental_image_dup_pairs_from_hashes(
+    new_hash: DataFrame,
+    path: str,
+    hamming_max: int = IMAGE_HAMMING_MAX,
+    max_bucket: int = MAX_BUCKET,
+    exclude_batch_id: int | None = None,
+) -> DataFrame:
+    """:func:`incremental_image_dup_pairs` over an already-computed
+    ``(img_id, b0..b3)`` dHash frame — the probe body, split out so
+    hash-level callers (and the arrival-cost probe,
+    tools/image_arrival_probe.py) skip the decode."""
     from bigdata_processing_spark.operators.skew import rep_star_pairs
 
-    spark = new_media.sparkSession
+    spark = new_hash.sparkSession
     old_sigs = _indexed_sigs(spark, path, exclude_batch_id)
-    new_hash = image_dhash(new_media).persist()
+    new_hash = new_hash.persist()
     _enforce_monotone(new_hash, old_sigs)
     asg = _assign_sigs(new_hash, old_sigs).persist()
 

@@ -731,3 +731,28 @@ def test_streaming_featurize_drops_null_text(spark):
     out = _featurize(docs, 8).collect()
     assert sorted(r.vec_id for r in out) == [0, 2]
     assert all(r.v is not None and r.nrm is not None for r in out)
+
+
+def test_auto_fit_fraction_samples_above_target(spark, monkeypatch):
+    """The default fit policy (round 12): above FIT_SAMPLE_TARGET
+    vectors, Lloyd trains on a deterministic hash-sample — the centroids
+    must equal an explicit-fraction fit, and every vector is still
+    assigned. Target monkeypatched down so a fixture corpus exercises
+    the sampled branch."""
+    import bigdata_processing_spark.operators.ivf as ivf_mod
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    target = max(2, n // 3)
+    monkeypatch.setattr(ivf_mod, "FIT_SAMPLE_TARGET", target)
+    auto_idx, auto_cents = build_ivf_index(emb, k_cells=4, n_iter=1)
+    expl_idx, expl_cents = build_ivf_index(
+        emb, k_cells=4, n_iter=1, fit_fraction=min(1.0, target / n)
+    )
+    assert auto_cents == expl_cents
+    assert auto_idx.count() == n
+    # and the sampled quantizer differs from the full fit (it trained
+    # on a strict subset), proving the auto branch actually sampled
+    _, full_cents = build_ivf_index(emb, k_cells=4, n_iter=1,
+                                    fit_fraction=1.0)
+    assert auto_cents != full_cents

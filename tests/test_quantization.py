@@ -188,3 +188,54 @@ def test_adc_lut_scores_bit_identical_to_per_pair_fold(spark):
     assert both, "empty comparison frame"
     for r in both:
         assert r.fold == r.lut, (r.qid, r.cid, r.fold, r.lut)
+
+
+def test_pruned_topk_matches_naive_window(spark):
+    """operators/topk.pruned_topk must be bit-identical to
+    row_number-over-window top-k — including tie groups that straddle
+    the k boundary (same bucket, cid tie-break) and groups with fewer
+    than k rows (threshold walk keeps everything)."""
+    from pyspark.sql import Window
+
+    from bigdata_processing_spark.operators.topk import pruned_topk
+
+    rows = []
+    # group 0: distinct scores; group 1: a 7-way tie at the boundary;
+    # group 2: fewer than k rows; group 3: all rows in ONE bucket
+    for c in range(50):
+        rows.append((0, c, 1.0 - c * 0.013))
+    for c in range(40):
+        rows.append((1, c, 0.5 if c < 7 else 0.4 - c * 0.001))
+    for c in range(3):
+        rows.append((2, c, float(c)))
+    for c in range(30):
+        rows.append((3, c, 0.1234 + c * 1e-6))
+    df = spark.createDataFrame(rows, "g int, cid int, s double")
+
+    w = Window.partitionBy("g").orderBy(F.col("s").desc(), F.col("cid").asc())
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .collect()
+    )
+    fast = pruned_topk(df, 5, "g", "s", "cid").collect()
+    key = lambda r: (r.g, r.rn)
+    assert sorted(
+        [(r.g, r.cid, r.s, r.rn) for r in naive]
+    ) == sorted([(r.g, r.cid, r.s, r.rn) for r in fast])
+    assert len(fast) == 5 + 5 + 3 + 5
+
+
+def test_grouped_topk_regimes_agree(spark):
+    """grouped_topk must produce identical rows in both regimes — the
+    naive window below PRUNE_MIN_ROWS and the histogram prune above."""
+    from bigdata_processing_spark.operators.topk import grouped_topk
+
+    rows = [(g, c, ((g * 37 + c * 101) % 997) / 997.0)
+            for g in range(4) for c in range(200)]
+    df = spark.createDataFrame(rows, "g int, cid int, s double")
+    naive = grouped_topk(df, 5, "g", "s", "cid", n_rows=len(rows))
+    pruned = grouped_topk(df, 5, "g", "s", "cid", n_rows=10**9)
+    key = lambda r: (r.g, r.rn)
+    assert sorted((r.g, r.cid, r.s, r.rn) for r in naive.collect()) == \
+           sorted((r.g, r.cid, r.s, r.rn) for r in pruned.collect())

@@ -54,3 +54,25 @@ def test_timestamp_queries_are_session_tz_independent(spark):
             assert not problems, f"{n}: {problems[:3]}"
     finally:
         spark.conf.set("spark.sql.session.timeZone", prev)
+
+
+def test_hard_negatives_anchor_thinning_is_consistent_subset(spark):
+    """anchor_keep_mod (the probe-sweep bound) must select the same
+    deterministic anchor subset as the full run restricted to kept
+    qids — per-anchor truth rows are independent, so rows match
+    exactly on the kept anchors and no others appear."""
+    from pyspark.sql import functions as F
+
+    from bigdata_processing_spark.queries.similarity import hard_negatives
+
+    sf = "/root/testdata/sf0.01"
+    full = hard_negatives(spark, sf).collect()
+    thin = hard_negatives(spark, sf, anchor_keep_mod=2).collect()
+    kept = {
+        r.qid for r in spark.createDataFrame([(r.qid,) for r in full], "qid long")
+        .filter(F.pmod(F.xxhash64("qid"), F.lit(2)) == 0).collect()
+    }
+    assert 0 < len(kept) < len({r.qid for r in full})
+    want = sorted((r.qid, r.cid, r.rn) for r in full if r.qid in kept)
+    got = sorted((r.qid, r.cid, r.rn) for r in thin)
+    assert got == want
