@@ -29,7 +29,12 @@ def _assign_udf(centroids: list[list[float]]):
 
         C = np.asarray(centroids)              # k x d
         X = np.vstack(e.values)                # n x d
-        d2 = ((X[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+        # matmul form: argmin_c (c·c − 2·x·c) == argmin_c ‖x−c‖² (the
+        # x·x term is a per-row constant). O(n·k) memory per Arrow
+        # batch instead of the (n, k, d) broadcast cube — the
+        # subtraction form costs GBs per batch once the √n cell policy
+        # pushes k into the thousands (round 12).
+        d2 = (C * C).sum(axis=1)[None, :] - 2.0 * (X @ C.T)
         return pd.Series(d2.argmin(axis=1).astype("int32"))
 
     _assign.__annotations__ = {"e": pd.Series, "return": pd.Series}

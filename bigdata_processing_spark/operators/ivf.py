@@ -103,6 +103,7 @@ def trained_centroids(
     n_iter: int = 2,
     vec_col: str = "embedding",
     id_col: str = "vec_id",
+    exact: bool = True,
 ) -> list[list[float]]:
     """Deterministic, SQL-reproducible Lloyd refinement of
     :func:`seed_centroids`: ``n_iter`` rounds of (bit-exact argmin
@@ -127,7 +128,16 @@ def trained_centroids(
     (cell, pos)-keyed aggregation collected as k rows to the driver —
     the same k-row collect discipline as operators/clustering. At 100 TB
     fit on a hash-sample (as build_ivf_index does); k·d doubles stay
-    driver-sized at any corpus scale."""
+    driver-sized at any corpus scale.
+
+    ``exact=False`` swaps the per-iteration assignment for the
+    Arrow-batched numpy matmul argmin (operators/clustering._assign_udf)
+    — same centroid geometry, ~100× less per-pair cost, but pairwise
+    SIMD sums can flip near-tie argmins, so it is NOT bit-reproducible
+    in SQL. Callers use it ONLY above the scale where their DuckDB twin
+    stops being exercised (queries/dedup._emb_assigned's regime bound;
+    the r12 100× probe measured 335 s of interpreted fold in the exact
+    quantizer — the entire celled family's dominant cost)."""
     cents = seed_centroids(emb, k, vec_col=vec_col, id_col=id_col)
     if not cents:
         return cents
@@ -138,9 +148,14 @@ def trained_centroids(
         id_col, F.col(vec_col).cast("array<double>").alias("__tc_e")
     ).repartition(2 * emb.sparkSession.sparkContext.defaultParallelism)
     for _ in range(n_iter):
-        assigned = seeded_assign_cells(
-            base, cents, id_col=id_col, e_col="__tc_e", carry=("__tc_e",)
-        )
+        if exact:
+            assigned = seeded_assign_cells(
+                base, cents, id_col=id_col, e_col="__tc_e", carry=("__tc_e",)
+            )
+        else:
+            assigned = base.withColumn(
+                "cell", _assign_udf(cents)(F.col("__tc_e"))
+            )
         rows = (
             assigned.select("cell", F.posexplode("__tc_e").alias("pos", "val"))
             .groupBy("cell", "pos")
@@ -470,6 +485,95 @@ def _cell_probes(spark, queries: DataFrame, centroids: list[list[float]],
         .withColumn("cell_rank", F.row_number().over(w))
         .filter(F.col("cell_rank") <= n_probe)
         .select("qid", "qe", "qn", "cell")
+    )
+
+
+def ivf_search_matmul(
+    indexed: DataFrame,
+    centroids: list[list[float]],
+    queries: DataFrame,
+    top_k: int = 5,
+    n_probe: int = 2,
+) -> DataFrame:
+    """BLAS-scored IVF search — the float-embedding production scorer.
+
+    Same contract as :func:`ivf_search` (queries (qid, qe, qn) →
+    (qid, cid, cos_sim, rn)), but each probed cell is scored as ONE
+    numpy matmul over cogrouped Arrow batches
+    (``C @ Q.T`` per cell, queries chunked to bound the score block)
+    and only the cell-local top-k per query ever leaves Python — the
+    global window then ranks ``n_probe·k`` rows per query. Cell-local
+    top-k keeps ALL boundary ties (kth-value threshold mask, then an
+    exact (-score, cid) lexsort), so the cross-cell merge is exact for
+    the scores this path computes.
+
+    NOT bit-reproducible against the interpreted ordered fold or a SQL
+    twin: BLAS pairwise/SIMD summation can flip near-tie argmins by
+    ulps. Oracle-parity surfaces keep :func:`ivf_search`; this is the
+    recall-gated path (tests/test_ivf.py pins fixture-scale top-k
+    equality with the exact scorer and the brute-force recall gate) —
+    the r12 100× probe measured the fold at 243 s for 100M pairs where
+    this scorer is bound by one corpus pass of Arrow transfer. At
+    100 TB the per-group unit is one cell's postings (√n-bounded by the
+    ivf_cell_count policy) × a query-block, never the corpus."""
+    spark = indexed.sparkSession
+    probes = _cell_probes(spark, queries, centroids, n_probe).select(
+        "cell", "qid", "qe", "qn"
+    )
+    cand = indexed.select("cell", "vec_id", "e", "nrm")
+
+    def score(key, cpdf, qpdf):
+        import numpy as np
+        import pandas as pd
+
+        empty = pd.DataFrame({
+            "qid": pd.Series(dtype="int64"),
+            "cid": pd.Series(dtype="int64"),
+            "cos_sim": pd.Series(dtype="float64"),
+        })
+        if len(cpdf) == 0 or len(qpdf) == 0:
+            return empty
+        C = np.vstack(cpdf["e"].to_numpy())          # nc × d
+        cn = cpdf["nrm"].to_numpy(dtype="float64")
+        cids = cpdf["vec_id"].to_numpy(dtype="int64")
+        pos = {int(v): i for i, v in enumerate(cids)}
+        out = []
+        for lo in range(0, len(qpdf), 256):          # bound the score block
+            qb = qpdf.iloc[lo:lo + 256]
+            Q = np.vstack(qb["qe"].to_numpy())       # nq × d
+            S = (C @ Q.T) / cn[:, None] / qb["qn"].to_numpy()[None, :]
+            for j, qid in enumerate(qb["qid"].to_numpy(dtype="int64")):
+                s = S[:, j]
+                self_i = pos.get(int(qid))
+                if self_i is not None:
+                    s = s.copy()
+                    s[self_i] = -np.inf
+                if len(s) > top_k:
+                    kth = np.partition(s, len(s) - top_k)[len(s) - top_k]
+                    idx = np.nonzero(s >= kth)[0]    # keeps boundary ties
+                else:
+                    idx = np.arange(len(s))
+                order = np.lexsort((cids[idx], -s[idx]))[:top_k]
+                sel = idx[order]
+                keep = s[sel] > -np.inf
+                sel = sel[keep]
+                out.append(pd.DataFrame({
+                    "qid": np.full(len(sel), qid, dtype="int64"),
+                    "cid": cids[sel],
+                    "cos_sim": s[sel],
+                }))
+        return pd.concat(out, ignore_index=True) if out else empty
+
+    local = cand.groupBy("cell").cogroup(probes.groupBy("cell")).applyInPandas(
+        score, "qid long, cid long, cos_sim double"
+    )
+    w = Window.partitionBy("qid").orderBy(
+        F.col("cos_sim").desc(), F.col("cid").asc()
+    )
+    return (
+        local.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= top_k)
+        .orderBy("qid", "rn")
     )
 
 

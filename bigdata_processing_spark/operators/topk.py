@@ -44,8 +44,14 @@ naive window's (degenerate) behavior bit-for-bit.
 
 from __future__ import annotations
 
+from collections.abc import Sequence
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
+
+
+def _group_cols(group_col: str | Sequence[str]) -> list[str]:
+    return [group_col] if isinstance(group_col, str) else list(group_col)
 
 # one bucket = 1/BUCKET_SCALE of score space. Two forces: finer buckets
 # prune tighter, but the histogram HASH MAP must stay small enough to
@@ -75,26 +81,32 @@ PRUNE_MIN_ROWS = 50_000_000
 def grouped_topk(
     scored: DataFrame,
     k: int,
-    group_col: str,
+    group_col: str | Sequence[str],
     score_col: str,
     tie_col: str,
     n_rows: int,
     rn_col: str = "rn",
+    bucket_scale: int = BUCKET_SCALE,
+    ascending: bool = False,
 ) -> DataFrame:
     """Regime-switched grouped top-k: the naive rank-filtered window
     below ``PRUNE_MIN_ROWS`` scored rows, :func:`pruned_topk` above —
     identical output either way; the caller passes the (estimated)
-    scored-row count it already knows."""
+    scored-row count it already knows. ``group_col`` may be a single
+    column or a composite (e.g. a sweep's (grid_point, qid))."""
     if n_rows < PRUNE_MIN_ROWS:
-        w = Window.partitionBy(group_col).orderBy(
-            F.col(score_col).desc(), F.col(tie_col).asc()
+        sorder = (F.col(score_col).asc() if ascending
+                  else F.col(score_col).desc())
+        w = Window.partitionBy(*_group_cols(group_col)).orderBy(
+            sorder, F.col(tie_col).asc()
         )
         return (
             scored.withColumn(rn_col, F.row_number().over(w))
             .filter(F.col(rn_col) <= k)
         )
     return pruned_topk(scored, k, group_col, score_col, tie_col,
-                       rn_col=rn_col)
+                       rn_col=rn_col, bucket_scale=bucket_scale,
+                       ascending=ascending)
 
 
 def _bucket(score_col: str, bucket_scale: int) -> Column:
@@ -109,34 +121,44 @@ def _bucket(score_col: str, bucket_scale: int) -> Column:
 def pruned_topk(
     scored: DataFrame,
     k: int,
-    group_col: str,
+    group_col: str | Sequence[str],
     score_col: str,
     tie_col: str,
     rn_col: str = "rn",
     bucket_scale: int = BUCKET_SCALE,
+    ascending: bool = False,
 ) -> DataFrame:
     """Per-``group_col`` top-``k`` rows of ``scored`` by
-    (``score_col`` DESC, ``tie_col`` ASC), with the 1-based rank
+    (``score_col`` DESC — or ASC with ``ascending=True`` for
+    distance-like scores — then ``tie_col`` ASC), with the 1-based rank
     appended as ``rn_col`` (int) — bit-identical to
     ``row_number().over(...)`` + ``filter(rn <= k)``, but the full
-    frame is histogram-pruned instead of locally sorted."""
+    frame is histogram-pruned instead of locally sorted.
+
+    ``bucket_scale``: buckets per score UNIT — match it to the score's
+    granularity so buckets-per-group stays in the tens-to-hundreds
+    (cosines in [-1, 1] → the default; small-integer distances like
+    Hamming → 1)."""
+    groups = _group_cols(group_col)
     b = _bucket(score_col, bucket_scale)
-    hist = scored.groupBy(group_col, b.alias("__b")).agg(
+    hist = scored.groupBy(*groups, b.alias("__b")).agg(
         F.count("*").alias("__n")
     )
-    wq = Window.partitionBy(group_col).orderBy(F.col("__b").desc())
+    border = F.col("__b").asc() if ascending else F.col("__b").desc()
+    wq = Window.partitionBy(*groups).orderBy(border)
+    agg_thr = F.max("__b") if ascending else F.min("__b")
     thr = (
-        hist.withColumn("__above", F.sum("__n").over(wq) - F.col("__n"))
-        .filter(F.col("__above") < k)
-        .groupBy(group_col)
-        .agg(F.min("__b").alias("__bmin"))
+        hist.withColumn("__better", F.sum("__n").over(wq) - F.col("__n"))
+        .filter(F.col("__better") < k)
+        .groupBy(*groups)
+        .agg(agg_thr.alias("__blim"))
     )
-    pruned = scored.join(F.broadcast(thr), group_col).filter(
-        b >= F.col("__bmin")
-    ).drop("__bmin")
-    w = Window.partitionBy(group_col).orderBy(
-        F.col(score_col).desc(), F.col(tie_col).asc()
+    keep = b <= F.col("__blim") if ascending else b >= F.col("__blim")
+    pruned = scored.join(F.broadcast(thr), groups).filter(keep).drop(
+        "__blim"
     )
+    sorder = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy(*groups).orderBy(sorder, F.col(tie_col).asc())
     # the rank filter sits DIRECTLY above the window (no cast in
     # between) so the survivors' window still plans WindowGroupLimit
     return (

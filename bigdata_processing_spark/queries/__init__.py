@@ -55,11 +55,12 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # with the three Hamming-family queries whose plan AND output contract
 # (connectivity-star edge set) changed in r11 AFTER their last driver
 # rows (r07, old contract), then the three queries whose plans changed
-# THIS round — pq_adc_knn + matryoshka_knn_recall (histogram-pruned
-# top-k, operators/topk.py) and hard_negative_probe_sweep (anchor-cap
-# count job). Slots 7-20: the rest of the r07 stale cohort; slots
-# 21-50: the r09 cohort oldest-first by name (its first 30 — the
-# remaining 16 lead the overflow so the union keeps advancing).
+# THIS round — pq_adc_knn + matryoshka_knn_recall + the sweep and the
+# whole brute/celled kNN family converted to the regime-switched
+# grouped top-k (operators/topk.py; result-identical, plans changed).
+# Then the rest of the r07 stale cohort, then the r09 cohort
+# oldest-first by name; knn_bruteforce / knn_ivf_label (r09 + changed
+# plans) ride inside the r09 block within the first 50.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
@@ -68,6 +69,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "pq_adc_knn",
     "matryoshka_knn_recall",
     "hard_negative_probe_sweep",
+    "hard_negatives",
+    "quantized_knn_sample",
+    "knn_ivf_seeded",
+    "hashed_tf_knn",
+    "binary_quantized_knn",
+    "binary_rerank_knn",
     "kmv_set_algebra",
     "lsh_band_sweep",
     "minhash_estimate_audit",
@@ -112,7 +119,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "positional_tokens",
     "pricing_summary",
     "quality_scores",
-    "quantized_knn_sample",
     "revenue_by_region",
     "rollup_order_priority",
     "semi_join_filter",
@@ -144,18 +150,15 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "wei_decimal_topk",
     "windowed_event_dedup",
     "anomalous_hours_by_type",
-    "binary_rerank_knn",
     "embedding_drift_by_cell",
     "quality_weighted_sample",
     "resample_hourly_ffill",
     "session_funnel",
     "winsorized_value_stats",
-    "binary_quantized_knn",
     "boilerplate_chunk_stats",
     "sessionize_events",
     "word_entropy_bands",
     "chunk_documents",
-    "hard_negatives",
     "mixture_weights",
     "seq_length_histogram",
     "url_domain_topk",
@@ -172,7 +175,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "gopher_rule_funnel",
     "hard_negatives_celled",
     "hash_sample_10pct",
-    "hashed_tf_knn",
     "hot_key_skew_report",
     "image_feature_stats",
     "approx_distinct_users",
@@ -194,7 +196,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "incremental_dedup_pairs",
     "json_serialize",
     "kmeans_iteration_stats",
-    "knn_ivf_seeded",
     "lateral_top_customer_per_nation",
     "lsh_recall_audit",
     "map_entries_explode",

@@ -1544,6 +1544,19 @@ _SQL_EMB_ASSIGN = _sql_emb_assign()
 # n-row result instead of re-running count + centroid collect + argmin.
 _EMB_MEMO: dict[tuple[str, str], tuple[DataFrame, list]] = {}
 
+# Above this many vectors the celled family's quantizer/assigner swap
+# the bit-contract interpreted folds for the Arrow matmul assigner
+# (round 12). The DuckDB twin (_SQL_EMB_ASSIGN) is exercised at sf0.01
+# (2k vectors) and the bench at sf0.1 (20k) — both keep the EXACT path,
+# so every oracle row is still bit-compared against the unrolled-CTE
+# contract. Past the bound no oracle runs, and the interpreted n×k fold
+# is the single dominant 100× cost (335.6 s of the probe's 390 s
+# embedding_neardup_pairs wall measured this round); ulp-level argmin
+# flips on near-tie cell boundaries change only WHICH near-boundary
+# cell a vector buckets into — candidate semantics, not verified
+# values.
+EMB_EXACT_ASSIGN_MAX = 50_000
+
 
 def _emb_assigned(spark: SparkSession, sf_dir: str):
     """(assigned base DataFrame, seed centroid list). Persisted per
@@ -1554,7 +1567,10 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
     argmin to the literal-SQL form the oracle uses, without the
     cells×dim literal expression (135 KB of SQL + codegen blow-up at
     51×64 — measured ~2.9s/run; the broadcast-join form is O(1) plan
-    size at ANY cell count)."""
+    size at ANY cell count). Above ``EMB_EXACT_ASSIGN_MAX`` vectors the
+    quantizer fit and the final assignment run on the Arrow matmul
+    argmin instead (see the constant's note — the oracle scales stay on
+    the exact path)."""
     from bigdata_processing_spark.functions import vectors as V
     from bigdata_processing_spark.operators.ivf import (
         allpairs_cell_count,
@@ -1567,8 +1583,12 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
     if cached is not None:
         return cached
     emb = load_table(spark, sf_dir, "embeddings")
-    n_cells = allpairs_cell_count(emb.count())
-    cents = trained_centroids(emb, n_cells, n_iter=_EMB_TRAIN_ITERS)
+    n = emb.count()
+    n_cells = allpairs_cell_count(n)
+    exact = n <= EMB_EXACT_ASSIGN_MAX
+    cents = trained_centroids(
+        emb, n_cells, n_iter=_EMB_TRAIN_ITERS, exact=exact
+    )
     base = emb.select(
         "vec_id",
         "label",
@@ -1578,7 +1598,13 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
     # n x k scoring is CPU-bound interpreted arithmetic and the
     # embeddings scan's size-based split under-parallelizes it
     ).repartition(2 * spark.sparkContext.defaultParallelism)
-    base = seeded_assign_cells(base, cents, carry=("label", "e", "nrm")).persist()
+    if exact:
+        base = seeded_assign_cells(base, cents, carry=("label", "e", "nrm"))
+    else:
+        from bigdata_processing_spark.operators.clustering import _assign_udf
+
+        base = base.withColumn("cell", _assign_udf(cents)(F.col("e")))
+    base = base.persist()
     _EMB_MEMO[memo_key] = (base, cents)
     return base, cents
 

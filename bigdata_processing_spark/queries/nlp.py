@@ -381,11 +381,22 @@ def hashed_tf_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
     cos = V.dot(F.col("qv"), F.col("cv")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    # regime-switched top-k (round 12): the brute twin's per-qid window
+    # sort was the single largest spill row of the r11 100× probe
+    # (134.6 GB); above the bound the scored pairs persist once and
+    # only the top band sorts (operators/topk.grouped_topk)
+    from bigdata_processing_spark.queries.similarity import (
+        _persist_if_pruned,
+        grouped_topk,
+    )
+
+    scored = joined.select("qid", "cid", cos.alias("cos_sim"))
+    n = docs.count()
+    n_pairs = n * max(1, n // 100)
+    scored = _persist_if_pruned(scored, n_pairs)
     return (
-        joined.select("qid", "cid", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
+        grouped_topk(scored, 3, "qid", "cos_sim", "cid", n_pairs)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("qid", "rn")
     )
 

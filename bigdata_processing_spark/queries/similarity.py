@@ -25,6 +25,7 @@ from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.queries import register
 from bigdata_processing_spark.sources.writers import literal_df
 from bigdata_processing_spark.queries.dedup import _SQL_EMB_ASSIGN
+from bigdata_processing_spark.operators.topk import grouped_topk
 from bigdata_processing_spark.thresholds import (
     HARD_NEG_N_PROBE,
     HARD_NEG_PROBE_SWEEP,
@@ -40,6 +41,28 @@ _COS = """list_dot_product(qe, ce)
 # for the 100× probe and beyond, where the brute truth leg's work is
 # linear in anchors.
 _SWEEP_ANCHOR_CAP = 512
+
+
+def _persist_if_pruned(scored: DataFrame, n_rows: int) -> DataFrame:
+    """Persist + eagerly materialize a scored pair frame when
+    ``grouped_topk`` will take the histogram-pruned path (``n_rows`` ≥
+    PRUNE_MIN_ROWS). The prune evaluates its input twice; for the brute
+    family that input is the dot-scoring itself, so the cache turns the
+    second evaluation into a read — and the eager count keeps the
+    threshold broadcast job from building a multi-GB cache under
+    spark.sql.broadcastTimeout. No-op (and no extra plan nodes) below
+    the bound, so fixture-scale plans are unchanged. Registered with
+    the dedup loose-persist pool for the bench cold-pass discipline."""
+    from bigdata_processing_spark.operators.topk import PRUNE_MIN_ROWS
+
+    if n_rows < PRUNE_MIN_ROWS:
+        return scored
+    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+
+    scored = scored.persist()
+    _LOOSE_PERSISTS.append(scored)
+    scored.count()
+    return scored
 
 
 def _spread(df: DataFrame) -> DataFrame:
@@ -93,11 +116,17 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     c = _spread(_with_norm(emb, "cid", "ce", "cn"))
     joined = c.join(F.broadcast(q), F.col("cid") != F.col("qid"))
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    scored = joined.select("qid", "cid", cos.alias("cos_sim"))
+    # top-k through the regime-switched histogram prune (round 12): the
+    # naive window's partial-stage local sort of the n×(n/100) pair
+    # frame spilled 19.8 GB at the 100× probe; above the bound the
+    # scored frame is persisted once and only its top band is sorted.
+    n = emb.count()
+    n_pairs = n * max(1, n // 100)
+    scored = _persist_if_pruned(scored, n_pairs)
     return (
-        joined.select("qid", "cid", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        grouped_topk(scored, 5, "qid", "cos_sim", "cid", n_pairs)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("qid", "rn")
     )
 
@@ -152,11 +181,13 @@ def hard_negatives(
     c = _spread(_with_norm(emb, "cid", "ce", "cn", extra={"label": "clabel"}))
     joined = c.join(F.broadcast(q), F.col("clabel") != F.col("qlabel"))
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    scored = joined.select("qid", "cid", "clabel", cos.alias("cos_sim"))
+    n = emb.count()
+    n_pairs = n * max(1, (n // 100) // (anchor_keep_mod or 1))
+    scored = _persist_if_pruned(scored, n_pairs)
     return (
-        joined.select("qid", "cid", "clabel", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 3)
+        grouped_topk(scored, 3, "qid", "cos_sim", "cid", n_pairs)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("qid", "rn")
     )
 
@@ -369,6 +400,15 @@ def hard_negative_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         probes = probes.filter(
             F.pmod(F.xxhash64(F.col("qid")), F.lit(keep_mod)) == 0
         )
+    # Only cells within the grid's DEEPEST probe depth can ever reach
+    # the output (every grid point filters c.pr <= n_probe ≤ max grid;
+    # the oracle's unfiltered cand CTE is pruned by the same predicate
+    # at its approx join) — so candidates from the other cells are pure
+    # waste. At 100× the √n cell policy makes this the difference
+    # between scoring 12/1563 of the corpus per anchor and ALL of it
+    # (round 12; the probe measured 150.9 s of Arrow dot work on the
+    # unfiltered frame).
+    probes = probes.filter(F.col("pr") <= max(HARD_NEG_PROBE_SWEEP))
     c = base.select(
         F.col("vec_id").alias("cid"),
         F.col("label").alias("clabel"),
@@ -461,11 +501,15 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q), (F.col("clabel") == F.col("qlabel")) & (F.col("cid") != F.col("qid"))
     )
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    scored = joined.select("qid", "cid", cos.alias("cos_sim"))
+    # n×(n/100) upper bound — the label equi-join keeps a fraction of
+    # it, so the regime flips conservatively late
+    n = emb.count()
+    n_pairs = n * max(1, n // 100)
+    scored = _persist_if_pruned(scored, n_pairs)
     return (
-        joined.select("qid", "cid", cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        grouped_topk(scored, 5, "qid", "cos_sim", "cid", n_pairs)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("qid", "rn")
     )
 
@@ -512,11 +556,15 @@ def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     # rank on the RAW dot (matching the oracle, which rounds only for
     # display) — ranking on the rounded value would break near-ties
     # differently than DuckDB at the top-5 boundary
-    w = Window.partitionBy("qid").orderBy(F.col("qdot_raw").desc(), F.col("cid").asc())
+    scored = joined.select(
+        "qid", F.col("vec_id").alias("cid"), qdot.alias("qdot_raw")
+    )
+    n = emb.count()
+    n_pairs = n * max(1, n // 100)
+    scored = _persist_if_pruned(scored, n_pairs)
     return (
-        joined.select("qid", F.col("vec_id").alias("cid"), qdot.alias("qdot_raw"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        grouped_topk(scored, 5, "qid", "qdot_raw", "cid", n_pairs)
+        .withColumn("rn", F.col("rn").cast("long"))
         .select("qid", "cid", F.round("qdot_raw", 9).alias("qdot"), "rn")
         .orderBy("qid", "rn")
     )
@@ -602,11 +650,19 @@ def knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.broadcast(q), (base["cell"] == q["pcell"]) & (base["vec_id"] != q["qid"])
     )
     cos = V.dot(F.col("qe"), F.col("e")) / (F.col("qn") * F.col("nrm"))
-    w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
+    scored = joined.select(
+        "qid", F.col("vec_id").alias("cid"), cos.alias("cos_sim")
+    )
+    # celled candidates ≈ n·(n/100)·(n_probe/k): the r12 tier-2 probe
+    # still measured a 3.5 GB window sort at 100× — regime-switched like
+    # the brute family (scoring is the bit-contract fold, so the pruned
+    # path persists it rather than evaluate twice)
+    n = emb.count()
+    n_pairs = n * max(1, n // 100) // 4
+    scored = _persist_if_pruned(scored, n_pairs)
     return (
-        joined.select("qid", F.col("vec_id").alias("cid"), cos.alias("cos_sim"))
-        .withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        grouped_topk(scored, 5, "qid", "cos_sim", "cid", n_pairs)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("qid", "rn")
     )
 
@@ -692,8 +748,17 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 # force in tests/test_ivf.py.
 def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Multi-probe IVF ANN over real k-means cells (operators/ivf.py) —
-    the production replacement for the fixture-label IVF above."""
-    from bigdata_processing_spark.operators.ivf import build_ivf_index, ivf_search
+    the production replacement for the fixture-label IVF above.
+    Round 12: scores through ``ivf_search_matmul`` (cogrouped per-cell
+    BLAS matmul, cell-local top-k) — this query has no SQL twin, so it
+    takes the production scorer; the r12 attribution measured the
+    interpreted fold at 243 s of the 100× probe's wall where the
+    matmul path is bound by one Arrow pass. Fixture-scale top-k
+    equality with the exact scorer is pinned in tests/test_ivf.py."""
+    from bigdata_processing_spark.operators.ivf import (
+        build_ivf_index,
+        ivf_search_matmul,
+    )
 
     emb = load_table(spark, sf_dir, "embeddings")
     indexed, centroids = build_ivf_index(emb, k_cells=8, n_iter=2)
@@ -703,7 +768,7 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = indexed.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
-    return ivf_search(indexed, centroids, q, top_k=5, n_probe=2)
+    return ivf_search_matmul(indexed, centroids, q, top_k=5, n_probe=2)
 
 
 @register("kmeans_clusters", driver=False)  # no oracle: iterative (driver loops
@@ -926,11 +991,17 @@ def binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     two-stage shape matryoshka_knn_recall audits. Scale: the packed
     index is tiny enough to broadcast at sizes where the float index
     cannot, and the candidate scan stays one pass, no shuffle."""
-    ham = _hamming_pairs(load_table(spark, sf_dir, "embeddings"))
-    w = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("cid").asc())
+    emb = load_table(spark, sf_dir, "embeddings")
+    ham = _hamming_pairs(emb)
+    # ascending integer distance → bucket_scale 1 (≤ 65 buckets/qid);
+    # the popcount scoring is whole-stage bit arithmetic, cheap enough
+    # to evaluate twice, so no persist in the pruned regime
+    n = emb.count()
+    n_pairs = n * max(1, n // 100)
     return (
-        ham.withColumn("rn", F.row_number().over(w).cast("long"))
-        .filter(F.col("rn") <= 5)
+        grouped_topk(ham, 5, "qid", "hamming", "cid", n_pairs,
+                     bucket_scale=1, ascending=True)
+        .withColumn("rn", F.col("rn").cast("long"))
         .orderBy("qid", "rn")
     )
 
@@ -1082,12 +1153,11 @@ def binary_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     ham = _hamming_pairs(emb)
-    wh = Window.partitionBy("qid").orderBy(F.col("hamming").asc(), F.col("cid").asc())
-    shortlist = (
-        ham.withColumn("hrn", F.row_number().over(wh))
-        .filter(F.col("hrn") <= 32)
-        .select("qid", "cid")
-    )
+    n = emb.count()
+    shortlist = grouped_topk(
+        ham, 32, "qid", "hamming", "cid", n * max(1, n // 100),
+        rn_col="hrn", bucket_scale=1, ascending=True,
+    ).select("qid", "cid")
     vq = v.select(F.col("vec_id").alias("qid"), F.col("e").alias("qe"))
     vc = v.select(F.col("vec_id").alias("cid"), F.col("e").alias("ce"))
     rer = (

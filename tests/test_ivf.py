@@ -756,3 +756,59 @@ def test_auto_fit_fraction_samples_above_target(spark, monkeypatch):
     _, full_cents = build_ivf_index(emb, k_cells=4, n_iter=1,
                                     fit_fraction=1.0)
     assert auto_cents != full_cents
+
+
+def test_emb_assigned_fast_regime_partitions_like_exact(spark, monkeypatch):
+    """Above EMB_EXACT_ASSIGN_MAX the celled family's quantizer/assigner
+    swap interpreted bit-contract folds for the Arrow matmul argmin.
+    Same centroid geometry: with the threshold forced down, the fast
+    assignment must cover every vector and agree with the exact
+    assigner on the same centroids except ulp-level near-tie flips."""
+    import bigdata_processing_spark.queries.dedup as dd
+    from bigdata_processing_spark.operators.ivf import seeded_assign_cells
+
+    dd.clear_dedup_memos()
+    monkeypatch.setattr(dd, "EMB_EXACT_ASSIGN_MAX", 10)
+    try:
+        base, cents = dd._emb_assigned(spark, SF)
+        n = base.count()
+        assert n == load_table(spark, SF, "embeddings").count()
+        assert base.filter(F.col("cell").isNull()).count() == 0
+        exact = seeded_assign_cells(
+            base.select("vec_id", "e"), cents, carry=()
+        ).select("vec_id", F.col("cell").alias("xcell"))
+        j = base.select("vec_id", "cell").join(exact, "vec_id")
+        agree = j.filter(F.col("cell") == F.col("xcell")).count()
+        assert agree >= 0.95 * n, f"only {agree}/{n} assignments agree"
+    finally:
+        dd.clear_dedup_memos()
+
+
+def test_ivf_search_matmul_matches_exact_scorer(spark):
+    """The BLAS-scored search must return the same (qid, cid) top-k
+    sets and ranks as the exact-fold ivf_search at fixture scale (ulp
+    flips need near-ties the fixture doesn't produce), and pass the
+    same brute-force recall bar."""
+    from bigdata_processing_spark.operators.ivf import ivf_search_matmul
+
+    emb = load_table(spark, SF, "embeddings")
+    indexed, centroids = build_ivf_index(emb, k_cells=8, n_iter=2)
+    indexed = indexed.persist()
+    try:
+        q = indexed.filter(F.col("vec_id") % 100 == 0).select(
+            F.col("vec_id").alias("qid"), F.col("e").alias("qe"),
+            F.col("nrm").alias("qn"),
+        )
+        exact = {(r.qid, r.cid, r.rn)
+                 for r in ivf_search(indexed, centroids, q, 5, n_probe=2).collect()}
+        fast_rows = ivf_search_matmul(indexed, centroids, q, 5, n_probe=2).collect()
+        fast = {(r.qid, r.cid, r.rn) for r in fast_rows}
+        assert fast == exact and len(fast) > 0
+        # scores agree to float tolerance (different summation orders)
+        from bigdata_processing_spark.functions import vectors as V
+        ex_by_key = {(r.qid, r.cid): r.cos_sim
+                     for r in ivf_search(indexed, centroids, q, 5, n_probe=2).collect()}
+        for r in fast_rows:
+            assert abs(r.cos_sim - ex_by_key[(r.qid, r.cid)]) < 1e-9
+    finally:
+        indexed.unpersist()

@@ -602,6 +602,11 @@ def test_every_broadcast_site_is_bounded_or_gated():
         "operators/quantization.py": (1, "query batch"),
         "operators/sketches.py": (3, "fixed-width sketch / candidate keys"),
         "operators/skew.py": (1, "salt table: n_salts rows"),
+        "operators/topk.py": (1, "per-group threshold buckets: ONE narrow "
+                                 "(group, long) row per top-k group — "
+                                 "strictly smaller than the query-set "
+                                 "broadcast every caller already carries "
+                                 "(the groups ARE those queries)"),
         "queries/timeseries.py": (4, "histogram bands / query specs / "
                                      "1-row bounds"),
         "queries/analytic.py": (1, "customer dim table"),

@@ -239,3 +239,36 @@ def test_grouped_topk_regimes_agree(spark):
     key = lambda r: (r.g, r.rn)
     assert sorted((r.g, r.cid, r.s, r.rn) for r in naive.collect()) == \
            sorted((r.g, r.cid, r.s, r.rn) for r in pruned.collect())
+
+
+def test_grouped_topk_ascending_integer_scores(spark):
+    """Ascending (distance-like) mode with integer granularity
+    (bucket_scale=1) — both regimes must equal the naive ascending
+    window, including tie groups at the k boundary."""
+    from pyspark.sql import Window
+
+    from bigdata_processing_spark.operators.topk import (
+        grouped_topk,
+        pruned_topk,
+    )
+
+    rows = []
+    for g in range(3):
+        for c in range(100):
+            rows.append((g, c, (c * 7 + g) % 23))  # repeated small ints
+    df = spark.createDataFrame(rows, "g int, cid int, hamming int")
+    w = Window.partitionBy("g").orderBy(
+        F.col("hamming").asc(), F.col("cid").asc()
+    )
+    naive = (
+        df.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 7).collect()
+    )
+    fast = pruned_topk(df, 7, "g", "hamming", "cid",
+                       bucket_scale=1, ascending=True).collect()
+    assert sorted((r.g, r.cid, r.hamming, r.rn) for r in naive) == \
+           sorted((r.g, r.cid, r.hamming, r.rn) for r in fast)
+    via_regime = grouped_topk(df, 7, "g", "hamming", "cid", n_rows=10**9,
+                              bucket_scale=1, ascending=True).collect()
+    assert sorted((r.g, r.cid, r.hamming, r.rn) for r in via_regime) == \
+           sorted((r.g, r.cid, r.hamming, r.rn) for r in naive)
