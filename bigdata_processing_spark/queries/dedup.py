@@ -2282,8 +2282,16 @@ def lsh_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(jaccard >= JACCARD_THRESHOLD)
         .select("d1", "d2")
     )
+    # RAW id pairs, not the scored frame (round 12 — the tier-3 probe
+    # caught this paying the full-corpus array_intersect overlap join,
+    # 139 s / 74 GB spill at 100×, for counts the audit never reads;
+    # the same discarded-overlap antipattern the edit family shed in
+    # r11). _candidate_pairs is the identical guarded generation — and
+    # the identical candidate ID SET the oracle's cand CTE mirrors —
+    # without the verification join; a session that already scored
+    # serves it from the memo for free.
     cand = (
-        _scored_candidates(spark, sf_dir)
+        _candidate_pairs(spark, sf_dir)
         .filter((F.col("d1") < AUDIT_SAMPLE_DOCS) & (F.col("d2") < AUDIT_SAMPLE_DOCS))
         .select("d1", "d2", F.lit(1).alias("hit"))
     )

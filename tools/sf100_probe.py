@@ -80,6 +80,21 @@ TARGETS_TIER2 = (
     "knn_ivf_seeded",
 )
 
+# rows 21-30 (round 12, proactive — the tiering logic keeps finding a
+# new hazard class one order down)
+TARGETS_TIER3 = (
+    "quality_weighted_sample",
+    "kmeans_iteration_stats",
+    "rolling_1h_stats",
+    "hard_negatives_celled",
+    "lsh_recall_audit",
+    "word_entropy_bands",
+    "binary_rerank_knn",
+    "quantile_sketch_audit",
+    "kmv_set_algebra",
+    "map_entries_explode",
+)
+
 
 def _stage_totals(sc) -> tuple[float, float]:
     from tools.sf1_dedup_proof import shuffle_spill_mb
@@ -100,7 +115,8 @@ def main() -> None:
         if "--tier" in sys.argv else "1"
     )
     all_targets = {
-        "1": TARGETS, "2": TARGETS_TIER2, "all": TARGETS + TARGETS_TIER2,
+        "1": TARGETS, "2": TARGETS_TIER2, "3": TARGETS_TIER3,
+        "all": TARGETS + TARGETS_TIER2 + TARGETS_TIER3,
     }[tier]
 
     spark = get_spark("sf100-probe")
