@@ -503,13 +503,8 @@ def image_neardup_pairs_from_hashes(
     candidates back to the NARROW signature table (4 ints/sig) and
     computes the exact popcount distance. No pixel bytes ever shuffle."""
     from bigdata_processing_spark.operators.skew import rep_star_pairs
-    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
     from pyspark.sql import Window
 
-    # registered with the dedup family's loose-persist pool: the persist
-    # backs the lazily-consumed result, so it can't unpersist here —
-    # without the registration repeated image/simhash queries in one
-    # session accumulated cached blocks (round-7 advisory)
     # NULL bands would collapse every null-band row into ONE "signature"
     # clique and declare unrelated images exact duplicates (the
     # pre-collapse code dropped null-band pairs at the hamming filter
@@ -521,18 +516,36 @@ def image_neardup_pairs_from_hashes(
         F.col("b0").isNotNull() & F.col("b1").isNotNull()
         & F.col("b2").isNotNull() & F.col("b3").isNotNull()
     )
-    m = nonnull.withColumn("sig_id", F.min("img_id").over(sigw)).persist()
-    _LOOSE_PERSISTS.append(m)
+    # localCheckpoint, not persist (round 12, guide §2.4/§5): the
+    # collapsed frame is re-embedded in SIX downstream branches (ds ×4
+    # via the band legs, intra, and the verify legs), and with the full
+    # signature subtree (64 bit-sum aggs + band projections) behind it,
+    # every AQE stage re-optimization re-walked that tree — the r12
+    # stage probe measured 55 stages and 9.2 s for one sf0.1 simhash run
+    # with the data itself computing in 0.5 s. Truncating lineage here
+    # (same blocks the persist already paid for) plus the single-pass
+    # band explode below cut it to 2.7 s, output bit-identical. Blocks
+    # are freed by the ContextCleaner when the result frame is dropped
+    # (same discipline as operators/graph.py's star rounds); on a
+    # multi-executor cluster this trades executor-loss recovery of ONE
+    # narrow frame (5 ints/row) for plan-size control — the documented
+    # localCheckpoint trade.
+    m = nonnull.withColumn("sig_id", F.min("img_id").over(sigw)).localCheckpoint(
+        eager=True
+    )
     n_imgs = m.count()
     # distinct signatures, keyed by their min-id representative member
     ds = m.filter(F.col("img_id") == F.col("sig_id")).drop("sig_id")
-    bandl = None
-    for b in range(4):
-        leg = ds.select(
-            "img_id",
-            F.concat_ws("_", F.lit(b), F.col(f"b{b}").cast("string")).alias("bk"),
-        )
-        bandl = leg if bandl is None else bandl.unionByName(leg)
+    # ONE pass over ds: explode the 4 band keys per row instead of a
+    # 4-leg unionByName (which planned 4 separate reads of the frame and
+    # 128-partition union stages — same rows, same keys, 4× the tasks)
+    bandl = ds.select(
+        "img_id",
+        F.explode(F.array(*[
+            F.concat_ws("_", F.lit(b), F.col(f"b{b}").cast("string"))
+            for b in range(4)
+        ])).alias("bk"),
+    )
     # member-array groupBy GATED to under-cap buckets (size agg first,
     # arrays ≤ max_bucket elements); stars take the flat band table —
     # rank-selected reps, O(1) per-row memory (round 8, no hot-bucket

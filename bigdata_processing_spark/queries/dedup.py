@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.catalog import load_table, table_rows
 from bigdata_processing_spark.functions import text as T
 from bigdata_processing_spark.queries import register
 from bigdata_processing_spark.sources.writers import literal_df
@@ -960,7 +960,10 @@ def incremental_dedup_pairs(
     eff = max(MAX_DF, int(_math.ceil(MAX_DF_FRAC * n_idx)))
     stop = (
         shex_idx.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        # count(*) == countDistinct(doc_id): word_shingles is per-doc
+        # DISTINCT, so shex rows are unique (doc_id, s) pairs — the plain
+        # count skips the two-phase distinct expand (one less pass, r12)
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") > eff)
         .select("s")
     )
@@ -1583,7 +1586,9 @@ def _emb_assigned(spark: SparkSession, sf_dir: str):
     if cached is not None:
         return cached
     emb = load_table(spark, sf_dir, "embeddings")
-    n = emb.count()
+    # footer row count == emb.count() (exact by the parquet spec); the
+    # cell-count contract sees the identical integer with no Spark job
+    n = table_rows(sf_dir, "embeddings")
     n_cells = allpairs_cell_count(n)
     exact = n <= EMB_EXACT_ASSIGN_MAX
     cents = trained_centroids(
@@ -2622,7 +2627,9 @@ def winnowing_dup_passages(
         .select("doc_id", "fp")
         .distinct()
     )
-    dfq = fps.groupBy("fp").agg(F.countDistinct("doc_id").alias("df"))
+    # count(*) == countDistinct(doc_id): fps is explicitly .distinct()
+    # (doc_id, fp) — the plain count skips the distinct expand (r12)
+    dfq = fps.groupBy("fp").agg(F.count("*").alias("df"))
     # df <= max_df keeps MOST of a real corpus's fingerprints (rare is
     # the common case), so the kept-fp table is O(corpus fingerprints):
     # regime switch, never a forced broadcast
@@ -3219,7 +3226,9 @@ def doc_novelty_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
     shex = _shingle_df(spark, sf_dir).select(
         "doc_id", F.explode("sh").alias("s")
     )
-    dfreq = shex.groupBy("s").agg(F.countDistinct("doc_id").alias("df"))
+    # count(*) == countDistinct(doc_id): word_shingles is per-doc
+    # DISTINCT, so shex rows are unique (doc_id, s) pairs (r12)
+    dfreq = shex.groupBy("s").agg(F.count("*").alias("df"))
     perdoc = (
         shex.join(_bcast_if_small(dfreq, sf_dir), "s")
         .groupBy("doc_id")

@@ -10,7 +10,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.catalog import load_table, table_rows
 from bigdata_processing_spark.operators.regime import bcast_if_small
 from bigdata_processing_spark.queries import register
 
@@ -54,8 +54,13 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.split("text", " ")).alias("tok")
     ).filter(F.col("tok") != "")
     tf = tok.groupBy("doc_id", "tok").agg(F.count("*").alias("tf"))
-    df = tok.groupBy("tok").agg(F.countDistinct("doc_id").alias("df"))
-    n_docs = docs.count()  # one scalar; the corpus size
+    # df OFF the tf aggregate: tf is one row per (doc_id, tok), so the
+    # plain count per tok equals countDistinct(doc_id) over the raw token
+    # stream — the second full-stream pass AND its two-phase distinct
+    # expand both drop; the (doc, tok) exchange is shared with `scored`
+    # via ReusedExchange (r12)
+    df = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = table_rows(sf_dir, "documents")  # footer count == docs.count()
     # the df table is VOCABULARY-sized — it grows with the corpus, so the
     # join rides the shared regime switch (broadcast small, sort-merge
     # big), never a forced broadcast (r9 verdict: same table shape that

@@ -700,7 +700,10 @@ def bloom_decontamination(
     hits = (
         screened.join(ho_tri, "s")  # exact: false positives die here
         .groupBy("doc_id")
-        .agg(F.countDistinct("s").alias("n_shared"))
+        # count(*) == countDistinct(s): word_shingles(3) is per-doc
+        # DISTINCT and ho_tri is one row per s, so the joined rows are
+        # unique (doc_id, s) — skip the distinct expand (r12)
+        .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= DECON_MIN_SHARED)
         .select("doc_id")
     )

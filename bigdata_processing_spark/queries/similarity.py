@@ -20,7 +20,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from bigdata_processing_spark.catalog import load_table
+from bigdata_processing_spark.catalog import load_table, table_rows
 from bigdata_processing_spark.functions import vectors as V
 from bigdata_processing_spark.queries import register
 from bigdata_processing_spark.sources.writers import literal_df
@@ -121,7 +121,7 @@ def knn_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
     # naive window's partial-stage local sort of the n×(n/100) pair
     # frame spilled 19.8 GB at the 100× probe; above the bound the
     # scored frame is persisted once and only its top band is sorted.
-    n = emb.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count == emb.count()
     n_pairs = n * max(1, n // 100)
     scored = _persist_if_pruned(scored, n_pairs)
     return (
@@ -182,7 +182,7 @@ def hard_negatives(
     joined = c.join(F.broadcast(q), F.col("clabel") != F.col("qlabel"))
     cos = V.dot(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     scored = joined.select("qid", "cid", "clabel", cos.alias("cos_sim"))
-    n = emb.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count == emb.count()
     n_pairs = n * max(1, (n // 100) // (anchor_keep_mod or 1))
     scored = _persist_if_pruned(scored, n_pairs)
     return (
@@ -504,7 +504,7 @@ def knn_ivf_label(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select("qid", "cid", cos.alias("cos_sim"))
     # n×(n/100) upper bound — the label equi-join keeps a fraction of
     # it, so the regime flips conservatively late
-    n = emb.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count == emb.count()
     n_pairs = n * max(1, n // 100)
     scored = _persist_if_pruned(scored, n_pairs)
     return (
@@ -559,7 +559,7 @@ def quantized_knn_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     scored = joined.select(
         "qid", F.col("vec_id").alias("cid"), qdot.alias("qdot_raw")
     )
-    n = emb.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count == emb.count()
     n_pairs = n * max(1, n // 100)
     scored = _persist_if_pruned(scored, n_pairs)
     return (
@@ -657,7 +657,7 @@ def knn_ivf_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     # still measured a 3.5 GB window sort at 100× — regime-switched like
     # the brute family (scoring is the bit-contract fold, so the pruned
     # path persists it rather than evaluate twice)
-    n = emb.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count == emb.count()
     n_pairs = n * max(1, n // 100) // 4
     scored = _persist_if_pruned(scored, n_pairs)
     return (
@@ -885,7 +885,7 @@ def matryoshka_knn_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
         grouped_topk,
     )
 
-    n = base.count()
+    n = table_rows(sf_dir, "embeddings")  # base is a row-preserving select of emb
     n_pairs = n * max(1, n // 100)
     if n_pairs >= PRUNE_MIN_ROWS:
         joined.count()
@@ -996,7 +996,7 @@ def binary_quantized_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # ascending integer distance → bucket_scale 1 (≤ 65 buckets/qid);
     # the popcount scoring is whole-stage bit arithmetic, cheap enough
     # to evaluate twice, so no persist in the pruned regime
-    n = emb.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count == emb.count()
     n_pairs = n * max(1, n // 100)
     return (
         grouped_topk(ham, 5, "qid", "hamming", "cid", n_pairs,
@@ -1153,7 +1153,7 @@ def binary_rerank_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     v = emb.select("vec_id", F.col("embedding").cast("array<double>").alias("e"))
     ham = _hamming_pairs(emb)
-    n = emb.count()
+    n = table_rows(sf_dir, "embeddings")  # footer count == emb.count()
     shortlist = grouped_topk(
         ham, 32, "qid", "hamming", "cid", n * max(1, n // 100),
         rn_col="hrn", bucket_scale=1, ascending=True,
