@@ -103,11 +103,17 @@ def kmeans_centroids(
 
 
 def kmeans_fit(emb: DataFrame, vec_col: str = "embedding", k: int = 8,
-               n_iter: int = 5) -> tuple[DataFrame, list[float]]:
+               n_iter: int = 5,
+               compute_inertia: bool = True) -> tuple[DataFrame, list[float]]:
     """Returns (assignments DataFrame [vec_id, cluster], inertia per
-    iteration). ``emb`` must have a unique ``vec_id`` column."""
+    iteration). ``emb`` must have a unique ``vec_id`` column.
+    ``compute_inertia=False`` returns an empty inertia path and skips
+    one full-data job PER ITERATION — callers that only want the
+    assignments (cluster-size reports) shouldn't pay for a convergence
+    metric they discard (guide §1.2)."""
     centroids, inertia_path = kmeans_centroids(
-        emb, vec_col=vec_col, k=k, n_iter=n_iter, compute_inertia=True
+        emb, vec_col=vec_col, k=k, n_iter=n_iter,
+        compute_inertia=compute_inertia,
     )
     final = emb.select(
         "vec_id", F.col(vec_col).cast("array<double>").alias("e")

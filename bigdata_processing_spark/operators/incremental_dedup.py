@@ -434,7 +434,9 @@ def build_minhash_index(
     eff = max(max_df, int(math.ceil(max_df_frac * n_docs)))
     stop = (
         shex.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        # count(*) == countDistinct(doc_id): word_shingles is per-doc
+        # distinct, so shex rows are unique (doc_id, s) pairs (r12)
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") > eff)
         .select("s")
     )
@@ -912,7 +914,9 @@ def _rebuild_from_shingles(shset: DataFrame, path: str) -> None:
     eff = max(MAX_DF, int(math.ceil(MAX_DF_FRAC * n_docs)))
     stop = (
         shex.groupBy("s")
-        .agg(F.countDistinct("doc_id").alias("df"))
+        # count(*) == countDistinct(doc_id): word_shingles is per-doc
+        # distinct, so shex rows are unique (doc_id, s) pairs (r12)
+        .agg(F.count("*").alias("df"))
         .filter(F.col("df") > eff)
         .select("s")
     )

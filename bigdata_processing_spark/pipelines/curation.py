@@ -127,7 +127,9 @@ def curate_corpus(
         contaminated = (
             tri.join(F.broadcast(ho_tri), "s")
             .groupBy("doc_id")
-            .agg(F.countDistinct("s").alias("n_shared"))
+            # count(*) == countDistinct(s): word_shingles(3) is per-doc
+            # distinct and ho_tri is one row per s (r12)
+            .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
             .select("doc_id")
         )
@@ -535,7 +537,9 @@ def curate_append(
         contaminated = (
             tri.join(F.broadcast(ho_tri), "s")
             .groupBy("doc_id")
-            .agg(F.countDistinct("s").alias("n_shared"))
+            # count(*) == countDistinct(s): word_shingles(3) is per-doc
+            # distinct and ho_tri is one row per s (r12)
+            .agg(F.count("*").alias("n_shared"))
             .filter(F.col("n_shared") >= DECONTAM_MIN_SHARED)
             .select("doc_id")
         )

@@ -54,18 +54,30 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # Round-12 rotation (r11 verdict #1 + rotation discipline #8): LEAD
 # with the three Hamming-family queries whose plan AND output contract
 # (connectivity-star edge set) changed in r11 AFTER their last driver
-# rows (r07, old contract), then the three queries whose plans changed
-# THIS round — pq_adc_knn + matryoshka_knn_recall + the sweep and the
-# whole brute/celled kNN family converted to the regime-switched
-# grouped top-k (operators/topk.py; result-identical, plans changed).
-# Then the rest of the r07 stale cohort, then the r09 cohort
-# oldest-first by name; knn_bruteforce / knn_ivf_label (r09 + changed
-# plans) ride inside the r09 block within the first 50.
+# rows (r07, old contract) — the r12 optimization round ALSO changed
+# their plans (signature-collapse localCheckpoint + single-pass band
+# explode), so the lead rows attest the newest shape. Next the five
+# queries whose plans changed in the r12 optimization pass
+# (countDistinct→count / df-off-tf — doc_novelty_bands,
+# winnowing_dup_passages, tfidf_top_terms, bloom_decontamination,
+# incremental_dedup_pairs; plan diffs committed under plans/r12/), then
+# the queries whose plans the r12 BUILD commits changed — pq_adc_knn +
+# matryoshka_knn_recall + the sweep and the whole brute/celled kNN
+# family converted to the regime-switched grouped top-k
+# (operators/topk.py; result-identical, plans changed). Then the rest
+# of the r07 stale cohort, then the r09 cohort oldest-first by name;
+# knn_bruteforce / knn_ivf_label (r09 + changed plans) ride inside the
+# r09 block within the first 50.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
     "image_neardup_pairs",
     "incremental_image_dedup_pairs",
+    "doc_novelty_bands",
+    "winnowing_dup_passages",
+    "tfidf_top_terms",
+    "bloom_decontamination",
+    "incremental_dedup_pairs",
     "pq_adc_knn",
     "matryoshka_knn_recall",
     "hard_negative_probe_sweep",
@@ -166,7 +178,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "array_functions",
     "audio_feature_stats",
     "bigram_perplexity_bands",
-    "bloom_decontamination",
     "bloom_prejoin_revenue",
     "cms_overestimate_audit",
     "collect_sorted_lists",
@@ -187,13 +198,11 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "dedup_survivors",
     "dedup_survivors_by_quality",
     "distribution_ranks",
-    "doc_novelty_bands",
     "dup_clusters",
     "embedding_norm_stats",
     "first_last_bool_aggs",
     "global_overhead",
     "grouping_sets_revenue",
-    "incremental_dedup_pairs",
     "json_serialize",
     "kmeans_iteration_stats",
     "lateral_top_customer_per_nation",
@@ -218,14 +227,12 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "stratified_sample_5_per_type",
     "string_agg_top_customers",
     "string_functions",
-    "tfidf_top_terms",
     "token_packing_bins",
     "unigram_surprisal_bands",
     "unpivot_segment_metrics",
     "value_outlier_fences",
     "value_quantiles_by_type",
     "value_statistics",
-    "winnowing_dup_passages",
 )
 
 

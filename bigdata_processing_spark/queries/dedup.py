@@ -133,7 +133,9 @@ def _pruned_sig_df(
     import math
 
     shset = _shingle_df(spark, sf_dir)
-    n_docs = shset.count()
+    # footer count == shset.count() (row-preserving select of documents);
+    # shset is NOT persisted here, so the count job bought nothing (r12)
+    n_docs = table_rows(sf_dir, "documents")
     shex = shset.select("doc_id", F.explode("sh").alias("s"))
     eff = max(max_df, int(math.ceil(max_df_frac * n_docs)))
     sig = _fused_pruned_sig(shex, eff, fits).persist()
@@ -1291,19 +1293,25 @@ def simhash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("tok")
     ).filter(F.col("tok") != "")
     th = tokex.select("doc_id", T.hash64(F.col("tok"), 0).alias("h"))
+    # SQL-string expressions for the same py4j-construction reason as
+    # simhash_neardup_pairs (r12); arithmetic unchanged
     bit_aggs = [
-        F.sum(
-            F.when(F.shiftright("h", j).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright(h, {j}) & 1) = 1"
+            " THEN 1 ELSE -1 END)"
         ).alias(f"b{j}")
         for j in range(_SIM_BITS)
     ]
     bits = th.groupBy("doc_id").agg(*bit_aggs)
-    simhash = None
-    for j in range(_SIM_BITS):
-        term = F.when(F.col(f"b{j}") > 0, F.lit(1)).otherwise(F.lit(0)) * F.lit(1 << j)
-        simhash = term if simhash is None else simhash + term
+    # THEN {2^j} (the form the old Column API constant-folded to) keeps
+    # the physical plan byte-identical to the r11 one — no driver-row
+    # rotation needed for a construction-only change
+    simhash_sql = "(" + " + ".join(
+        f"(CASE WHEN b{j} > 0 THEN {1 << j} ELSE 0 END)"
+        for j in range(_SIM_BITS)
+    ) + ")"
     return (
-        bits.select("doc_id", simhash.cast("bigint").alias("simhash"))
+        bits.select("doc_id", F.expr(simhash_sql).cast("bigint").alias("simhash"))
         .groupBy("simhash")
         .agg(
             F.count("*").alias("n_docs"),
@@ -1394,33 +1402,35 @@ def simhash_neardup_pairs(
     tokex = docs.select(
         "doc_id", F.explode(F.array_distinct(T.tokens(F.col("text")))).alias("tok")
     ).filter(F.col("tok") != "")
-    m = F.md5(F.concat(F.lit("0|"), F.col("tok")))
-    th = tokex.select(
+    # Expression trees built as SQL STRINGS, not per-node Column calls:
+    # the 64 bit-sum aggs + 4×16 band terms cost ~1.0 s of py4j round
+    # trips per query CONSTRUCTION via the Column API vs 0.21 s parsed
+    # (r12, measured; identical analyzed plan — the same trade
+    # operators/ivf._scores_sql documents). md5 appears twice but
+    # subexpression elimination computes it once per row at runtime.
+    th = tokex.selectExpr(
         "doc_id",
-        F.conv(F.substring(m, 1, 8), 16, 10).cast("bigint").alias("h_lo"),
-        F.conv(F.substring(m, 9, 8), 16, 10).cast("bigint").alias("h_hi"),
+        "CAST(conv(substring(md5(concat('0|', tok)), 1, 8), 16, 10)"
+        " AS BIGINT) AS h_lo",
+        "CAST(conv(substring(md5(concat('0|', tok)), 9, 8), 16, 10)"
+        " AS BIGINT) AS h_hi",
     )
     bit_aggs = [
-        F.sum(
-            F.when(
-                F.shiftright(F.col("h_lo" if j < 32 else "h_hi"), j % 32)
-                .bitwiseAND(F.lit(1)) == 1, 1,
-            ).otherwise(-1)
+        F.expr(
+            f"sum(CASE WHEN (shiftright({'h_lo' if j < 32 else 'h_hi'},"
+            f" {j % 32}) & 1) = 1 THEN 1 ELSE -1 END)"
         ).alias(f"s{j}")
         for j in range(_SIM64)
     ]
     sbits = th.groupBy("doc_id").agg(*bit_aggs)
-    band_cols = []
-    for b in range(4):
-        v = None
-        for i in range(16):
-            term = (
-                F.when(F.col(f"s{16 * b + i}") > 0, F.lit(1)).otherwise(F.lit(0))
-                * F.lit(1 << i)
-            )
-            v = term if v is None else v + term
-        band_cols.append(v.cast("int").alias(f"b{b}"))
-    hashes = sbits.select(F.col("doc_id").alias("img_id"), *band_cols)
+    band_exprs = [
+        "CAST((" + " + ".join(
+            f"(CASE WHEN s{16 * b + i} > 0 THEN {1 << i} ELSE 0 END)"
+            for i in range(16)
+        ) + f") AS INT) AS b{b}"
+        for b in range(4)
+    ]
+    hashes = sbits.selectExpr("doc_id AS img_id", *band_exprs)
     return image_neardup_pairs_from_hashes(
         hashes, hamming_max=hamming_max, max_bucket=max_bucket
     ).orderBy("d1", "d2")

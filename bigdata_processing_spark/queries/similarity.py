@@ -722,12 +722,20 @@ def kmeans_iteration_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     assigned = emb.select(
         F.col("embedding").cast("array<double>").alias("e")
     ).withColumn("cell", seeded_assign_best(cents).getField("cell"))
+    # SQL-string expressions: the 64 avg columns + the 8×64 seed literal
+    # array cost ~0.7 s of py4j Column construction per call (r12, same
+    # trade as ivf._scores_sql); doubles embed as shortest-repr literals
+    # (correctly-rounded parse recovers identical bits), arithmetic
+    # unchanged
     upd = assigned.groupBy("cell").agg(
         F.count("*").alias("n_vecs"),
-        *[F.avg(F.col("e")[d]).alias(f"m{d}") for d in range(dim)],
+        *[F.expr(f"avg(e[{d}])").alias(f"m{d}") for d in range(dim)],
     )
-    c1 = F.array(*[F.col(f"m{d}") for d in range(dim)])
-    seed_lit = F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in cents])
+    c1 = F.expr("array(" + ",".join(f"m{d}" for d in range(dim)) + ")")
+    seed_lit = F.expr("array(" + ",".join(
+        "array(" + ",".join(f"CAST('{float(x)!r}' AS DOUBLE)" for x in c) + ")"
+        for c in cents
+    ) + ")")
     seed = F.element_at(seed_lit, F.col("cell") + 1)
     # drift via the algebraic expansion |c1 - seed|² = c1·c1 − 2·c1·seed
     # + seed·seed (clamped: rounding can push an exact-zero negative)
@@ -777,7 +785,9 @@ def kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     from bigdata_processing_spark.operators.clustering import kmeans_fit
 
     emb = load_table(spark, sf_dir, "embeddings")
-    assignments, _ = kmeans_fit(emb, k=8, n_iter=2)
+    # inertia off: this query reports cluster SIZES only — the
+    # convergence metric was two discarded full-data jobs (r12)
+    assignments, _ = kmeans_fit(emb, k=8, n_iter=2, compute_inertia=False)
     return (
         assignments.groupBy("cluster")
         .agg(F.count("*").alias("n_vecs"))

@@ -60,14 +60,16 @@ _SIG_COLS = ["b0", "b1", "b2", "b3"]
 
 
 def _bandl(hashes: DataFrame) -> DataFrame:
-    out = None
-    for b in range(4):
-        leg = hashes.select(
-            "img_id",
-            F.concat_ws("_", F.lit(b), F.col(f"b{b}").cast("string")).alias("bk"),
-        )
-        out = leg if out is None else out.unionByName(leg)
-    return out
+    # ONE pass: explode the 4 band keys per row instead of a 4-leg
+    # unionByName (4 reads of the input and 4x the task count — same
+    # restructure as the batch operator, r12)
+    return hashes.select(
+        "img_id",
+        F.explode(F.array(*[
+            F.concat_ws("_", F.lit(b), F.col(f"b{b}").cast("string"))
+            for b in range(4)
+        ])).alias("bk"),
+    )
 
 
 def _indexed_sigs(spark: SparkSession, path: str,
