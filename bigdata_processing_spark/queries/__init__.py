@@ -67,7 +67,9 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # (operators/topk.py; result-identical, plans changed). Then the rest
 # of the r07 stale cohort, then the r09 cohort oldest-first by name;
 # knn_bruteforce / knn_ivf_label (r09 + changed plans) ride inside the
-# r09 block within the first 50.
+# r09 block within the first 50. The r12 session-2 rewrites slot into
+# the first 50 too: word_entropy_bands (single-agg entropy) moved up;
+# kmv_set_algebra (one-pass exact legs) already sat inside the window.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
     "simhash_neardup_pairs",
@@ -78,6 +80,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "tfidf_top_terms",
     "bloom_decontamination",
     "incremental_dedup_pairs",
+    "word_entropy_bands",
     "pq_adc_knn",
     "matryoshka_knn_recall",
     "hard_negative_probe_sweep",
@@ -169,7 +172,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "winsorized_value_stats",
     "boilerplate_chunk_stats",
     "sessionize_events",
-    "word_entropy_bands",
     "chunk_documents",
     "mixture_weights",
     "seq_length_histogram",

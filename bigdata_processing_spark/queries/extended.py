@@ -593,23 +593,25 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select(F.lit("intersection").alias("tag"), "kmv_est")
     est4 = est.union(inter)
 
-    def _cohort(name, cond):
-        return (
-            orders.filter(cond)
-            .agg(F.countDistinct("o_custkey").alias("exact_distinct"))
-            .select(F.lit(name).alias("tag"), "exact_distinct")
-        )
-
-    exact = (
-        _cohort("y1995", yr == 1995)
-        .union(_cohort("y1996", yr == 1996))
-        .union(_cohort("union", yr.isin(1995, 1996)))
-        .union(
-            tagged.groupBy("o_custkey")
-            .agg(F.countDistinct("tag").alias("nt"))
-            .filter(F.col("nt") == 2)
-            .agg(F.count("*").alias("exact_distinct"))
-            .select(F.lit("intersection").alias("tag"), "exact_distinct")
+    # exact legs in ONE pass (r12, guide §1.2/§2.4): the four cohort
+    # counts are all functions of the per-custkey tag membership, so one
+    # groupBy(custkey) + one tiny rollup replaces four scans of orders
+    # (3× countDistinct + the HAVING leg) — integer counts, bit-exact:
+    # distinct custkeys with y1995 = Σ has95, union = count(*) of the
+    # key-grouped frame, intersection = Σ has95·has96.
+    per_cust = tagged.groupBy("o_custkey").agg(
+        F.max(F.when(F.col("tag") == "y1995", 1).otherwise(0)).alias("h95"),
+        F.max(F.when(F.col("tag") == "y1996", 1).otherwise(0)).alias("h96"),
+    )
+    exact = per_cust.agg(
+        F.sum("h95").alias("n95"),
+        F.sum("h96").alias("n96"),
+        F.count("*").alias("nu"),
+        F.sum(F.col("h95") * F.col("h96")).alias("ni"),
+    ).select(
+        F.expr(
+            "stack(4, 'y1995', n95, 'y1996', n96, 'union', nu, "
+            "'intersection', ni) AS (tag, exact_distinct)"
         )
     )
     return (

@@ -247,6 +247,15 @@ def contamination_test_vs_train(spark: SparkSession, sf_dir: str) -> DataFrame:
     split = F.when(
         T.hash64(T.fingerprint(F.col("text")), "split") % 10 < 9, "train"
     ).otherwise("test")
+    # r12 note — examined, deliberately left on the two-branch join: a
+    # one-pass rewrite (explode once, resolve train-membership with a
+    # max-over-Window keyed on the shingle) measured ~16% faster at
+    # sf0.1, but a Window.partitionBy(shingle) buffers every occurrence
+    # of a hot shingle in ONE task — AQE skew handling covers joins, not
+    # windows — so at corpus scale a stopword trigram becomes an
+    # unsplittable straggler. The join form keeps map-side dedup on the
+    # train side (hot shingles collapse before the exchange) and AQE
+    # skew-split on the probe join; the second corpus scan is the price.
     base = docs.select(
         "doc_id", split.alias("split"), T.word_shingles(F.col("text"), 3).alias("s3")
     )
@@ -356,12 +365,24 @@ def word_entropy_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "t")
         .agg(F.count("*").alias("c"))
     )
-    tot = cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
-    p = F.col("c").cast("double") / F.col("n")
+    # Single-aggregation entropy (r12, guide §2.4): h = −Σ (c/n)·log2(c/n)
+    # = log2(n) − (Σ c·log2 c)/n, so the per-doc total needs no self-join
+    # back onto the counts — one groupBy(doc_id) replaces the tot
+    # aggregation + join + re-aggregation (plan: 5 → 3 Exchange, the
+    # token-level frame is shuffled once). Float rounding shifts at the
+    # 1e-15 level; the band key rounds h to 1e-6 first, so grouping is
+    # unchanged (oracle-verified at sf0.001/0.01/0.1).
+    c = F.col("c").cast("double")
     ent = (
-        cnt.join(tot, "doc_id")
-        .groupBy("doc_id")
-        .agg((-F.sum(p * F.log2(p))).alias("h"))
+        cnt.groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n"),
+            F.sum(c * F.log2(c)).alias("slc"),
+        )
+        .select(
+            "doc_id",
+            (F.log2(F.col("n").cast("double")) - F.col("slc") / F.col("n")).alias("h"),
+        )
     )
     return (
         ent.select(
