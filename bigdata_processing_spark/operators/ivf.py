@@ -97,6 +97,97 @@ def seed_centroids(
     ]
 
 
+# Row bound for the driver-side exact Lloyd fit — the same constant that
+# routes the celled family onto the exact path in the first place
+# (queries/dedup.EMB_EXACT_ASSIGN_MAX); above it exact=False (Arrow
+# matmul) is the caller contract, so the bounded collect never grows
+# past ~50k · 64 doubles ≈ 26 MB.
+DRIVER_FIT_MAX_ROWS = 50_000
+
+# Assignment-matrix chunk: rows per numpy block so the (rows × cells)
+# score matrix stays a few tens of MB at the 50k×~900-cell upper bound.
+_DRIVER_FIT_CHUNK = 4096
+
+
+def _round6_half_up(x: float) -> float:
+    """Spark's ``round(col, 6)`` on DOUBLE: exact decimal expansion of
+    the double, HALF_UP at 6 digits, correctly-rounded back — BigDecimal
+    semantics, NOT Python round()'s half-even."""
+    from decimal import ROUND_HALF_UP, Decimal
+
+    return float(Decimal(x).quantize(Decimal("0.000001"),
+                                     rounding=ROUND_HALF_UP))
+
+
+def _fold_assign_np(Vm, C, cc):
+    """Argmin cell per row of ``Vm`` replaying the sequential fold:
+    loop over dims, vectorize over rows — every accumulation step is the
+    same single-rounded IEEE multiply + add the ``aggregate(zip_with)``
+    fold performs, in the same order, so scores (and therefore argmins,
+    first-occurrence = lowest cell) are bit-identical."""
+    import numpy as np
+
+    out = np.empty(len(Vm), dtype=np.int64)
+    for lo in range(0, len(Vm), _DRIVER_FIT_CHUNK):
+        blk = Vm[lo:lo + _DRIVER_FIT_CHUNK]
+        acc = np.zeros((len(blk), len(C)))
+        for i in range(C.shape[1]):
+            acc = acc + blk[:, i][:, None] * C[:, i][None, :]
+        out[lo:lo + _DRIVER_FIT_CHUNK] = np.argmin(
+            cc[None, :] - 2.0 * acc, axis=1
+        )
+    return out
+
+
+def _exact_fit_on_driver(
+    emb: DataFrame, k: int, n_iter: int, vec_col: str, id_col: str,
+) -> list[list[float]] | None:
+    """Driver-side replay of the exact (fold-contract) Lloyd fit, or
+    ``None`` when the corpus exceeds ``DRIVER_FIT_MAX_ROWS`` / contains
+    vectors the replay cannot mirror bit-for-bit (null, non-finite,
+    ragged) — callers then run the distributed loop unchanged."""
+    import numpy as np
+
+    rows = (
+        emb.select(F.col(id_col).alias("i"),
+                   F.col(vec_col).cast("array<double>").alias("c"))
+        .limit(DRIVER_FIT_MAX_ROWS + 1)
+        .collect()
+    )
+    if len(rows) > DRIVER_FIT_MAX_ROWS:
+        return None
+    if not rows:
+        return []
+    if any(r.i is None or r.c is None for r in rows):
+        return None
+    rows.sort(key=lambda r: r.i)
+    dim = len(rows[0].c)
+    if any(len(r.c) != dim for r in rows):
+        return None
+    Vm = np.array([r.c for r in rows], dtype=np.float64)
+    if not np.all(np.isfinite(Vm)):
+        return None
+    # seed_centroids semantics: the k lowest-id vectors, in id order
+    cents = Vm[:k].copy()
+    cc = np.array([_self_dot_np(c) for c in cents])
+    for _ in range(n_iter):
+        cells = _fold_assign_np(Vm, cents, cc)
+        for cell in range(len(cents)):
+            members = Vm[cells == cell]
+            if len(members):
+                m = members.sum(axis=0) / len(members)
+                cents[cell] = [_round6_half_up(x) for x in m]
+        cc = np.array([_self_dot_np(c) for c in cents])
+    return [list(map(float, c)) for c in cents]
+
+
+def _self_dot_np(v) -> float:
+    acc = 0.0
+    for x in v:
+        acc = acc + float(x) * float(x)
+    return acc
+
+
 def trained_centroids(
     emb: DataFrame,
     k: int,
@@ -137,7 +228,31 @@ def trained_centroids(
     in SQL. Callers use it ONLY above the scale where their DuckDB twin
     stops being exercised (queries/dedup._emb_assigned's regime bound;
     the r12 100× probe measured 335 s of interpreted fold in the exact
-    quantizer — the entire celled family's dominant cost)."""
+    quantizer — the entire celled family's dominant cost).
+
+    Round 13: the exact fit runs ON THE DRIVER when the corpus fits the
+    regime bound (``DRIVER_FIT_MAX_ROWS`` — the same 50k constant that
+    gates the celled family onto this path at all). The distributed
+    exact loop paid ~8 Spark stages PER ITERATION (scan → repartition →
+    broadcast-build → fold assign → posexplode → two-level agg →
+    collect) to fit 2k fixture vectors — pure job-count overhead at
+    every oracle/bench scale (guide §1.2: the algorithm before the
+    config; here the "distributed algorithm" for ≤50k×64 doubles is
+    ONE bounded collect). The numpy fit REPLAYS the fold's arithmetic
+    bit-for-bit: per-dim sequential accumulation vectorized over rows
+    (each step one IEEE multiply + one IEEE add, identical order →
+    identical doubles — pinned in tests/test_ivf.py), argmin
+    first-occurrence = the (s, cell) struct-min tie-break, per-(cell,
+    pos) means rounded HALF_UP at 6 decimals via exact decimal
+    quantization (BigDecimal semantics). The collect is bounded by the
+    same constant that chose this path (≤ 50k · 64 doubles ≈ 26 MB);
+    anything bigger takes exact=False. Non-finite / null / ragged
+    vectors fall back to the distributed loop (bit-contract unchanged;
+    the fold's null/NaN ordering is not replayed in numpy)."""
+    if exact:
+        fitted = _exact_fit_on_driver(emb, k, n_iter, vec_col, id_col)
+        if fitted is not None:
+            return fitted
     cents = seed_centroids(emb, k, vec_col=vec_col, id_col=id_col)
     if not cents:
         return cents

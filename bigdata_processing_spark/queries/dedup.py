@@ -1659,11 +1659,28 @@ def embedding_neardup_pairs(
         F.col("nrm").alias("n2"),
     )
     pairs = a.join(b, (a.label == b.label2) & (a.cell == b.cell2) & (a.v1 < b.v2))
-    # vectorized kernel: this is the one all-pairs-scale dot workload
-    cos = V.dot_vectorized(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
+    # Pair-dot regime (round 13): below the exact-assign bound the pair
+    # volume is small (in-cell pairs ≈ n·cell_size/2) and the Arrow
+    # round-trip DOMINATES the arithmetic (measured ~1.1 s of fixed
+    # pandas-UDF cost vs ~0.05 s of fold on the sf0.1 pairs) — the JVM
+    # fold is also bit-identical to the oracle's list_dot_product, so
+    # the exact scales get MORE precise and faster at once. Above the
+    # bound (no oracle runs there) the vectorized kernel keeps the
+    # all-pairs-scale dot workload off the interpreted evaluator.
+    n = table_rows(sf_dir, "embeddings")
+    pair_dot = V.dot if n <= EMB_EXACT_ASSIGN_MAX else V.dot_vectorized
+    cos = pair_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
     return (
         pairs.select("v1", "v2", "label", cos.alias("cos_sim"))
         .filter(F.col("cos_sim") >= cosine_threshold)
+        # Result-sized round-robin exchange BEFORE the global sort: the
+        # scoring pipeline is exchange-free (broadcast join), so the
+        # range sort's sampling job re-executed the whole join+dot
+        # subtree a second time (guide §2.4 — the sort was 2× the query).
+        # This shuffle carries only the thresholded pairs; AQE
+        # materializes it and the sort samples the tiny shuffle output
+        # instead.
+        .repartition(spark.sparkContext.defaultParallelism)
         .orderBy("v1", "v2")
     )
 

@@ -43,6 +43,19 @@ _COS = """list_dot_product(qe, ce)
 _SWEEP_ANCHOR_CAP = 512
 
 
+def _pair_dot(sf_dir: str):
+    """Regime-switched pair dot for the celled family (round 13): the
+    JVM sequential fold below the exact-assign bound — bit-identical to
+    the oracle's ``list_dot_product`` AND free of the ~1 s fixed Arrow
+    round-trip that dominated the small in-cell pair frames — the
+    vectorized numpy kernel above it, where pair volume pays for the
+    boundary and no oracle runs."""
+    from bigdata_processing_spark.queries.dedup import EMB_EXACT_ASSIGN_MAX
+
+    n = table_rows(sf_dir, "embeddings")
+    return V.dot if n <= EMB_EXACT_ASSIGN_MAX else V.dot_vectorized
+
+
 def _persist_if_pruned(scored: DataFrame, n_rows: int) -> DataFrame:
     """Persist + eagerly materialize a scored pair frame when
     ``grouped_topk`` will take the histogram-pruned path (``n_rows`` ≥
@@ -307,7 +320,7 @@ def hard_negatives_celled(
         c,
         (F.col("cell") == F.col("ccell")) & (F.col("clabel") != F.col("qlabel")),
     )
-    cos = V.dot_vectorized(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cos = _pair_dot(sf_dir)(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     w = Window.partitionBy("qid").orderBy(F.col("cos_sim").desc(), F.col("cid").asc())
     return (
         joined.select("qid", "cid", "clabel", cos.alias("cos_sim"))
@@ -416,7 +429,7 @@ def hard_negative_probe_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("e").alias("ce"),
         F.col("nrm").alias("cn"),
     )
-    cos = V.dot_vectorized(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
+    cos = _pair_dot(sf_dir)(F.col("qe"), F.col("ce")) / (F.col("qn") * F.col("cn"))
     # materialization barrier: the grid join below is non-equi (pr <=
     # n_probe → BroadcastNestedLoopJoin), which re-evaluates its stream
     # side's subtree — without the persist the probe join + Arrow dot

@@ -601,6 +601,28 @@ def test_trained_centroids_deterministic_and_duckdb_reproducible(spark):
     assert duck == c1
 
 
+def test_trained_centroids_driver_fit_matches_distributed(spark, monkeypatch):
+    """The round-13 driver-side exact fit replays the distributed fold
+    loop bit-for-bit: per-dim sequential accumulation (same IEEE op
+    order), first-occurrence argmin (the (s, cell) struct-min
+    tie-break), HALF_UP round-6 means. Pin list-equality of the two
+    paths on the real fixture, and that the driver path declines
+    corpora past its bound."""
+    import bigdata_processing_spark.operators.ivf as ivf
+
+    emb = load_table(spark, SF, "embeddings")
+    k = ivf.allpairs_cell_count(emb.count())
+    fitted = ivf.trained_centroids(emb, k, n_iter=2, exact=True)
+    monkeypatch.setattr(ivf, "DRIVER_FIT_MAX_ROWS", 0)  # force distributed
+    ref = ivf.trained_centroids(emb, k, n_iter=2, exact=True)
+    assert fitted == ref
+    # the bound declines oversized corpora (fallback, not a bad fit)
+    monkeypatch.setattr(ivf, "DRIVER_FIT_MAX_ROWS", 3)
+    assert ivf._exact_fit_on_driver(
+        emb.select("vec_id", "embedding"), k, 2, "embedding", "vec_id"
+    ) is None
+
+
 def test_trained_centroids_empty_cell_keeps_seed(spark):
     """A seed that captures no members after reassignment must survive
     unchanged (the coalesce rule) — with k == n every vector is its own
