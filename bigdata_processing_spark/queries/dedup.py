@@ -2201,6 +2201,14 @@ def _edit_scored_pairs(
         .select("d1", "d2", "dist", "maxlen")
     )
     pre = same.unionByName(diff).persist()
+    # Eager materialization (round 13): dedup_verifier_matrix reads this
+    # frame from two aggregate branches of ONE action — a lazily-persisted
+    # cache makes those branches RACE and run the banded DP twice (the
+    # dominant tail of that query's cold run, measured ~2× the DP wall).
+    # The count executes the DP exactly once; every consumer (and the
+    # edit query's range-sort sampling pass) then reads the cache. The
+    # frame is distinct-text-pair sized — far below the corpus.
+    pre.count()
     _EDIT_PRE_MEMO[memo_key] = pre
     return pre
 
@@ -2504,6 +2512,13 @@ def lsh_band_sweep(
     )
     _LOOSE_PERSISTS.append(ver)
 
+    # Materialize the two pair caches in dependency order (round 13):
+    # the final action reads cand_all from two branches and ver from two
+    # — against lazy persists those branches RACE and recompute the
+    # banding / verify joins concurrently. Two counts execute each
+    # exactly once; every branch below is then a cache read.
+    cand_all.count()
+    ver.count()
     counts = cand_all.groupBy("cfg").agg(F.count("*").alias("n_candidates"))
     found = (
         ver.join(cand_all, ["d1", "d2"])

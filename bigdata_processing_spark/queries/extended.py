@@ -599,15 +599,21 @@ def kmv_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (3× countDistinct + the HAVING leg) — integer counts, bit-exact:
     # distinct custkeys with y1995 = Σ has95, union = count(*) of the
     # key-grouped frame, intersection = Σ has95·has96.
-    per_cust = tagged.groupBy("o_custkey").agg(
+    # null-key filter + coalesce (ADVICE r12): count(DISTINCT col)
+    # excludes NULL keys and yields 0 on an empty cohort, where the
+    # grouped-sum form would keep a NULL group / return NULL sums.
+    # Unreachable with TPC-H data (o_custkey NOT NULL, both years
+    # populated at every sf > 0) — alignment of degenerate-input
+    # semantics with the oracle, not a behavior change.
+    per_cust = tagged.filter(F.col("o_custkey").isNotNull()).groupBy("o_custkey").agg(
         F.max(F.when(F.col("tag") == "y1995", 1).otherwise(0)).alias("h95"),
         F.max(F.when(F.col("tag") == "y1996", 1).otherwise(0)).alias("h96"),
     )
     exact = per_cust.agg(
-        F.sum("h95").alias("n95"),
-        F.sum("h96").alias("n96"),
+        F.coalesce(F.sum("h95"), F.lit(0)).alias("n95"),
+        F.coalesce(F.sum("h96"), F.lit(0)).alias("n96"),
         F.count("*").alias("nu"),
-        F.sum(F.col("h95") * F.col("h96")).alias("ni"),
+        F.coalesce(F.sum(F.col("h95") * F.col("h96")), F.lit(0)).alias("ni"),
     ).select(
         F.expr(
             "stack(4, 'y1995', n95, 'y1996', n96, 'union', nu, "

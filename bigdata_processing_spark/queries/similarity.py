@@ -1453,13 +1453,24 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # expensive half of the subtree is the PQ ENCODE (argmin folds per
     # subspace), not the LUT scoring — persist the encoded candidates
     # (8 small ints + a norm per vector, ~40 B/row at any scale) so both
-    # legs re-run only the broadcast join + O(M) lookups.
-    from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+    # legs re-run only the broadcast join + O(M) lookups. Round 13: the
+    # persist + its eager count run ONLY in the pruned regime that
+    # double-evaluates (mirroring _persist_if_pruned) — below the bound
+    # the naive window reads the encode once and the count job plus
+    # cache write were pure overhead; the candidate count itself is the
+    # parquet footer row count (pq_encode is a row-preserving projection
+    # of embeddings).
+    from bigdata_processing_spark.operators.topk import PRUNE_MIN_ROWS
 
-    cand = enc.select(
-        "vec_id", "nrm", *[f"k{m}" for m in range(PQ_M)]
-    ).persist()
-    _LOOSE_PERSISTS.append(cand)
+    cand = enc.select("vec_id", "nrm", *[f"k{m}" for m in range(PQ_M)])
+    n_cand = table_rows(sf_dir, "embeddings")
+    n_pairs = n_cand * max(1, n_cand // 100)
+    if n_pairs >= PRUNE_MIN_ROWS:
+        from bigdata_processing_spark.queries.dedup import _LOOSE_PERSISTS
+
+        cand = cand.persist()
+        _LOOSE_PERSISTS.append(cand)
+        cand.count()
     q = emb.filter(F.col("vec_id") % 100 == 0).select(
         F.col("vec_id").alias("qid"), F.col("e").alias("qe"), F.col("nrm").alias("qn")
     )
@@ -1483,8 +1494,6 @@ def pq_adc_knn(spark: SparkSession, sf_dir: str) -> DataFrame:
     # stays — small frames pay the prune's extra jobs for nothing.
     from bigdata_processing_spark.operators.topk import grouped_topk
 
-    n_cand = cand.count()
-    n_pairs = n_cand * max(1, n_cand // 100)
     return (
         grouped_topk(scored, 5, "qid", "adc_cos", "cid", n_pairs)
         .withColumn("rn", F.col("rn").cast("long"))
