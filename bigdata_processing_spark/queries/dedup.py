@@ -3077,21 +3077,39 @@ def dedup_verifier_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     esim = F.round(1 - F.col("dist").cast("double") / F.col("maxlen"), 6)
     edt = pre.filter(esim >= EDIT_SIM_THRESHOLD).select("d1", "d2")
 
-    def row(name: str, pairs: DataFrame) -> DataFrame:
-        n = pairs.agg(F.count("*").alias("n_pairs"))
-        overlap = pairs.join(jac, ["d1", "d2"]).agg(
-            F.count("*").alias("n_also_jaccard")
-        )
-        return n.crossJoin(overlap).select(
-            F.lit(name).alias("verifier"), "n_pairs", "n_also_jaccard"
-        )
-
+    # One tagged pass (round 13): the old shape aggregated each verifier
+    # set twice (count + overlap-join count) and cross-joined the pair —
+    # 8 aggregate branches and 4 joins against jac per run. All four
+    # rows are functions of (verifier, pair, in-jaccard?), so a single
+    # union of tagged projections, ONE join against the jaccard set, and
+    # one groupBy computes the identical integer counts.
     cand = sc.select("d1", "d2")
-    out = (
-        row("candidates", cand)
-        .unionByName(row("containment", con))
-        .unionByName(row("edit_distance", edt))
-        .unionByName(row("jaccard", jac))
+    tagged = (
+        cand.select(F.lit("candidates").alias("verifier"), "d1", "d2")
+        .unionByName(con.select(F.lit("containment").alias("verifier"), "d1", "d2"))
+        .unionByName(edt.select(F.lit("edit_distance").alias("verifier"), "d1", "d2"))
+        .unionByName(jac.select(F.lit("jaccard").alias("verifier"), "d1", "d2"))
+    )
+    jmark = jac.withColumn("__isjac", F.lit(1))
+    counts = (
+        tagged.join(jmark, ["d1", "d2"], "left")
+        .groupBy("verifier")
+        .agg(
+            F.count("*").alias("__np"),
+            F.coalesce(F.sum("__isjac"), F.lit(0)).alias("__nj"),
+        )
+    )
+    # literal spine: an empty verifier set still yields its (name, 0, 0)
+    # row, like the oracle's scalar subqueries
+    names = literal_df(
+        spark,
+        [("candidates",), ("containment",), ("edit_distance",), ("jaccard",)],
+        "verifier string",
+    )
+    out = names.join(counts, "verifier", "left").select(
+        "verifier",
+        F.coalesce("__np", F.lit(0)).cast("long").alias("n_pairs"),
+        F.coalesce("__nj", F.lit(0)).cast("long").alias("n_also_jaccard"),
     )
     return out.orderBy("verifier")
 

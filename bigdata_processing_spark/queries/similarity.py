@@ -777,12 +777,19 @@ def knn_ivf_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
     matmul path is bound by one Arrow pass. Fixture-scale top-k
     equality with the exact scorer is pinned in tests/test_ivf.py."""
     from bigdata_processing_spark.operators.ivf import (
+        FIT_SAMPLE_TARGET,
         build_ivf_index,
         ivf_search_matmul,
     )
 
     emb = load_table(spark, sf_dir, "embeddings")
-    indexed, centroids = build_ivf_index(emb, k_cells=8, n_iter=2)
+    # fit fraction from the parquet footer count — build_ivf_index's
+    # default runs a count job just to derive it (round 13)
+    n = table_rows(sf_dir, "embeddings")
+    indexed, centroids = build_ivf_index(
+        emb, k_cells=8, n_iter=2,
+        fit_fraction=min(1.0, FIT_SAMPLE_TARGET / max(n, 1)),
+    )
     # no persist here: this one-shot query probes the index exactly once,
     # so caching would only add memory churn (callers that reuse an index
     # across query batches persist it themselves / write_ivf_index it)
