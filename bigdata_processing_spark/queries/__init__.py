@@ -51,27 +51,24 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # information; pytest re-oracles the whole registry every run
 # regardless.
 #
-# Round-12 rotation (r11 verdict #1 + rotation discipline #8): LEAD
-# with the three Hamming-family queries whose plan AND output contract
-# (connectivity-star edge set) changed in r11 AFTER their last driver
-# rows (r07, old contract) — the r12 optimization round ALSO changed
-# their plans (signature-collapse localCheckpoint + single-pass band
-# explode), so the lead rows attest the newest shape. Next the five
-# queries whose plans changed in the r12 optimization pass
-# (countDistinct→count / df-off-tf — doc_novelty_bands,
-# winnowing_dup_passages, tfidf_top_terms, bloom_decontamination,
-# incremental_dedup_pairs; plan diffs committed under plans/r12/), then
-# the queries whose plans the r12 BUILD commits changed — pq_adc_knn +
-# matryoshka_knn_recall + the sweep and the whole brute/celled kNN
-# family converted to the regime-switched grouped top-k
-# (operators/topk.py; result-identical, plans changed). Then the rest
-# of the r07 stale cohort, then the r09 cohort oldest-first by name;
-# knn_bruteforce / knn_ivf_label (r09 + changed plans) ride inside the
-# r09 block within the first 50. The r12 session-2 rewrites slot into
-# the first 50 too: word_entropy_bands (single-agg entropy) moved up;
-# kmv_set_algebra (one-pass exact legs) already sat inside the window.
+# Round-13 rotation (rotation discipline #8): LEAD with the four
+# queries whose plans the r13 optimization changed and that sat OUTSIDE
+# the previous 50-slot window — embedding_neardup_pairs (fold pair dot
+# + result-sized pre-sort exchange), dedup_verifier_matrix (single-pass
+# tagged tail), edit_distance_dup_pairs (eagerly-materialized DP cache),
+# hard_negatives_celled (fold pair dot). The other r13-changed plans
+# (pq_adc_knn, kmv_set_algebra, lsh_band_sweep,
+# hard_negative_probe_sweep, semantic_dedup_survivors/sweep) already
+# sit inside the window and keep their slots. The r12 lead block
+# (Hamming contract trio + the r12-changed plans) earned green
+# CORRECTNESS_r12 rows and slides down four; plan diffs for the new
+# lead are committed under plans/r13/.
 # ---------------------------------------------------------------------------
 DRIVER_PRIORITY: tuple[str, ...] = (
+    "embedding_neardup_pairs",
+    "dedup_verifier_matrix",
+    "edit_distance_dup_pairs",
+    "hard_negatives_celled",
     "simhash_neardup_pairs",
     "image_neardup_pairs",
     "incremental_image_dedup_pairs",
@@ -149,8 +146,6 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "top_suppliers_by_quantity",
     "tumbling_window_6h",
     "variant_props_quartiles",
-    "edit_distance_dup_pairs",
-    "dedup_verifier_matrix",
     "hashed_tf_knn_celled",
     "ivf_append_assignment",
     "rolling_1h_stats",
@@ -184,9 +179,7 @@ DRIVER_PRIORITY: tuple[str, ...] = (
     "cms_overestimate_audit",
     "collect_sorted_lists",
     "dup_cluster_size_histogram",
-    "embedding_neardup_pairs",
     "gopher_rule_funnel",
-    "hard_negatives_celled",
     "hash_sample_10pct",
     "hot_key_skew_report",
     "image_feature_stats",
