@@ -6,9 +6,16 @@ bit-identical doubles at vectorized speed?
 
 Probes (each compares outputs BIT-FOR-BIT and times both forms):
   --assign   seeded_assign_cells (fold) vs foldexact assigner on the
-             sf0.1 embeddings x the trained 512-cell centroid set
-  --dot      knn_bruteforce's 4M-pair V.dot scoring vs dot_foldexact
-  --train    trained_centroids exact fit, fold vs foldexact assignment
+             fixture embeddings x the trained centroid set
+  --dot      the brute-force pair frame's V.dot scoring vs
+             dot_foldexact vs dot_vectorized
+
+Round-13 verdict from these probes: at fixture scale (2k vectors) the
+Arrow boundary DOMINATES (foldexact assigner 0.73 s warm vs 0.46 s for
+the interpreted fold), so the foldexact swap was NOT adopted for
+distributed assignment — instead the whole exact fit moved to the
+driver (operators/ivf._exact_fit_on_driver), which uses the same
+replay-the-fold numpy kernel proven bit-identical here.
 
 Working tool for the optimization round; feeds nothing into bench
 artifacts.
