@@ -55,7 +55,8 @@ def register(name: str, oracle: Optional[str] = None, driver: bool = True):
 # queries whose plans the r13 optimization changed and that sat OUTSIDE
 # the previous 50-slot window — embedding_neardup_pairs (fold pair dot
 # + result-sized pre-sort exchange), dedup_verifier_matrix (single-pass
-# tagged tail), edit_distance_dup_pairs (eagerly-materialized DP cache),
+# tagged tail, then the second-pass conditional-sum aggregation),
+# edit_distance_dup_pairs (eagerly-materialized DP cache),
 # hard_negatives_celled (fold pair dot). The other r13-changed plans
 # (pq_adc_knn, kmv_set_algebra, lsh_band_sweep,
 # hard_negative_probe_sweep, semantic_dedup_survivors/sweep) already
