@@ -105,9 +105,15 @@ def _sig_from_shex(shex: DataFrame, broadcast_vocab: bool = True) -> DataFrame:
 
 
 def _signature_df(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """doc_id → minhash signature columns h0..h{k-1} (one shuffle)."""
+    """doc_id → minhash signature columns h0..h{k-1} (one shuffle).
+
+    The UNPRUNED dictionary vocabulary grows with the corpus (unlike
+    the stop list, which is bounded by shingles-per-doc/MAX_DF_FRAC),
+    so the dictionary join rides the shared regime switch — the clone
+    probe corpora never exercise this (clone vocabularies don't grow),
+    which is exactly why the gate must be structural, not measured."""
     shex = _shingle_df(spark, sf_dir).select("doc_id", F.explode("sh").alias("s"))
-    return _sig_from_shex(shex)
+    return _sig_from_shex(shex, broadcast_vocab=_fits_broadcast(sf_dir))
 
 
 def _pruned_sig_df(
@@ -740,30 +746,96 @@ def _scored_candidates(
     # Size-aware verify join: broadcasting the shingle-set lookups avoids
     # shuffling the candidate pairs twice (measured 1.7x on the full
     # pipeline) — but only while the doc→shingles map fits an executor.
-    # Past the estimate cap this switches to doc_id-keyed shuffle joins:
-    # same rows (plan-asserted both ways in test_plans), still
+    # Past the estimate cap the verify switches to the DISTINCT-TEXT-PAIR
+    # form below: same rows (regime-equality pinned in test_plans), still
     # candidate-bounded, no corpus-sized broadcast to OOM on.
-    s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
-    s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
     fits_broadcast = _fits_broadcast(sf_dir, verify_broadcast_max_bytes)
     if fits_broadcast:
+        s1 = shset.select(F.col("doc_id").alias("d1"), F.col("sh").alias("sh1"))
+        s2 = shset.select(F.col("doc_id").alias("d2"), F.col("sh").alias("sh2"))
         joined = cand.join(F.broadcast(s1), "d1").join(F.broadcast(s2), "d2")
-    else:
-        joined = cand.join(s1.hint("merge"), "d1").join(
-            s2.hint("merge"), "d2"
-        )
-    out = (
-        joined.select(
+        scored = joined.select(
             "d1",
             "d2",
             F.size(F.array_intersect("sh1", "sh2")).alias("inter"),
             F.size("sh1").alias("n1"),
             F.size("sh2").alias("n2"),
         )
-        .persist()
-    )
+    else:
+        # Big regime: the exact intersection runs per DISTINCT TEXT PAIR
+        # (round 13 — the r11 edit-DP geometry applied to the
+        # jaccard/containment verify). The direct shset merge join
+        # carried full shingle arrays for EVERY candidate pair through
+        # the sort — 75-88 GB of spill at the 100x clone corpus on the
+        # unfiltered audit family (first-ever 100x rows for
+        # dedup_verifier_matrix / minhash_estimate_audit), because clone
+        # mass makes candidate pairs plentiful while their text content
+        # collapses to ~1/clone² distinct pairs. inter/n1/n2 are pure
+        # functions of the two TEXTS: join each candidate to its raw-md5
+        # fingerprints (16-byte keys shuffle instead of shingle arrays),
+        # same-fingerprint pairs short-circuit to inter=n1=n2=|set|, and
+        # the array_intersect runs once per distinct (f1, f2) on one
+        # representative shingle set per fingerprint, the verdict joined
+        # back to all doc pairs that share it. Null/empty-text docs
+        # cannot reach candidates (no shingles → no signature → no
+        # bands), so the fingerprint join drops no pairs. Everything
+        # merge-hinted: each side is corpus-growing and Catalyst's
+        # static estimate through these subtrees is untrustworthy.
+        docs = load_table(spark, sf_dir, "documents")
+        fpd = docs.select("doc_id", F.md5("text").alias("f"))
+        f1 = fpd.select(F.col("doc_id").alias("d1"), F.col("f").alias("f1"))
+        f2 = fpd.select(F.col("doc_id").alias("d2"), F.col("f").alias("f2"))
+        cf = cand.join(f1.hint("merge"), "d1").join(f2.hint("merge"), "d2")
+        # three consumers below (same-fp leg, distinct-pair source, the
+        # verdict join-back): persisted + eagerly materialized, or each
+        # re-runs the two candidate-wide merge joins — measured 43.5 GB
+        # of residual 100x sort spill on dedup_verifier_matrix from
+        # exactly this recompute. Narrow frame (two ids + two 16-byte
+        # fingerprints per candidate pair); released below once the
+        # scored output is cached.
+        cf = cf.persist()
+        cf.count()
+        # one representative shingle set per distinct fingerprint
+        # (identical texts ⇒ identical shingle sets; min doc_id is a
+        # deterministic pick of one of them)
+        rep = fpd.groupBy("f").agg(F.min("doc_id").alias("doc_id"))
+        rsh = rep.join(shset.hint("merge"), "doc_id").select("f", "sh")
+        fsz = rsh.select("f", F.size("sh").alias("__nsz"))
+        samefp = (
+            cf.filter(F.col("f1") == F.col("f2"))
+            .join(fsz.select(F.col("f").alias("f1"), "__nsz").hint("merge"), "f1")
+            .select(
+                "d1", "d2",
+                F.col("__nsz").alias("inter"),
+                F.col("__nsz").alias("n1"),
+                F.col("__nsz").alias("n2"),
+            )
+        )
+        dtp = (
+            cf.filter(F.col("f1") != F.col("f2"))
+            .select("f1", "f2")
+            .distinct()
+            .join(rsh.select(F.col("f").alias("f1"), F.col("sh").alias("sh1")).hint("merge"), "f1")
+            .join(rsh.select(F.col("f").alias("f2"), F.col("sh").alias("sh2")).hint("merge"), "f2")
+            .select(
+                "f1", "f2",
+                F.size(F.array_intersect("sh1", "sh2")).alias("inter"),
+                F.size("sh1").alias("n1"),
+                F.size("sh2").alias("n2"),
+            )
+        )
+        diff = (
+            cf.filter(F.col("f1") != F.col("f2"))
+            .join(dtp.hint("merge"), ["f1", "f2"])
+            .select("d1", "d2", "inter", "n1", "n2")
+        )
+        scored = samefp.unionByName(diff)
+    out = scored.persist()
     out.count()  # materialize the counts (pairs ≪ corpus) ...
     shset.unpersist()  # ... so the corpus-sized shingle cache can go now
+    if not fits_broadcast:
+        cf.unpersist()  # the scored output is cached; the fingerprinted
+        # candidate frame has served its three consumers
     # sig stays persisted: it lives in _PSIG_MEMO for the audit family
     # (narrow — 9 fixed-width columns, ~100 B/doc) and is released by
     # clear_dedup_memos with the other session memos
@@ -974,8 +1046,11 @@ def incremental_dedup_pairs(
     # prefilter a/b): persist the narrow signature table so the
     # shingle->signature subtree runs once per call, not five times
     # (the anchor table below persists too — it re-broadcasts under
-    # every consumer of the banded table)
-    sig = _sig_from_shex(shex_p).persist()
+    # every consumer of the banded table). The stop list above is
+    # bounded by construction (<= shingles-per-doc/MAX_DF_FRAC rows,
+    # corpus-independent); the dictionary vocabulary is NOT (stop-list
+    # pruning only removes the high-df tail) — regime-switch it.
+    sig = _sig_from_shex(shex_p, broadcast_vocab=_fits_broadcast(sf_dir)).persist()
     _LOOSE_PERSISTS.append(sig)
     sig.count()  # materialize NOW: consumers otherwise race to fill the
     # cache and the first wave re-runs the shingle subtree concurrently
@@ -1641,6 +1716,36 @@ def embedding_neardup_pairs(
     spark: SparkSession, sf_dir: str,
     cosine_threshold: float = COSINE_NEARDUP_THRESHOLD,
 ) -> DataFrame:
+    n = table_rows(sf_dir, "embeddings")
+    out = _emb_scored_pairs(spark, sf_dir, cosine_threshold)
+    if n <= EMB_EXACT_ASSIGN_MAX:
+        # Result-sized round-robin exchange BEFORE the global sort,
+        # SMALL regime only: below the bound the scoring pipeline is an
+        # exchange-free broadcast join whose re-execution by the range
+        # sort's sampling job doubled the query (guide §2.4 — measured
+        # 7.8 -> 0.8 s cold at sf0.1), while the thresholded pair set is
+        # tiny. Above the bound the trade inverts: the pair set is
+        # corpus-scale (clone mass makes result rows the dominant
+        # volume) and the keyless exchange — plus its
+        # sortBeforeRepartition local sort — costs MORE than re-running
+        # the celled matmul scorer (measured at the 100x probe corpus:
+        # 56-73 s with the exchange vs 24-29 s without, interleaved
+        # A/B), so the big regime keeps the sampling re-execution.
+        out = out.repartition(spark.sparkContext.defaultParallelism)
+    return out.orderBy("v1", "v2")
+
+
+def _emb_scored_pairs(
+    spark: SparkSession, sf_dir: str,
+    cosine_threshold: float = COSINE_NEARDUP_THRESHOLD,
+) -> DataFrame:
+    """UNSORTED thresholded in-cell pairs (v1, v2, label, cos_sim) — the
+    scoring subtree of embedding_neardup_pairs without its output sort.
+    The SemDeDup consumers (survivors, sweep) filter/aggregate/run
+    connected components over the pair SET and never read the order, so
+    routing them here drops a clone-mass global sort (and the small
+    regime's pre-sort exchange) they were discarding — measured in the
+    7.7 GB spill of semantic_dedup_sweep's first 100x row."""
     from bigdata_processing_spark.functions import vectors as V
 
     base, _cents = _emb_assigned(spark, sf_dir)
@@ -1670,18 +1775,8 @@ def embedding_neardup_pairs(
     n = table_rows(sf_dir, "embeddings")
     pair_dot = V.dot if n <= EMB_EXACT_ASSIGN_MAX else V.dot_vectorized
     cos = pair_dot(F.col("e1"), F.col("e2")) / (F.col("n1") * F.col("n2"))
-    return (
-        pairs.select("v1", "v2", "label", cos.alias("cos_sim"))
-        .filter(F.col("cos_sim") >= cosine_threshold)
-        # Result-sized round-robin exchange BEFORE the global sort: the
-        # scoring pipeline is exchange-free (broadcast join), so the
-        # range sort's sampling job re-executed the whole join+dot
-        # subtree a second time (guide §2.4 — the sort was 2× the query).
-        # This shuffle carries only the thresholded pairs; AQE
-        # materializes it and the sort samples the tiny shuffle output
-        # instead.
-        .repartition(spark.sparkContext.defaultParallelism)
-        .orderBy("v1", "v2")
+    return pairs.select("v1", "v2", "label", cos.alias("cos_sim")).filter(
+        F.col("cos_sim") >= cosine_threshold
     )
 
 
@@ -1753,7 +1848,9 @@ def semantic_dedup_survivors(
     from bigdata_processing_spark.functions import vectors as V
     from bigdata_processing_spark.operators.graph import connected_components
 
-    pairs = embedding_neardup_pairs(spark, sf_dir, cosine_threshold).select(
+    # unsorted scored pairs: connected components read the edge SET —
+    # the registered pair query's global sort would be discarded here
+    pairs = _emb_scored_pairs(spark, sf_dir, cosine_threshold).select(
         "v1", "v2"
     )
     labels, _rounds = connected_components(pairs, src="v1", dst="v2")
@@ -1870,8 +1967,11 @@ def semantic_dedup_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     the corpus-scale cost is paid once, not per grid point."""
     from bigdata_processing_spark.operators.graph import connected_components
 
+    # unsorted scored pairs: every grid point filters/aggregates the
+    # pair SET — the registered pair query's global sort (and its
+    # small-regime pre-sort exchange) would be discarded here
     scored = (
-        embedding_neardup_pairs(
+        _emb_scored_pairs(
             spark, sf_dir, cosine_threshold=min(SEMDEDUP_SWEEP_EPS)
         )
         .select("v1", "v2", "cos_sim")
@@ -2172,6 +2272,17 @@ def _edit_scored_pairs(
     cf = j.filter(
         gap_mult * F.abs(F.col("l1") - F.col("l2")) <= F.greatest("l1", "l2")
     ).select("d1", "d2", "f1", "f2", maxlen.alias("maxlen"))
+    # Big regime: cf has three consumers (identical-text leg, the
+    # distinct-pair source, the verdict join-back) — persisted and
+    # eagerly materialized or each re-runs the two candidate-wide merge
+    # joins above (the dominant share of this leg's residual 100x sort
+    # spill, same recompute the jaccard verify's cf fix removed).
+    # Narrow: two ids, two 16-byte fingerprints, one int per pair.
+    # Fixture scale (small regime) skips the extra job entirely.
+    _big = not _fits_broadcast(sf_dir)
+    if _big:
+        cf = cf.persist()
+        cf.count()
     same = cf.filter(F.col("f1") == F.col("f2")).select(
         "d1", "d2", F.lit(0).alias("dist"), "maxlen"
     )
@@ -2209,6 +2320,8 @@ def _edit_scored_pairs(
     # edit query's range-sort sampling pass) then reads the cache. The
     # frame is distinct-text-pair sized — far below the corpus.
     pre.count()
+    if _big:
+        cf.unpersist()  # pre is cached; cf has served its consumers
     _EDIT_PRE_MEMO[memo_key] = pre
     return pre
 
@@ -2460,8 +2573,12 @@ def lsh_band_sweep(
         return cached
     shset = _shingle_df(spark, sf_dir).persist()
     _LOOSE_PERSISTS.append(shset)
+    # unpruned dictionary vocabulary = corpus-growing: regime-switched
+    # like _signature_df (the sweep bands the TEXTBOOK unpruned
+    # signatures by design, so there is no df-cap bounding the vocab)
     sig = _sig_from_shex(
-        shset.select("doc_id", F.explode("sh").alias("s"))
+        shset.select("doc_id", F.explode("sh").alias("s")),
+        broadcast_vocab=_fits_broadcast(sf_dir),
     ).persist()
     _LOOSE_PERSISTS.append(sig)
 

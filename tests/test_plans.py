@@ -567,6 +567,80 @@ def test_vocab_df_joins_obey_the_regime_switch(spark):
         regime._SIZE_MEMO.pop(SF_SMALL, None)
 
 
+def test_unpruned_signature_vocab_joins_obey_the_regime_switch(spark):
+    """The UNPRUNED minhash dictionary vocabulary grows with the corpus
+    (no df cap bounds it, unlike the fused production signature), yet
+    three call sites passed _sig_from_shex's default broadcast_vocab=
+    True: _signature_df (minhash_estimate_audit), incremental_dedup_
+    pairs' pruned-stream signature, and lsh_band_sweep's textbook
+    signature. All three must ride the shared regime switch: broadcast
+    small, sort-merge hint past the corpus bound — a clone probe corpus
+    never catches this (clone vocabularies don't grow), so the gate is
+    pinned structurally here. Values identical in both regimes."""
+    from bigdata_processing_spark.operators import regime
+    from bigdata_processing_spark.queries import dedup as D
+
+    def vocab_join_lines(df):
+        # the dictionary join is the only INNER join keyed by the
+        # shingle `s` — incremental_dedup_pairs also anti-joins its
+        # stop list on `s`, which is bounded by construction
+        # (<= shingles-per-doc/MAX_DF_FRAC rows) and stays broadcast
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        return [
+            ln for ln in plan.splitlines()
+            if "Join [s#" in ln and "Inner" in ln
+        ]
+
+    def rows(df):
+        return sorted(
+            tuple(round(v, 9) if isinstance(v, float) else v for v in r)
+            for r in df.collect()
+        )
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # ---- forced BIG regime: every vocab join degrades to merge ----
+        D.clear_dedup_memos()
+        regime._SIZE_MEMO[SF_SMALL] = 10**15
+        big = {
+            name: fn(spark, SF_SMALL)
+            for name, fn in [
+                ("estimate_audit", D.minhash_estimate_audit),
+                ("incremental", D.incremental_dedup_pairs),
+                ("band_sweep", D.lsh_band_sweep),
+            ]
+        }
+        for name, df in big.items():
+            lines = vocab_join_lines(df)
+            assert lines and all(
+                "BroadcastHashJoin" not in ln for ln in lines
+            ), (name, lines)
+        big_rows = {name: rows(df) for name, df in big.items()}
+
+        # ---- small regime (real fixture size): broadcasts return ----
+        regime._SIZE_MEMO.pop(SF_SMALL, None)
+        D.clear_dedup_memos()
+        small = {
+            name: fn(spark, SF_SMALL)
+            for name, fn in [
+                ("estimate_audit", D.minhash_estimate_audit),
+                ("incremental", D.incremental_dedup_pairs),
+                ("band_sweep", D.lsh_band_sweep),
+            ]
+        }
+        for name, df in small.items():
+            lines = vocab_join_lines(df)
+            assert lines and any(
+                "BroadcastHashJoin" in ln for ln in lines
+            ), (name, lines)
+            assert rows(df) == big_rows[name], name
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        regime._SIZE_MEMO.pop(SF_SMALL, None)
+        D.clear_dedup_memos()
+
+
 def test_every_broadcast_site_is_bounded_or_gated():
     """Package-wide broadcast audit (r9 verdict next-round #1): every
     F.broadcast( site must be either bounded by construction (k rows, a
