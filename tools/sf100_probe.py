@@ -15,7 +15,7 @@ TPC-H relational tables stay symlinked unscaled, same as sf1_bench.
 
 Usage:
     python tools/sf100_probe.py [--reuse] [--only name1,name2]
-                                [--tier 1|2|all] [--canonical]
+                                [--tier 1|2|3|4|all] [--canonical]
 
 --reuse skips the corpus rebuild (/tmp/sf100_equiv).
 --tier picks the target set: 1 = the sf1 wall-table top-10 (the r11
@@ -80,6 +80,21 @@ TARGETS_TIER2 = (
     "knn_ivf_seeded",
 )
 
+# the dedup rows OUTSIDE the sf1 wall tiers (round 13 second session —
+# first-ever 100x rows for these found the unfiltered-verify shingle-
+# array spill storm, 75-88 GB, fixed by the fingerprint-pair verify;
+# keep them in the probe set so the fix stays attested)
+TARGETS_TIER4 = (
+    "dedup_verifier_matrix",
+    "minhash_estimate_audit",
+    "minhash_lsh_dup_pairs",
+    "containment_dup_pairs",
+    "semantic_dedup_sweep",
+    "incremental_dedup_pairs",
+    "lsh_band_sweep",
+    "embedding_neardup_pairs",
+)
+
 # rows 21-30 (round 12, proactive — the tiering logic keeps finding a
 # new hazard class one order down)
 TARGETS_TIER3 = (
@@ -116,7 +131,11 @@ def main() -> None:
     )
     all_targets = {
         "1": TARGETS, "2": TARGETS_TIER2, "3": TARGETS_TIER3,
-        "all": TARGETS + TARGETS_TIER2 + TARGETS_TIER3,
+        "4": TARGETS_TIER4,
+        "all": TARGETS + TARGETS_TIER2 + TARGETS_TIER3 + tuple(
+            t for t in TARGETS_TIER4
+            if t not in TARGETS + TARGETS_TIER2 + TARGETS_TIER3
+        ),
     }[tier]
 
     spark = get_spark("sf100-probe")
